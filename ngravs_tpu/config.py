@@ -1,0 +1,269 @@
+"""Runtime configuration.
+
+Collapses the reference's three configuration surfaces into one runtime object:
+ 1. compile-time Makefile defines (Makefile.reference:9-135),
+ 2. the ~60-tag runtime parameterfile (begrun.c:283-780),
+ 3. the code-as-config force wiring (ngravs.c:64).
+
+`SimulationConfig` is a static (non-pytree) dataclass: its fields feed jit-time
+shapes and branches.  `read_parameter_file` parses stock Gadget parameterfiles
+(tag/value text with %, ; and # comments), so the shipped
+Configuration.reference works unmodified.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+from .constants import N_TYPES
+
+# Type names in Gadget order, used for per-type parameter tags
+TYPE_NAMES = ("Gas", "Halo", "Disk", "Bulge", "Stars", "Bndry")
+
+
+@dataclass
+class SimulationConfig:
+    # --- Relevant files (begrun.c parameterfile tags) ---
+    init_cond_file: str = ""
+    output_dir: str = "./"
+    snapshot_file_base: str = "snapshot"
+    restart_file: str = "restart"
+    energy_file: str = "energy.txt"
+    info_file: str = "info.txt"
+    timings_file: str = "timings.txt"
+    cpu_file: str = "cpu.txt"
+    output_list_filename: str = ""
+
+    # --- CPU limits ---
+    time_limit_cpu: float = 36000.0
+    resubmit_on: int = 0
+    resubmit_command: str = ""
+    cpu_time_bet_restart_file: float = 36000.0
+
+    # --- Code options ---
+    ic_format: int = 1
+    snap_format: int = 1
+    comoving_integration: bool = False
+    type_of_timestep_criterion: int = 0
+    output_list_on: bool = False
+    periodic: bool = False           # PeriodicBoundariesOn / -DPERIODIC
+
+    # --- Characteristics of run ---
+    time_begin: float = 0.0
+    time_max: float = 1.0
+    omega0: float = 0.0
+    omega_lambda: float = 0.0
+    omega_baryon: float = 0.0
+    hubble_param: float = 1.0
+    box_size: float = 0.0
+
+    # --- Output frequency ---
+    time_bet_snapshot: float = 0.1
+    time_of_first_snapshot: float = 0.0
+    time_bet_statistics: float = 0.05
+    num_files_per_snapshot: int = 1
+    num_files_written_in_parallel: int = 1
+
+    # --- Accuracy of time integration ---
+    err_tol_int_accuracy: float = 0.025
+    courant_fac: float = 0.15
+    max_size_timestep: float = 0.01
+    min_size_timestep: float = 0.0
+    max_rms_displacement_fac: float = 0.2
+
+    # --- Tree / force accuracy ---
+    err_tol_theta: float = 0.5
+    type_of_opening_criterion: int = 1
+    err_tol_force_acc: float = 0.005
+    tree_domain_update_frequency: float = 0.1
+
+    # --- SPH ---
+    des_num_ngb: int = 50
+    max_num_ngb_deviation: float = 2
+    art_bulk_visc_const: float = 0.8
+    init_gas_temp: float = 0.0
+    min_gas_temp: float = 0.0
+    min_gas_hsml_fractional: float = 0.25
+
+    # --- Memory (kept for parameterfile compatibility; sizes are static) ---
+    part_alloc_factor: float = 1.5
+    tree_alloc_factor: float = 0.8
+    buffer_size: float = 25.0
+
+    # --- Units ---
+    unit_length_in_cm: float = 3.085678e21       # 1 kpc
+    unit_mass_in_g: float = 1.989e43             # 1e10 Msun
+    unit_velocity_in_cm_per_s: float = 1e5       # 1 km/s
+    gravity_constant_internal: float = 0.0
+
+    # --- Softening (Plummer-equivalent, per type) ---
+    softening: tuple = (0.0, 1.0, 0.4, 1.0, 1.0, 1.0)
+    softening_max_phys: tuple = (0.0, 1.0, 0.4, 1.0, 1.0, 1.0)
+
+    # --- ngravs: gravity-type binding per particle type (Gravity<Type> tags,
+    #     begrun.c:520-543) and the number of distinct gravities (-DN_GRAVS) ---
+    n_gravs: int = 1
+    type_to_grav: tuple = (0, 0, 0, 0, 0, 0)
+    wiring: str = "newton"      # name of a registered GravityWiring preset
+    ngravs_timestep_scale: float = 1.0   # -DNGRAVS_TIMESTEP_SCALE
+    ngravs_accumulator: bool = False     # -DNGRAVS_ACCUMULATOR
+    ngravs_l3violation: bool = False     # -DNGRAVS_L3VIOLATION
+
+    # --- TreePM (-DPMGRID) ---
+    pmgrid: int = 0              # 0 = pure tree
+    ntab: int = 2048             # short-range transition table length (-DNTAB)
+    ngravs_en: int = 64          # Ewald table resolution (-DNGRAVS_EN)
+    asmth: float = 1.25          # -DASMTH override
+    rcut: float = 4.5            # -DRCUT override
+
+    # --- Integration mode flags (compile-time in the reference) ---
+    synchronization: bool = True  # -DSYNCHRONIZATION (default mode)
+    make_glass: int = 0           # -DMAKEGLASS=<N>
+    force_test: float = 0.0       # -DFORCETEST=<fraction>
+
+    # --- TPU execution controls (new; no reference analog) ---
+    dtype: str = "float32"        # compute dtype for particle state
+    accum_dtype: str = "float32"  # accumulation dtype for force sums
+    tree_bucket_size: int = 32    # leaf bucket size for the octree
+    tree_group_size: int = 256    # targets per walk group
+    mesh_shape: Optional[tuple] = None  # device mesh (n_shards,) or None
+
+    # ------------------------------------------------------------------
+    def __post_init__(self):
+        self.softening = tuple(float(s) for s in self.softening)
+        self.softening_max_phys = tuple(float(s) for s in self.softening_max_phys)
+        self.type_to_grav = tuple(int(g) for g in self.type_to_grav)
+        if len(self.type_to_grav) != N_TYPES:
+            raise ValueError("type_to_grav must have 6 entries")
+        if max(self.type_to_grav) >= self.n_gravs:
+            raise ValueError(
+                f"type_to_grav {self.type_to_grav} references gravity >= n_gravs={self.n_gravs}")
+        if self.pmgrid and not self.periodic:
+            # reference: ngravs refuses PM without PERIODIC (ngravs_core.c:235-247)
+            raise ValueError("pmgrid requires periodic boundaries (as in the reference)")
+        if self.pmgrid and self.type_to_grav[0] != 0:
+            # gas must be gravity 0 under PMGRID (ngravs_core.c:255-261)
+            raise ValueError("gas must be bound to gravity 0 when pmgrid is enabled")
+
+    def replace(self, **kw) -> "SimulationConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# --------------------------------------------------------------------------
+# Parameterfile parsing (reference begrun.c:283-780)
+# --------------------------------------------------------------------------
+
+# tag -> (config field, converter)
+_F = float
+_I = int
+_S = str
+_B = lambda v: bool(int(v))
+
+_TAG_MAP = {
+    "InitCondFile": ("init_cond_file", _S),
+    "OutputDir": ("output_dir", _S),
+    "SnapshotFileBase": ("snapshot_file_base", _S),
+    "RestartFile": ("restart_file", _S),
+    "EnergyFile": ("energy_file", _S),
+    "InfoFile": ("info_file", _S),
+    "TimingsFile": ("timings_file", _S),
+    "CpuFile": ("cpu_file", _S),
+    "OutputListFilename": ("output_list_filename", _S),
+    "TimeLimitCPU": ("time_limit_cpu", _F),
+    "ResubmitOn": ("resubmit_on", _I),
+    "ResubmitCommand": ("resubmit_command", _S),
+    "CpuTimeBetRestartFile": ("cpu_time_bet_restart_file", _F),
+    "ICFormat": ("ic_format", _I),
+    "SnapFormat": ("snap_format", _I),
+    "ComovingIntegrationOn": ("comoving_integration", _B),
+    "TypeOfTimestepCriterion": ("type_of_timestep_criterion", _I),
+    "OutputListOn": ("output_list_on", _B),
+    "PeriodicBoundariesOn": ("periodic", _B),
+    "TimeBegin": ("time_begin", _F),
+    "TimeMax": ("time_max", _F),
+    "Omega0": ("omega0", _F),
+    "OmegaLambda": ("omega_lambda", _F),
+    "OmegaBaryon": ("omega_baryon", _F),
+    "HubbleParam": ("hubble_param", _F),
+    "BoxSize": ("box_size", _F),
+    "TimeBetSnapshot": ("time_bet_snapshot", _F),
+    "TimeOfFirstSnapshot": ("time_of_first_snapshot", _F),
+    "TimeBetStatistics": ("time_bet_statistics", _F),
+    "NumFilesPerSnapshot": ("num_files_per_snapshot", _I),
+    "NumFilesWrittenInParallel": ("num_files_written_in_parallel", _I),
+    "ErrTolIntAccuracy": ("err_tol_int_accuracy", _F),
+    "CourantFac": ("courant_fac", _F),
+    "MaxSizeTimestep": ("max_size_timestep", _F),
+    "MinSizeTimestep": ("min_size_timestep", _F),
+    "MaxRMSDisplacementFac": ("max_rms_displacement_fac", _F),
+    "ErrTolTheta": ("err_tol_theta", _F),
+    "TypeOfOpeningCriterion": ("type_of_opening_criterion", _I),
+    "ErrTolForceAcc": ("err_tol_force_acc", _F),
+    "TreeDomainUpdateFrequency": ("tree_domain_update_frequency", _F),
+    "DesNumNgb": ("des_num_ngb", _I),
+    "MaxNumNgbDeviation": ("max_num_ngb_deviation", _F),
+    "ArtBulkViscConst": ("art_bulk_visc_const", _F),
+    "InitGasTemp": ("init_gas_temp", _F),
+    "MinGasTemp": ("min_gas_temp", _F),
+    "MinGasHsmlFractional": ("min_gas_hsml_fractional", _F),
+    "PartAllocFactor": ("part_alloc_factor", _F),
+    "TreeAllocFactor": ("tree_alloc_factor", _F),
+    "BufferSize": ("buffer_size", _F),
+    "UnitLength_in_cm": ("unit_length_in_cm", _F),
+    "UnitMass_in_g": ("unit_mass_in_g", _F),
+    "UnitVelocity_in_cm_per_s": ("unit_velocity_in_cm_per_s", _F),
+    "GravityConstantInternal": ("gravity_constant_internal", _F),
+}
+
+
+def read_parameter_file(path: str, **overrides) -> SimulationConfig:
+    """Parse a Gadget parameterfile into a SimulationConfig.
+
+    Accepts the stock tag/value format with %, ;, # comments.  Per-type tags
+    (Softening<Type>, Softening<Type>MaxPhys, Gravity<Type>) are folded into
+    tuple fields.  Unknown tags raise, matching the reference's strictness
+    (begrun.c:693-698), except tags the rebuild intentionally absorbs.
+    """
+    kv = {}
+    softening = [0.0] * N_TYPES
+    softening_max = [0.0] * N_TYPES
+    type_to_grav = [0] * N_TYPES
+    saw_grav = False
+
+    with open(path) as f:
+        for raw in f:
+            # strip comments: %, ; and # start a comment anywhere in the line
+            line = raw
+            for c in "%;#":
+                idx = line.find(c)
+                if idx >= 0:
+                    line = line[:idx]
+            parts = line.split()
+            if not parts:
+                continue
+            tag, val = parts[0], (parts[1] if len(parts) > 1 else "")
+            handled = False
+            for i, tname in enumerate(TYPE_NAMES):
+                if tag == f"Softening{tname}":
+                    softening[i] = float(val); handled = True
+                elif tag == f"Softening{tname}MaxPhys":
+                    softening_max[i] = float(val); handled = True
+                elif tag == f"Gravity{tname}":
+                    type_to_grav[i] = int(val); saw_grav = True; handled = True
+            if handled:
+                continue
+            if tag in _TAG_MAP:
+                fieldname, conv = _TAG_MAP[tag]
+                kv[fieldname] = conv(val)
+            else:
+                raise ValueError(f"unknown parameterfile tag {tag!r} in {path}")
+
+    kv["softening"] = tuple(softening)
+    kv["softening_max_phys"] = tuple(softening_max)
+    if saw_grav:
+        kv["type_to_grav"] = tuple(type_to_grav)
+        kv.setdefault("n_gravs", max(type_to_grav) + 1)
+    kv.update(overrides)
+    return SimulationConfig(**kv)

@@ -1,0 +1,244 @@
+"""Gadget snapshot format 1/2 reader and writer.
+
+Numpy implementation of the reference's IC reading (read_ic.c:31-804) and
+snapshot writing (io.c:33-1150).  Little-endian only, like the reference
+(README.md:63-64).  Format 1 = raw Fortran-77 record blocks; format 2 adds a
+4-character block-name header before each block.
+
+Block order (reference `enum iofields`, allvars.h:714-727):
+  HEAD(256B), POS(f32 3N), VEL(f32 3N), ID(u32 N), MASS(f32, only for types
+  with header mass 0 and npart>0), then gas blocks U(f32 Ngas), RHO, HSML
+  (RHO/HSML present in snapshots, absent in ICs), optional POT/ACCE/ENDT/TSTP.
+
+Output is always float32 regardless of internal precision, matching
+Makefile.reference:284-287.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+import os
+import struct
+
+import numpy as np
+
+N_TYPES = 6
+HEADER_BYTES = 256
+
+
+@dataclass
+class SnapshotHeader:
+    """256-byte Gadget header (reference io_header, allvars.h:683-708)."""
+    npart: np.ndarray = field(default_factory=lambda: np.zeros(N_TYPES, np.int32))
+    mass: np.ndarray = field(default_factory=lambda: np.zeros(N_TYPES, np.float64))
+    time: float = 0.0
+    redshift: float = 0.0
+    flag_sfr: int = 0
+    flag_feedback: int = 0
+    npart_total: np.ndarray = field(default_factory=lambda: np.zeros(N_TYPES, np.uint32))
+    flag_cooling: int = 0
+    num_files: int = 1
+    box_size: float = 0.0
+    omega0: float = 0.0
+    omega_lambda: float = 0.0
+    hubble_param: float = 1.0
+
+    def pack(self) -> bytes:
+        buf = struct.pack(
+            "<6i6ddd2i6Iii4d",
+            *[int(x) for x in self.npart],
+            *[float(x) for x in self.mass],
+            self.time, self.redshift,
+            self.flag_sfr, self.flag_feedback,
+            *[int(x) for x in self.npart_total],
+            self.flag_cooling, self.num_files,
+            self.box_size, self.omega0, self.omega_lambda, self.hubble_param,
+        )
+        return buf + b"\x00" * (HEADER_BYTES - len(buf))
+
+    @staticmethod
+    def unpack(raw: bytes) -> "SnapshotHeader":
+        vals = struct.unpack("<6i6ddd2i6Iii4d", raw[: struct.calcsize("<6i6ddd2i6Iii4d")])
+        h = SnapshotHeader()
+        h.npart = np.array(vals[0:6], np.int32)
+        h.mass = np.array(vals[6:12], np.float64)
+        h.time, h.redshift = vals[12], vals[13]
+        h.flag_sfr, h.flag_feedback = vals[14], vals[15]
+        h.npart_total = np.array(vals[16:22], np.uint32)
+        h.flag_cooling, h.num_files = vals[22], vals[23]
+        h.box_size, h.omega0, h.omega_lambda, h.hubble_param = vals[24:28]
+        return h
+
+
+@dataclass
+class SnapshotData:
+    """Decoded snapshot: numpy arrays in type-sorted order (gas first)."""
+    header: SnapshotHeader
+    pos: np.ndarray          # [N,3] f32
+    vel: np.ndarray          # [N,3] f32
+    pid: np.ndarray          # [N] u32
+    mass: np.ndarray         # [N] f32 (expanded from MassTable where needed)
+    ptype: np.ndarray        # [N] i32, derived from npart blocks
+    u: np.ndarray | None = None       # [Ngas] internal energy
+    rho: np.ndarray | None = None
+    hsml: np.ndarray | None = None
+    pot: np.ndarray | None = None
+
+    @property
+    def n(self) -> int:
+        return self.pos.shape[0]
+
+
+class _RecordReader:
+    def __init__(self, f, format2: bool):
+        self.f = f
+        self.format2 = format2
+
+    def next_block(self):
+        """Read one F77 record; returns (name_or_None, payload bytes) or None at EOF."""
+        name = None
+        if self.format2:
+            raw = self.f.read(4)
+            if len(raw) < 4:
+                return None
+            (n1,) = struct.unpack("<i", raw)
+            namebuf = self.f.read(n1)
+            name = namebuf[:4].decode("latin1").strip()
+            self.f.read(4)
+        raw = self.f.read(4)
+        if len(raw) < 4:
+            return None
+        (n1,) = struct.unpack("<i", raw)
+        payload = self.f.read(n1)
+        (n2,) = struct.unpack("<i", self.f.read(4))
+        if n1 != n2:
+            raise IOError(f"corrupt F77 record: lengths {n1} != {n2}")
+        return name, payload
+
+
+def _detect_format(path: str) -> int:
+    with open(path, "rb") as f:
+        (n1,) = struct.unpack("<i", f.read(4))
+    if n1 == 8:
+        return 2
+    if n1 == HEADER_BYTES:
+        return 1
+    raise IOError(f"{path}: first record length {n1}, not a Gadget format 1/2 file")
+
+
+def read_snapshot(path: str, expect_format: int | None = None) -> SnapshotData:
+    fmt = _detect_format(path)
+    if expect_format and fmt != expect_format:
+        raise IOError(f"{path}: detected format {fmt}, expected {expect_format}")
+    with open(path, "rb") as f:
+        rd = _RecordReader(f, fmt == 2)
+        name, payload = rd.next_block()
+        header = SnapshotHeader.unpack(payload)
+        npart = header.npart.astype(np.int64)
+        n = int(npart.sum())
+        ngas = int(npart[0])
+
+        blocks = []
+        while True:
+            blk = rd.next_block()
+            if blk is None:
+                break
+            blocks.append(blk)
+
+        # sequential block semantics for format 1 (names implied by order)
+        order1 = ["POS", "VEL", "ID"]
+        # MASS present only if some type has header-mass 0 with particles
+        wants_mass = any(npart[t] > 0 and header.mass[t] == 0 for t in range(N_TYPES))
+        if wants_mass:
+            order1.append("MASS")
+        if ngas > 0:
+            order1 += ["U", "RHO", "HSML"]
+
+        named = {}
+        if fmt == 2:
+            for bname, data in blocks:
+                named[bname] = data
+        else:
+            for i, (_, data) in enumerate(blocks):
+                if i < len(order1):
+                    named[order1[i]] = data
+
+        pos = np.frombuffer(named["POS"], "<f4").reshape(n, 3)
+        vel = np.frombuffer(named["VEL"], "<f4").reshape(n, 3)
+        pid = np.frombuffer(named["ID"], "<u4")
+
+        ptype = np.repeat(np.arange(N_TYPES, dtype=np.int32), npart)
+
+        mass = np.empty(n, np.float32)
+        if "MASS" in named:
+            mblock = np.frombuffer(named["MASS"], "<f4")
+        else:
+            mblock = np.empty(0, np.float32)
+        mi = 0
+        off = 0
+        for t in range(N_TYPES):
+            cnt = int(npart[t])
+            if cnt == 0:
+                continue
+            if header.mass[t] == 0:
+                mass[off:off + cnt] = mblock[mi:mi + cnt]
+                mi += cnt
+            else:
+                mass[off:off + cnt] = header.mass[t]
+            off += cnt
+
+        def _opt(nm, cnt):
+            if nm in named and len(named[nm]) == cnt * 4:
+                return np.frombuffer(named[nm], "<f4")
+            return None
+
+        return SnapshotData(
+            header=header, pos=pos, vel=vel, pid=pid, mass=mass, ptype=ptype,
+            u=_opt("U", ngas), rho=_opt("RHO", ngas), hsml=_opt("HSML", ngas),
+            pot=_opt("POT", n),
+        )
+
+
+def _write_record(f, payload: bytes, name: str | None, format2: bool):
+    if format2:
+        namebuf = (name or "    ").ljust(4)[:4].encode("latin1") + struct.pack("<i", len(payload) + 8)
+        f.write(struct.pack("<i", 8) + namebuf + struct.pack("<i", 8))
+    f.write(struct.pack("<i", len(payload)))
+    f.write(payload)
+    f.write(struct.pack("<i", len(payload)))
+
+
+def write_snapshot(path: str, data: SnapshotData, snap_format: int = 1,
+                   with_pot: bool = False):
+    """Write a snapshot; arrays must already be type-sorted (gas first).
+
+    Mass entries equal to the header MassTable entry are elided into the
+    header, matching io.c's block-presence rules (io.c:366-533).
+    """
+    h = data.header
+    npart = h.npart.astype(np.int64)
+    ngas = int(npart[0])
+    fmt2 = snap_format == 2
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        _write_record(f, h.pack(), "HEAD", fmt2)
+        _write_record(f, np.ascontiguousarray(data.pos, "<f4").tobytes(), "POS", fmt2)
+        _write_record(f, np.ascontiguousarray(data.vel, "<f4").tobytes(), "VEL", fmt2)
+        _write_record(f, np.ascontiguousarray(data.pid, "<u4").tobytes(), "ID", fmt2)
+        # variable-mass block
+        chunks = []
+        off = 0
+        for t in range(N_TYPES):
+            cnt = int(npart[t])
+            if cnt and h.mass[t] == 0:
+                chunks.append(np.ascontiguousarray(data.mass[off:off + cnt], "<f4"))
+            off += cnt
+        if chunks:
+            _write_record(f, np.concatenate(chunks).tobytes(), "MASS", fmt2)
+        if ngas > 0:
+            for nm, arr in (("U", data.u), ("RHO", data.rho), ("HSML", data.hsml)):
+                if arr is not None:
+                    _write_record(f, np.ascontiguousarray(arr[:ngas], "<f4").tobytes(), nm, fmt2)
+        if with_pot and data.pot is not None:
+            _write_record(f, np.ascontiguousarray(data.pot, "<f4").tobytes(), "POT", fmt2)
