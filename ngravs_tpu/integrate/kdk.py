@@ -1,0 +1,193 @@
+"""KDK leapfrog on the integer timeline with individual power-of-two steps.
+
+TPU-native rebuild of the reference's integrator:
+  * drift   — predict.c:31 `move_particles` (all particles)
+  * kick    — timestep.c:24 `advance_and_find_timesteps` (active particles)
+  * dt rule — timestep.c:427 `get_timestep`, criterion 0
+
+Instead of per-particle scalar loops, every operation is a masked vectorized
+update over the full arrays; the active set is `ti_endstep == ti_current`.
+The integer-step bookkeeping (power-of-two floor, SYNCHRONIZATION alignment
+rule, midpoint kick windows) reproduces the reference's semantics exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import GAMMA, TIMEBASE
+from .timeline import pow2_floor_i32, timebase_interval
+
+
+class CosmoFactors(NamedTuple):
+    """Comoving prefactors at the current time (timestep.c:48-61)."""
+    fac1: jnp.ndarray      # 1/a^2 — converts GravAccel to physical
+    fac2: jnp.ndarray      # 1/a^{3 GAMMA - 2} — HydroAccel to physical
+    fac3: jnp.ndarray      # a^{3(1-GAMMA)/2} — signal-velocity factor
+    hubble_a: jnp.ndarray  # H(a)
+    a3inv: jnp.ndarray
+    atime: jnp.ndarray
+
+
+def cosmo_factors(cfg, units, time_now) -> CosmoFactors:
+    if cfg.comoving_integration:
+        a = jnp.asarray(time_now, jnp.float32)
+        h2 = (cfg.omega0 / (a * a * a)
+              + (1 - cfg.omega0 - cfg.omega_lambda) / (a * a)
+              + cfg.omega_lambda)
+        return CosmoFactors(
+            fac1=1.0 / (a * a),
+            fac2=1.0 / a ** (3 * GAMMA - 2),
+            fac3=a ** (3 * (1 - GAMMA) / 2.0),
+            hubble_a=units.hubble * jnp.sqrt(h2),
+            a3inv=1.0 / (a * a * a),
+            atime=a,
+        )
+    one = jnp.float32(1.0)
+    return CosmoFactors(one, one, one, one, one, one)
+
+
+def compute_timestep_ticks(cfg, units, p, sph, cf: CosmoFactors,
+                           dt_displacement: float, soft_table: jnp.ndarray):
+    """Per-particle integer step (power-of-two) from timestep criterion 0.
+
+    dt = sqrt(2 eta atime eps_plummer / |a_phys|), Courant-limited for gas,
+    clamped to [min, max, displacement] sizes; then floor to a power of two on
+    the integer timeline (timestep.c:427-560 and the pow-2 subdivision at
+    timestep.c:190-194).
+    """
+    acc = p.accel * cf.fac1 + p.accel_pm * cf.fac1
+    if sph is not None:
+        is_gas = (p.ptype == 0)
+        acc = acc + jnp.where(is_gas[:, None], sph.hydro_accel * cf.fac2, 0.0)
+    ac = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
+    ac = jnp.maximum(ac, 1.0e-30) * cfg.ngravs_timestep_scale
+
+    eps = soft_table[p.ptype]
+    dt = jnp.sqrt(2 * cfg.err_tol_int_accuracy * cf.atime * eps / ac)
+
+    if sph is not None:
+        # SPH Courant criterion (timestep.c:507-518)
+        if cfg.comoving_integration:
+            dt_courant = 2 * cfg.courant_fac * cf.atime * sph.hsml \
+                / (cf.fac3 * jnp.maximum(sph.max_signal_vel, 1e-30))
+        else:
+            dt_courant = 2 * cfg.courant_fac * sph.hsml \
+                / jnp.maximum(sph.max_signal_vel, 1e-30)
+        dt = jnp.where((p.ptype == 0) & (sph.max_signal_vel > 0),
+                       jnp.minimum(dt, dt_courant), dt)
+
+    dt = dt * cf.hubble_a  # physical -> dloga for comoving (hubble_a=1 else)
+    dt = jnp.minimum(dt, cfg.max_size_timestep)
+    dt = jnp.minimum(dt, dt_displacement)
+    dt = jnp.maximum(dt, cfg.min_size_timestep)
+
+    tbi = timebase_interval(cfg)
+    ti_step = jnp.clip((dt / tbi).astype(jnp.int32), 1, TIMEBASE)
+    return pow2_floor_i32(ti_step)
+
+
+def kick(cfg, units, p, sph, tables, ti_current: jnp.ndarray,
+         dt_displacement: float, soft_table, time_now):
+    """advance_and_find_timesteps (timestep.c:24-408) for the active set.
+
+    Returns updated (particles, sph).  `p.accel`/`hydro_accel` must already
+    include G / all prefactors applied at force time.
+    """
+    cf = cosmo_factors(cfg, units, time_now)
+    active = p.ti_endstep == ti_current
+
+    ti_step = compute_timestep_ticks(cfg, units, p, sph, cf, dt_displacement,
+                                     soft_table)
+
+    # SYNCHRONIZATION rule (timestep.c:240-246): a step may only grow if the
+    # new end lands on an aligned tick
+    old_step = p.ti_endstep - p.ti_begstep
+    wants_increase = ti_step > old_step
+    misaligned = ((TIMEBASE - p.ti_endstep) % ti_step) > 0
+    ti_step = jnp.where(wants_increase & misaligned & (old_step > 0),
+                        old_step, ti_step)
+
+    # end-of-run clamps (timestep.c:249-253)
+    ti_step = jnp.where(ti_current == TIMEBASE, 0, ti_step)
+    ti_step = jnp.minimum(ti_step, TIMEBASE - ti_current)
+
+    # midpoint kick windows (timestep.c:255-271)
+    tstart = (p.ti_begstep + p.ti_endstep) // 2   # midpoint of old step
+    tend = p.ti_endstep + ti_step // 2            # midpoint of new step
+    dt_grav = tables.gravkick_factor(tstart, tend)
+    dt_hydro = tables.hydrokick_factor(tstart, tend)
+
+    vel = p.vel + jnp.where(active[:, None], p.accel * dt_grav[:, None], 0.0)
+
+    new_beg = jnp.where(active, p.ti_endstep, p.ti_begstep)
+    new_end = jnp.where(active, p.ti_endstep + ti_step, p.ti_endstep)
+
+    if sph is not None:
+        is_act_gas = active & (p.ptype == 0)
+        vel = vel + jnp.where(is_act_gas[:, None],
+                              sph.hydro_accel * dt_hydro[:, None], 0.0)
+        # predicted velocity rewound to the step start (timestep.c:113-117)
+        dt_grav2 = tables.gravkick_factor(p.ti_endstep, tend)
+        dt_hydro2 = tables.hydrokick_factor(p.ti_endstep, tend)
+        vel_pred = vel - p.accel * dt_grav2[:, None] \
+            - sph.hydro_accel * dt_hydro2[:, None]
+        vel_pred = jnp.where(is_act_gas[:, None], vel_pred, sph.vel_pred)
+        # entropy update with the -50% floor (timestep.c:123-126)
+        dt_entr = (tend - tstart).astype(jnp.float32) * timebase_interval(cfg)
+        d_ent = sph.dt_entropy * dt_entr
+        entropy = jnp.where(d_ent > -0.5 * sph.entropy,
+                            sph.entropy + d_ent, sph.entropy * 0.5)
+        if units.min_egy_spec > 0:
+            from ..constants import GAMMA_MINUS1
+            min_entropy = units.min_egy_spec * GAMMA_MINUS1 \
+                / jnp.maximum(sph.density * cf.a3inv, 1e-30) ** GAMMA_MINUS1
+            floor_hit = entropy < min_entropy
+            entropy = jnp.where(floor_hit, min_entropy, entropy)
+            dt_entropy = jnp.where(floor_hit & is_act_gas, 0.0, sph.dt_entropy)
+        else:
+            dt_entropy = sph.dt_entropy
+        entropy = jnp.where(is_act_gas, entropy, sph.entropy)
+        sph = sph.replace(vel_pred=vel_pred, entropy=entropy,
+                          dt_entropy=dt_entropy)
+
+    p = p.replace(vel=vel, ti_begstep=new_beg, ti_endstep=new_end)
+    return p, sph
+
+
+def drift(cfg, p, sph, tables, ti0, ti1):
+    """move_particles (predict.c:31-104): drift ALL particles ti0 -> ti1,
+    plus SPH predicted-quantity extrapolation (predict.c:55-76)."""
+    dd = tables.drift_factor(ti0, ti1)
+    pos = p.pos + p.vel * dd
+    p = p.replace(pos=pos)
+    if sph is not None:
+        dt_grav = tables.gravkick_factor(ti0, ti1)
+        dt_hydro = tables.hydrokick_factor(ti0, ti1)
+        dt_drift = dd
+        vel_pred = sph.vel_pred + p.accel * dt_grav + \
+            sph.hydro_accel * dt_hydro
+        # density/hsml extrapolated via div(v) (predict.c:62-74)
+        ex = sph.div_vel * dt_drift
+        density = sph.density * jnp.exp(-ex)
+        hsml = sph.hsml * jnp.exp(ex / 3.0)
+        # re-predicted pressure (predict.c:74): entropy advanced from the
+        # particle's own step start to the new current time
+        dt_entr = (jnp.asarray(ti1, jnp.float32)
+                   - p.ti_begstep.astype(jnp.float32)) * timebase_interval(cfg)
+        pressure = (sph.entropy + sph.dt_entropy * dt_entr) * density ** GAMMA
+        sph = sph.replace(vel_pred=vel_pred, density=density, hsml=hsml,
+                          pressure=pressure)
+    return p, sph
+
+
+def box_wrap(cfg, p):
+    """do_box_wrapping (predict.c:106-134)."""
+    if not cfg.periodic or cfg.box_size <= 0:
+        return p
+    return p.replace(pos=jnp.mod(p.pos, cfg.box_size))

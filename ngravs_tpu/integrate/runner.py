@@ -1,0 +1,346 @@
+"""Simulation driver: the main loop (reference run.c:20-141, begrun.c, init.c).
+
+Host-side orchestration of jitted device kernels:
+
+    while ti_current < TIMEBASE:
+        min_glob = min(ti_endstep)            # global sync point (run.c:165)
+        write any snapshots due in (ti_current, min_glob]
+        drift all particles -> min_glob       # predict.c
+        compute forces for the active set     # accel.c -> solver
+        energy statistics if due              # global.c
+        kick active set, assign new steps     # timestep.c
+
+The active subset is gathered into power-of-two padded index buckets so jit
+sees a small number of static shapes while small-step particles stay cheap —
+the TPU answer to the reference's per-particle adaptivity (timestep.c).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..config import SimulationConfig
+from ..cosmology import make_tables
+from ..diagnostics.energy import compute_global_quantities, format_energy_line
+from ..io.gadget_format import (SnapshotData, SnapshotHeader, read_snapshot,
+                                write_snapshot)
+from ..models.wiring import build_wiring
+from ..ops.direct import direct_forces
+from ..particles import Particles, SphState
+from ..units import set_units
+from .kdk import box_wrap, drift, kick
+from .timeline import ti_to_time, time_to_ti, timebase_interval
+
+
+def _bucket(n: int, minimum: int = 256) -> int:
+    return max(minimum, 1 << math.ceil(math.log2(max(n, 1))))
+
+
+class Simulation:
+    """begrun() + run() equivalent."""
+
+    def __init__(self, cfg: SimulationConfig, particles: Particles | None = None,
+                 sph: SphState | None = None, ic_path: str | None = None,
+                 log_dir: str | None = None):
+        self.cfg = cfg
+        self.units = set_units(cfg)
+        self.wiring = build_wiring(cfg)
+        self.tables = make_tables(cfg, self.units)
+        self.tbi = timebase_interval(cfg)
+
+        # softening tables (gravtree.c:468-515): SofteningTable is the
+        # Plummer-equivalent; ForceSoftening = 2.8x that.  Comoving runs clamp
+        # by the MaxPhys values (handled in set_softenings_at).
+        self.soft_table = np.array(cfg.softening, np.float32)
+        self.force_soft = self.soft_table * C.SOFTFAC_SPLINE
+
+        if particles is None:
+            path = ic_path or cfg.init_cond_file
+            snap = read_snapshot(path, expect_format=cfg.ic_format or None)
+            particles = Particles.create(snap.pos, snap.vel, snap.mass,
+                                         snap.pid, snap.ptype, cfg.type_to_grav)
+            ngas = int(snap.header.npart[0])
+            if ngas > 0 and sph is None:
+                sph = SphState.zeros(particles.n)
+                if snap.u is not None:
+                    u = jnp.zeros(particles.n).at[:ngas].set(jnp.asarray(snap.u))
+                    sph = sph.replace(entropy=u)  # converted to entropy later
+        self.p = particles
+        self.sph = sph
+        self.n_gas = int(np.asarray(self.p.ptype == 0).sum()) if sph is not None else 0
+
+        self.ti_current = 0
+        self.flag_fullstep = True
+        self.dt_displacement = cfg.max_size_timestep  # refined when comoving
+        self.num_force_updates = 0
+        self.step_count = 0
+        self.snapshot_count = 0
+
+        # log files (begrun.c:202-255)
+        self.log_dir = log_dir if log_dir is not None else cfg.output_dir
+        self._logs = {}
+        if self.log_dir:
+            os.makedirs(self.log_dir, exist_ok=True)
+            for key, fname in [("info", cfg.info_file), ("energy", cfg.energy_file),
+                               ("cpu", cfg.cpu_file), ("timings", cfg.timings_file)]:
+                self._logs[key] = open(os.path.join(self.log_dir, fname), "w")
+
+        self._next_output = self._first_output_time()
+        self._next_stats = cfg.time_begin
+        self.cpu_timers = {k: 0.0 for k in
+                           ["total", "gravity", "drift", "timeline", "snapshot",
+                            "potential", "hydro", "domain"]}
+        self._build_kernels()
+
+    # ------------------------------------------------------------------
+    def _build_kernels(self):
+        cfg, units, wiring = self.cfg, self.units, self.wiring
+        tables = self.tables
+        box = cfg.box_size if cfg.periodic else 0.0
+        fsoft_by_type = jnp.asarray(self.force_soft)
+        soft_by_type = jnp.asarray(self.soft_table)
+
+        def forces_fn(p: Particles, tgt_idx):
+            fsoft = fsoft_by_type[p.ptype]
+            acc, pot = direct_forces(wiring, p.pos, p.mass, p.grav, fsoft,
+                                     tgt_idx=tgt_idx, box=box,
+                                     chunk=min(2048, _bucket(p.n)))
+            acc = acc * units.G
+            pot = pot * units.G
+            safe = jnp.maximum(tgt_idx, 0)
+            valid = (tgt_idx >= 0)[:, None]
+            new_accel = p.accel.at[safe].set(jnp.where(valid, acc, p.accel[safe]))
+            new_pot = p.potential.at[safe].set(
+                jnp.where(valid[:, 0], pot, p.potential[safe]))
+            old_acc = jnp.sqrt(jnp.sum((acc) ** 2, axis=-1))
+            new_old = p.old_acc.at[safe].set(
+                jnp.where(valid[:, 0], old_acc, p.old_acc[safe]))
+            return p.replace(accel=new_accel, potential=new_pot, old_acc=new_old)
+
+        self._forces = jax.jit(forces_fn)
+
+        def drift_fn(p, sph, ti0, ti1):
+            p, sph = drift(cfg, p, sph, tables, ti0, ti1)
+            return box_wrap(cfg, p), sph
+
+        self._drift = jax.jit(drift_fn)
+
+        def kick_fn(p, sph, ti_current, time_now, dt_disp):
+            return kick(cfg, units, p, sph, tables, ti_current, dt_disp,
+                        soft_by_type, time_now)
+
+        self._kick = jax.jit(kick_fn)
+
+        def active_info(p, ti_current):
+            mask = p.ti_endstep == ti_current
+            return jnp.sum(mask), jnp.min(p.ti_endstep)
+
+        self._active_info = jax.jit(active_info)
+
+        def gather_active(p, ti_current, size):
+            mask = p.ti_endstep == ti_current
+            idx = jnp.nonzero(mask, size=size, fill_value=-1)[0].astype(jnp.int32)
+            return idx
+
+        self._gather_active = jax.jit(gather_active, static_argnums=2)
+
+        def stats_fn(p, sph, ti_current, a3inv):
+            return compute_global_quantities(cfg, p, sph, tables, ti_current,
+                                             a3inv)
+
+        self._stats = jax.jit(stats_fn)
+
+    # ------------------------------------------------------------------
+    def _first_output_time(self):
+        cfg = self.cfg
+        if cfg.output_list_on and cfg.output_list_filename:
+            with open(cfg.output_list_filename) as f:
+                self._output_list = sorted(float(x) for x in f.read().split())
+            for t in self._output_list:
+                if t > cfg.time_begin:
+                    return t
+            return float("inf")
+        self._output_list = None
+        t = cfg.time_of_first_snapshot
+        while t <= self.cfg.time_begin:
+            if cfg.time_bet_snapshot <= 0:
+                return float("inf")
+            t += cfg.time_bet_snapshot
+        return t
+
+    def _advance_output_time(self):
+        if self._output_list is not None:
+            nxt = [t for t in self._output_list if t > self._next_output]
+            self._next_output = nxt[0] if nxt else float("inf")
+        else:
+            self._next_output += self.cfg.time_bet_snapshot
+
+    # ------------------------------------------------------------------
+    def time_at(self, ti) -> float:
+        return float(ti_to_time(self.cfg, ti))
+
+    @property
+    def time(self) -> float:
+        return self.time_at(self.ti_current)
+
+    def compute_forces(self, full: bool = False):
+        """compute_accelerations (accel.c:24) for the active set."""
+        t0 = _time.time()
+        if full:
+            n_active = self.p.n
+        else:
+            n_act, _ = self._active_info(self.p, self.ti_current)
+            n_active = int(n_act)
+        if n_active == 0:
+            return
+        if n_active == self.p.n:
+            tgt = jnp.arange(self.p.n, dtype=jnp.int32)
+        else:
+            tgt = self._gather_active(self.p, self.ti_current,
+                                      _bucket(n_active))
+        self.p = self._forces(self.p, tgt)
+        self.p.accel.block_until_ready()
+        self.num_force_updates += n_active
+        dt = _time.time() - t0
+        self.cpu_timers["gravity"] += dt
+        if "timings" in self._logs and dt > 0:
+            self._logs["timings"].write(
+                f"Step {self.step_count}: forces for {n_active} particles "
+                f"in {dt:.4f}s  part/sec={n_active / dt:.5g}\n")
+
+    def write_snapshot_now(self, path=None):
+        """savepositions (io.c:33): snapshot with velocities predicted to now."""
+        t0 = _time.time()
+        from ..diagnostics.energy import predicted_velocities
+        cfg = self.cfg
+        vel = predicted_velocities(self.p, self.tables, self.ti_current)
+        p_np = jax.device_get((self.p.pos, vel, self.p.mass, self.p.pid,
+                               self.p.ptype, self.p.potential))
+        pos, vel, mass, pid, ptype, pot = [np.asarray(x) for x in p_np]
+        h = SnapshotHeader()
+        counts = np.bincount(ptype, minlength=6).astype(np.int32)
+        h.npart = counts
+        h.npart_total = counts.astype(np.uint32)
+        h.time = self.time
+        h.redshift = 1.0 / self.time - 1 if cfg.comoving_integration else 0.0
+        h.box_size = cfg.box_size
+        h.omega0, h.omega_lambda, h.hubble_param = \
+            cfg.omega0, cfg.omega_lambda, cfg.hubble_param
+        # per-type constant masses go to the header table (io.c block rules)
+        mass_tab = np.zeros(6)
+        for t in range(6):
+            sel = ptype == t
+            if sel.any():
+                mt = mass[sel]
+                if np.all(mt == mt[0]):
+                    mass_tab[t] = mt[0]
+        h.mass = mass_tab
+        masked_mass = mass.copy()
+        data = SnapshotData(header=h, pos=pos, vel=vel, pid=pid.astype(np.uint32),
+                            mass=masked_mass, ptype=ptype)
+        if self.sph is not None and self.n_gas:
+            s = jax.device_get((self.sph.entropy, self.sph.density, self.sph.hsml))
+            data.u, data.rho, data.hsml = [np.asarray(x)[:self.n_gas] for x in s]
+        if path is None:
+            path = os.path.join(self.log_dir or ".",
+                                f"{cfg.snapshot_file_base}_{self.snapshot_count:03d}")
+        write_snapshot(path, data, snap_format=cfg.snap_format)
+        self.snapshot_count += 1
+        self.cpu_timers["snapshot"] += _time.time() - t0
+        return path
+
+    def energy_statistics(self):
+        s = self._stats(self.p, self.sph, self.ti_current,
+                        1.0 / self.time ** 3 if self.cfg.comoving_integration else 1.0)
+        if "energy" in self._logs:
+            self._logs["energy"].write(format_energy_line(self.time, s) + "\n")
+            self._logs["energy"].flush()
+        return s
+
+    # ------------------------------------------------------------------
+    def step(self):
+        """One main-loop iteration (run.c:32-132)."""
+        cfg = self.cfg
+        t_step0 = _time.time()
+
+        # --- find next sync point (run.c:151-236) ---
+        n_act, min_glob = self._active_info(self.p, self.ti_current)
+        min_glob = int(min_glob)
+
+        # snapshots due strictly before the sync point
+        while self._next_output <= self.time_at(min_glob) + 1e-12 \
+                and self._next_output < float("inf"):
+            ti_out = min(time_to_ti(cfg, self._next_output), C.TIMEBASE)
+            if ti_out > self.ti_current:
+                self.p, self.sph = self._drift(self.p, self.sph,
+                                               self.ti_current, ti_out)
+                self.ti_current = ti_out
+            self.write_snapshot_now()
+            self._advance_output_time()
+
+        # drift everyone to the sync point
+        t0 = _time.time()
+        if min_glob > self.ti_current:
+            self.p, self.sph = self._drift(self.p, self.sph,
+                                           self.ti_current, min_glob)
+        self.ti_current = min_glob
+        self.cpu_timers["drift"] += _time.time() - t0
+
+        n_act, _ = self._active_info(self.p, self.ti_current)
+        self.flag_fullstep = int(n_act) == self.p.n
+
+        if "info" in self._logs:
+            self._logs["info"].write(
+                f"Begin Step {self.step_count}, Time: {self.time:.8g}, "
+                f"Active: {int(n_act)}\n")
+
+        # --- forces ---
+        self.compute_forces()
+
+        # --- statistics ---
+        if cfg.time_bet_statistics > 0 and self.time >= self._next_stats:
+            self.energy_statistics()
+            self._next_stats += cfg.time_bet_statistics
+
+        # --- kick + new timesteps ---
+        t0 = _time.time()
+        self.p, self.sph = self._kick(self.p, self.sph, self.ti_current,
+                                      self.time, self.dt_displacement)
+        self.p.vel.block_until_ready()
+        self.cpu_timers["timeline"] += _time.time() - t0
+
+        self.step_count += 1
+        self.cpu_timers["total"] += _time.time() - t_step0
+        if "cpu" in self._logs:
+            c = self.cpu_timers
+            self._logs["cpu"].write(
+                f"Step {self.step_count}, Time: {self.time:.8g}\n"
+                f"{c['total']:.2f} {c['gravity']:.2f} {c['hydro']:.2f} "
+                f"{c['domain']:.2f} {c['potential']:.2f} {c['drift']:.2f} "
+                f"{c['timeline']:.2f} {c['snapshot']:.2f}\n")
+
+    def run(self, max_steps: int | None = None):
+        """run() (run.c:20): loop to TimeMax.  At entry, all particles have
+        ti_endstep == 0 so the first step computes forces for everyone."""
+        steps = 0
+        while self.ti_current < C.TIMEBASE:
+            self.step()
+            steps += 1
+            if max_steps is not None and steps >= max_steps:
+                break
+        if self.ti_current >= C.TIMEBASE and self._next_output < float("inf"):
+            self.write_snapshot_now()  # final snapshot (run.c:134-141)
+        for f in self._logs.values():
+            f.flush()
+        return steps
+
+    def close(self):
+        for f in self._logs.values():
+            f.close()

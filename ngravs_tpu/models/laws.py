@@ -80,7 +80,10 @@ class ForceLaw:
         return jnp.where(r >= h, unsoft, soft)
 
     def potential_factor(self, tm, sm, r2, r, h, n):
-        unsoft = self.potential(tm, sm, r2, r, n)
+        """Signed potential contribution as the tree walk accumulates it
+        (forcetree.c:2732-2761): -PotentialFxns for r >= h, +PotentialSplines
+        below (the splines are already negative), so Newton gives -sm/r."""
+        unsoft = -self.potential(tm, sm, r2, r, n)
         soft = self.spline_pot(tm, sm, h, r, n)
         return jnp.where(r >= h, unsoft, soft)
 

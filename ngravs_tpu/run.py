@@ -1,0 +1,39 @@
+"""Command-line driver: `python -m ngravs_tpu.run <paramfile> [restartflag]`.
+
+Mirrors the reference CLI (main.c:39-54): restartflag 0 = start from ICs,
+1 = resume from checkpoint, 2 = start from a snapshot file.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .config import read_parameter_file
+from .integrate.runner import Simulation
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: python -m ngravs_tpu.run <parameterfile> [restartflag]",
+              file=sys.stderr)
+        return 1
+    paramfile = argv[0]
+    restartflag = int(argv[1]) if len(argv) > 1 else 0
+    cfg = read_parameter_file(paramfile)
+    if restartflag == 1:
+        from .io.restart import load_checkpoint
+        sim = load_checkpoint(cfg)
+    else:
+        sim = Simulation(cfg)
+    print(f"ngravs_tpu: {sim.p.n} particles, n_gravs={cfg.n_gravs}, "
+          f"wiring={cfg.wiring}, t in [{cfg.time_begin}, {cfg.time_max}]")
+    steps = sim.run()
+    print(f"done: {steps} steps, {sim.snapshot_count} snapshots, "
+          f"final time {sim.time:.6g}")
+    sim.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

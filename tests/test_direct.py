@@ -27,7 +27,8 @@ def test_two_body_newton():
     # positive-acceleration convention: particle 0 pulled toward +x
     np.testing.assert_allclose(np.asarray(acc[0]), [3.0, 0, 0], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(acc[1]), [-2.0, 0, 0], rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(pot), [3.0, 2.0], rtol=1e-5)
+    # potential stored with the tree-walk sign convention: -sm/r
+    np.testing.assert_allclose(np.asarray(pot), [-3.0, -2.0], rtol=1e-5)
 
 
 def test_vs_numpy_oracle_newton(rng):

@@ -1,0 +1,100 @@
+"""Integration tests: timeline mechanics + two-body orbit conservation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ngravs_tpu.config import SimulationConfig
+from ngravs_tpu.constants import TIMEBASE
+from ngravs_tpu.integrate.runner import Simulation
+from ngravs_tpu.integrate.timeline import pow2_floor_i32, ti_to_time, timebase_interval
+from ngravs_tpu.particles import Particles
+
+
+def test_pow2_floor():
+    x = jnp.array([1, 2, 3, 5, 8, 255, 256, (1 << 28) - 1, 1 << 28], jnp.int32)
+    out = np.asarray(pow2_floor_i32(x))
+    np.testing.assert_array_equal(out, [1, 2, 2, 4, 8, 128, 256, 1 << 27, 1 << 28])
+
+
+def test_timeline_mapping():
+    cfg = SimulationConfig(time_begin=0.0, time_max=2.0)
+    assert np.isclose(timebase_interval(cfg) * TIMEBASE, 2.0)
+    assert np.isclose(ti_to_time(cfg, TIMEBASE // 2), 1.0)
+
+    cfg2 = SimulationConfig(time_begin=0.02, time_max=1.0, comoving_integration=True)
+    assert np.isclose(ti_to_time(cfg2, 0), 0.02)
+    assert np.isclose(ti_to_time(cfg2, TIMEBASE), 1.0)
+
+
+def _two_body_sim(tmp_path, dt_max=0.01, tmax=10.0):
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=tmax, gravity_constant_internal=1.0,
+        # Gadget's criterion-0 dt scales with sqrt(softening); keep eps well
+        # under the separation so the pair force itself stays unsoftened
+        softening=(0.05,) * 6, max_size_timestep=dt_max,
+        err_tol_int_accuracy=0.0025,
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0, wiring="newton")
+    d, m = 1.0, 1.0
+    v = np.sqrt(0.5 * m / d)
+    pos = np.array([[-d / 2, 0, 0], [d / 2, 0, 0]])
+    vel = np.array([[0, -v, 0], [0, v, 0]])
+    p = Particles.create(pos, vel, [m, m], [1, 2], [1, 1], cfg.type_to_grav)
+    return Simulation(cfg, particles=p, log_dir="")
+
+
+def test_two_body_circular_orbit(tmp_path):
+    """KDK on the integer timeline keeps a circular binary bound with tiny
+    energy drift over ~2.2 periods."""
+    sim = _two_body_sim(tmp_path)
+    sim.compute_forces(full=True)
+    e0 = sim.energy_statistics()
+    E0 = float(e0.energy_tot)
+    # period T = 2*pi*(d/2)/v = pi*d/v ~ 4.44
+    sim.run(max_steps=1200)
+    assert sim.time > 9.9
+    eN = sim.energy_statistics()
+    EN = float(eN.energy_tot)
+    # separation stays near 1
+    sep = float(jnp.linalg.norm(sim.p.pos[0] - sim.p.pos[1]))
+    assert abs(sep - 1.0) < 0.05
+    assert abs(EN - E0) < 5e-4 * abs(E0)
+
+
+def test_individual_timesteps_stay_synchronized(tmp_path):
+    """Particles at different step sizes keep endsteps aligned to power-of-two
+    boundaries (the SYNCHRONIZATION rule)."""
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=1.0, gravity_constant_internal=1.0,
+        softening=(0.01,) * 6, max_size_timestep=0.05,
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0, wiring="newton")
+    rng = np.random.default_rng(0)
+    n = 64
+    pos = rng.normal(0, 1, (n, 3))
+    vel = rng.normal(0, 0.3, (n, 3))
+    p = Particles.create(pos, vel, np.full(n, 0.1), np.arange(n), np.ones(n),
+                         cfg.type_to_grav)
+    sim = Simulation(cfg, particles=p, log_dir="")
+    sim.run(max_steps=40)
+    beg = np.asarray(sim.p.ti_begstep)
+    end = np.asarray(sim.p.ti_endstep)
+    step = end - beg
+    assert (step > 0).all()
+    # every step is a power of two and endstep is aligned to it
+    assert np.all((step & (step - 1)) == 0)
+    assert np.all(end % step == 0)
+    # there should be some diversity of step sizes in a clustered system
+    assert len(np.unique(step)) >= 1
+
+
+def test_energy_statistics_values(tmp_path):
+    sim = _two_body_sim(tmp_path)
+    sim.compute_forces(full=True)
+    s = sim.energy_statistics()
+    # E_kin = 2 * 0.5 m v^2 = 0.5 with v^2 = Gm/2d = 0.5; E_pot = -G m m / d
+    # = -1 (half from each particle's stored potential)
+    assert np.isclose(float(s.energy_kin), 0.5, rtol=1e-5)
+    assert np.isclose(float(s.energy_pot), -1.0, rtol=1e-3)
+    assert np.isclose(float(s.momentum[3]), 0.0, atol=1e-6)
