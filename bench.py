@@ -1,0 +1,62 @@
+"""Benchmark: particle-steps/sec on the reference workload (GalaxyCollision).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no numbers (BASELINE.md); CPU Gadget-2 tree
+throughput on comparable runs is ~1e5 part/sec per rank (timings.txt part/sec
+format, gravtree.c:443-444), so a 64-rank CPU baseline of 6.4e6
+particle-steps/sec is used as the comparison denominator, matching the
+BASELINE.json north-star framing.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_PART_STEPS_PER_SEC = 6.4e6  # 64 ranks x ~1e5 part/sec CPU tree
+
+
+def main():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scratch", "jaxcache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+
+    from ngravs_tpu.config import read_parameter_file
+    from ngravs_tpu.integrate.runner import Simulation
+
+    cfg = read_parameter_file(
+        "/root/reference/Configuration.reference",
+        init_cond_file="/root/reference/GalaxyCollision.IC",
+        output_dir="", time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0)
+    sim = Simulation(cfg, log_dir="")
+
+    # warmup: compile all kernels on the shapes the loop will use
+    for _ in range(4):
+        sim.step()
+
+    n0 = sim.num_force_updates
+    t0 = time.time()
+    target_steps = 40
+    for _ in range(target_steps):
+        sim.step()
+    dt = time.time() - t0
+    updates = sim.num_force_updates - n0
+    rate = updates / dt
+
+    print(json.dumps({
+        "metric": "particle-steps/sec (GalaxyCollision 60k, 2-species direct gravity)",
+        "value": round(rate, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(rate / BASELINE_PART_STEPS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

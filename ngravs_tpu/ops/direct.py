@@ -8,21 +8,21 @@ accuracy oracle (FORCETEST, gravtree_forcetest.c:28) and the simplest engine.
 
 Design notes (TPU-first):
   * Targets are processed in chunks of `chunk` rows; each chunk evaluates all
-    N sources at once as a [chunk, N] tile of elementwise VPU work.
+    sources at once as a [chunk, Ns] tile of elementwise VPU work.
   * The accumulation `acc_t = sum_s fac_ts (x_s - x_t)` is rewritten as
     `fac @ pos_src - rowsum(fac) * pos_tgt`, putting the reduction on the MXU.
   * The N_GRAVS x N_GRAVS law matrix is evaluated one pass per *unique* law
     with a pair mask (wiring.unique_laws), so all-Newton wiring costs a
     single unmasked pass — mirroring the per-node N_GRAVS loop of
     forcetree.c:1553-1583 without function-pointer dispatch.
-  * Self-pairs are excluded by global-index comparison; padded target rows
-    carry index -1 and are dropped by the caller.
+  * Sources and targets are independent array sets (global particle ids
+    exclude self-pairs), so the same kernel serves the single-chip solver and
+    the shard_map data-parallel path where sources are all-gathered.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,16 +31,27 @@ import numpy as np
 from ..models.wiring import GravityWiring
 
 
+class ParticleSlice(NamedTuple):
+    """A bundle of per-particle arrays for pairwise kernels."""
+    pos: jnp.ndarray     # [n,3]
+    mass: jnp.ndarray    # [n]
+    grav: jnp.ndarray    # [n] int32
+    fsoft: jnp.ndarray   # [n] force softening h
+    gid: jnp.ndarray     # [n] int32 global index (-1 = padding)
+
+
 def _min_image(dx, box):
     return dx - box * jnp.round(dx / box)
 
 
 def _pair_fac(wiring: GravityWiring, tm, sm, gt, gs, r2, r, h, nsrc, want_pot):
     """Evaluate the wiring's force (and optionally potential) factor over a
-    [C, N] tile, one vectorized pass per unique law."""
-    pair_idx = jnp.asarray(wiring.pair_index_matrix())  # [NG, NG]
+    [C, Ns] tile, one vectorized pass per unique law."""
     groups = wiring.unique_laws()
-    pair_of = pair_idx[gt[:, None], gs[None, :]] if len(groups) > 1 else None
+    pair_of = None
+    if len(groups) > 1:
+        pair_idx = jnp.asarray(wiring.pair_index_matrix())  # [NG, NG]
+        pair_of = pair_idx[gt[:, None], gs[None, :]]
     fac = jnp.zeros_like(r)
     pot = jnp.zeros_like(r) if want_pot else None
     for k, (law, _) in enumerate(groups):
@@ -55,48 +66,47 @@ def _pair_fac(wiring: GravityWiring, tm, sm, gt, gs, r2, r, h, nsrc, want_pot):
     return fac, pot
 
 
-def direct_forces(
+def pairwise_forces(
     wiring: GravityWiring,
-    pos: jnp.ndarray,        # [N,3] source (and default target) positions
-    mass: jnp.ndarray,       # [N]
-    grav: jnp.ndarray,       # [N] int32 gravity index
-    fsoft: jnp.ndarray,      # [N] force softening h (=2.8*plummer softening)
-    tgt_idx: Optional[jnp.ndarray] = None,  # [Nt] int32 global indices of
-                             # targets (may be padded with -1); None = all
-    box: float = 0.0,        # >0 enables periodic minimum-image wrap
+    tgt: ParticleSlice,
+    src: ParticleSlice,
+    box: float = 0.0,
     chunk: int = 1024,
     want_pot: bool = True,
 ):
-    """Returns (acc [Nt,3], pot [Nt]) with G=1 (caller multiplies by G, as in
-    gravtree.c:337-341).  Potential uses the reference's positive-source/r
-    convention; padding rows (tgt_idx == -1) return zeros."""
-    n = pos.shape[0]
-    if tgt_idx is None:
-        tgt_idx = jnp.arange(n, dtype=jnp.int32)
-    nt = tgt_idx.shape[0]
+    """Forces of all sources on all targets; returns (acc [Nt,3], pot [Nt]).
+
+    G=1 (caller multiplies, as in gravtree.c:337-341); potential uses the
+    tree-walk sign convention (negative for attraction).  Self-pairs are
+    excluded by gid equality; padding rows (gid == -1) return zeros.
+    """
+    nt = tgt.pos.shape[0]
     pad = (-nt) % chunk
-    tgt_idx = jnp.concatenate([tgt_idx, jnp.full((pad,), -1, jnp.int32)]) if pad else tgt_idx
-    n_chunks = tgt_idx.shape[0] // chunk
-    tgt_idx = tgt_idx.reshape(n_chunks, chunk)
+    if pad:
+        tgt = ParticleSlice(
+            pos=jnp.concatenate([tgt.pos, jnp.zeros((pad, 3), tgt.pos.dtype)]),
+            mass=jnp.concatenate([tgt.mass, jnp.ones((pad,), tgt.mass.dtype)]),
+            grav=jnp.concatenate([tgt.grav, jnp.zeros((pad,), jnp.int32)]),
+            fsoft=jnp.concatenate([tgt.fsoft, jnp.ones((pad,), tgt.fsoft.dtype)]),
+            gid=jnp.concatenate([tgt.gid, jnp.full((pad,), -1, jnp.int32)]),
+        )
+    n_chunks = tgt.pos.shape[0] // chunk
+    tgt_c = jax.tree.map(
+        lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), tgt)
 
-    src_gidx = jnp.arange(n, dtype=jnp.int32)
-
-    def do_chunk(idx):  # idx: [chunk] int32, -1 = padding
-        safe = jnp.maximum(idx, 0)
-        pt = pos[safe]                      # [C,3]
-        tm = mass[safe][:, None]            # [C,1]
-        gt = grav[safe]
-        ht = fsoft[safe]
-
-        dx = pos[None, :, :] - pt[:, None, :]     # [C,N,3]
+    def do_chunk(t: ParticleSlice):
+        pt = t.pos                                  # [C,3]
+        dx = src.pos[None, :, :] - pt[:, None, :]   # [C,Ns,3]
         if box > 0:
             dx = _min_image(dx, box)
-        r2 = jnp.sum(dx * dx, axis=-1)            # [C,N]
+        r2 = jnp.sum(dx * dx, axis=-1)              # [C,Ns]
         r = jnp.sqrt(r2)
-        h = jnp.maximum(ht[:, None], fsoft[None, :])
-        valid = (idx[:, None] >= 0) & (idx[:, None] != src_gidx[None, :])
+        h = jnp.maximum(t.fsoft[:, None], src.fsoft[None, :])
+        valid = (t.gid[:, None] >= 0) & (t.gid[:, None] != src.gid[None, :]) \
+            & (src.gid[None, :] >= 0)
 
-        fac, pot = _pair_fac(wiring, tm, mass[None, :], gt, grav, r2, r, h,
+        fac, pot = _pair_fac(wiring, t.mass[:, None], src.mass[None, :],
+                             t.grav, src.grav, r2, r, h,
                              jnp.ones_like(r), want_pot)
         fac = jnp.where(valid, fac, 0.0)
         # MXU accumulation: sum_s fac*(x_s - x_t)
@@ -105,34 +115,47 @@ def direct_forces(
             acc = jnp.einsum("cn,cnd->cd", fac, dx,
                              preferred_element_type=jnp.float32)
         else:
-            acc = (jnp.dot(fac, pos, preferred_element_type=jnp.float32)
+            acc = (jnp.dot(fac, src.pos, preferred_element_type=jnp.float32)
                    - jnp.sum(fac, axis=1, keepdims=True) * pt)
         if want_pot:
             pot = jnp.sum(jnp.where(valid, pot, 0.0), axis=1)
         else:
-            pot = jnp.zeros((idx.shape[0],), pos.dtype)
+            pot = jnp.zeros((pt.shape[0],), pt.dtype)
         return acc, pot
 
-    acc, pot = jax.lax.map(do_chunk, tgt_idx)
-    acc = acc.reshape(-1, 3)[:nt]
-    pot = pot.reshape(-1)[:nt]
-    return acc, pot
+    acc, pot = jax.lax.map(do_chunk, tgt_c)
+    return acc.reshape(-1, 3)[:nt], pot.reshape(-1)[:nt]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
-def direct_forces_jit(wiring, pos, mass, grav, fsoft, box=0.0, chunk=1024,
-                      want_pot=True, tgt_idx=None):
-    return direct_forces(wiring, pos, mass, grav, fsoft, tgt_idx=tgt_idx,
-                         box=box, chunk=chunk, want_pot=want_pot)
+def direct_forces(
+    wiring: GravityWiring,
+    pos: jnp.ndarray,
+    mass: jnp.ndarray,
+    grav: jnp.ndarray,
+    fsoft: jnp.ndarray,
+    tgt_idx: Optional[jnp.ndarray] = None,  # [Nt] global indices, -1 = padding
+    box: float = 0.0,
+    chunk: int = 1024,
+    want_pot: bool = True,
+):
+    """All-sources-on-selected-targets wrapper over `pairwise_forces`."""
+    n = pos.shape[0]
+    src = ParticleSlice(pos=pos, mass=mass, grav=grav, fsoft=fsoft,
+                        gid=jnp.arange(n, dtype=jnp.int32))
+    if tgt_idx is None:
+        tgt = src
+    else:
+        safe = jnp.maximum(tgt_idx, 0)
+        tgt = ParticleSlice(pos=pos[safe], mass=mass[safe], grav=grav[safe],
+                            fsoft=fsoft[safe],
+                            gid=jnp.where(tgt_idx >= 0, safe, -1).astype(jnp.int32))
+    return pairwise_forces(wiring, tgt, src, box=box, chunk=chunk,
+                           want_pot=want_pot)
 
 
 def direct_forces_numpy(wiring: GravityWiring, pos, mass, grav, fsoft,
                         box: float = 0.0):
-    """Float64 numpy oracle (no jit, no tiling) for small-N verification.
-
-    Evaluates the same law objects through jnp on float64 inputs if x64 is
-    enabled, else computes in float32; intended for test use at N <= few
-    thousand."""
+    """Float64 numpy oracle (no jit, no tiling) for small-N verification."""
     pos = np.asarray(pos, np.float64)
     n = pos.shape[0]
     mass = np.asarray(mass, np.float64)

@@ -1,0 +1,114 @@
+"""Device-mesh parallelism: sharded particle arrays + collective force steps.
+
+The TPU-native replacement for the reference's MPI machinery (SURVEY.md §2.2):
+
+  reference mechanism                     -> here
+  ------------------------------------------------------------------
+  Peano-Hilbert domain decomposition      -> arrays sharded along N over a
+  (domain.c)                                 1-D mesh axis "shard"
+  export/import of remote particles       -> all_gather of the source set
+  (gravtree.c:102-285)                       (O(N) replication; the tree path
+                                             gathers only top-node moments)
+  MPI_Allreduce(min Ti_endstep)           -> lax.pmin inside shard_map
+  (run.c:165)
+
+This module provides the data-parallel direct-summation step used by the
+multi-chip dry-run and small/medium systems; the tree solver layers its own
+LET construction on the same mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import SOFTFAC_SPLINE
+from ..integrate.kdk import kick
+from ..ops.direct import ParticleSlice, pairwise_forces
+
+AXIS = "shard"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def shard_particles(p, mesh: Mesh):
+    """Place a Particles pytree with every leaf sharded along axis 0.
+    Pads N to a multiple of the mesh size with massless sentinel particles."""
+    n = p.pos.shape[0]
+    size = mesh.devices.size
+    pad = (-n) % size
+    if pad:
+        def _pad(a):
+            widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            return jnp.pad(a, widths)
+        p = jax.tree.map(_pad, p)
+        # padding particles: zero mass, endstep pushed past the horizon so
+        # they are never active
+        p = p.replace(
+            ti_endstep=p.ti_endstep.at[n:].set(np.int32(2 ** 30)),
+            pid=p.pid.at[n:].set(-1),
+        )
+    sharding = NamedSharding(mesh, P(AXIS))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), p)
+
+
+def make_sharded_step(cfg, units, wiring, tables, mesh: Mesh,
+                      chunk: int = 512):
+    """Build a jitted full simulation step over the mesh:
+    drift(all) -> gather sources -> pairwise forces (local targets) -> kick.
+
+    Returns step(p, ti_current, ti_next, time_next) -> (p, min_endstep).
+    In this data-parallel formulation every step treats all particles as
+    active (the flat-force regime); the host driver uses the bucketed active
+    path instead when adaptivity pays.
+    """
+    box = cfg.box_size if cfg.periodic else 0.0
+    fsoft_by_type = jnp.asarray(np.array(cfg.softening, np.float32) * SOFTFAC_SPLINE)
+    soft_by_type = jnp.asarray(np.array(cfg.softening, np.float32))
+    G = units.G
+
+    def _step(p, ti_current, ti_next, time_next):
+        nloc = p.pos.shape[0]
+        my = jax.lax.axis_index(AXIS)
+        gid = my * nloc + jnp.arange(nloc, dtype=jnp.int32)
+        gid = jnp.where(p.pid >= 0, gid, -1)
+
+        # drift all local particles to the sync point (predict.c:31)
+        dd = tables.drift_factor(ti_current, ti_next)
+        p = p.replace(pos=p.pos + p.vel * dd)
+        if box > 0:
+            p = p.replace(pos=jnp.mod(p.pos, box))
+
+        fsoft = fsoft_by_type[p.ptype]
+        # source replication over ICI (the export/import replacement)
+        gath = lambda a: jax.lax.all_gather(a, AXIS, tiled=True)
+        src = ParticleSlice(pos=gath(p.pos), mass=gath(p.mass),
+                            grav=gath(p.grav), fsoft=gath(fsoft),
+                            gid=gath(gid))
+        tgt = ParticleSlice(pos=p.pos, mass=p.mass, grav=p.grav,
+                            fsoft=fsoft, gid=gid)
+        acc, pot = pairwise_forces(wiring, tgt, src, box=box, chunk=chunk)
+        p = p.replace(accel=acc * G, potential=pot * G,
+                      old_acc=jnp.linalg.norm(acc * G, axis=-1))
+
+        # kick the active set (timestep.c) — purely local, masked
+        p, _ = kick(cfg, units, p, None, tables, ti_next,
+                    cfg.max_size_timestep, soft_by_type, time_next)
+        min_end = jax.lax.pmin(jnp.min(p.ti_endstep), AXIS)
+        return p, min_end
+
+    step = jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(AXIS), P(), P(), P()),
+        out_specs=(P(AXIS), P()),
+    )
+    return jax.jit(step)
