@@ -126,8 +126,14 @@ class SimulationConfig:
     # --- TPU execution controls (new; no reference analog) ---
     dtype: str = "float32"        # compute dtype for particle state
     accum_dtype: str = "float32"  # accumulation dtype for force sums
+    solver: str = "tree"          # "tree" (BH octree) or "direct" (O(N^2))
+    tree_depth: int = 9           # octree depth (Morton levels, <= 10)
     tree_bucket_size: int = 32    # leaf bucket size for the octree
     tree_group_size: int = 256    # targets per walk group
+    tree_node_list_cap: int = 4096   # per-block accepted-node list cap
+    tree_leaf_list_cap: int = 8192   # per-block leaf list cap
+    tree_frontier_cap: int = 2048    # per-block frontier cap
+    tree_block_batch: int = 8        # blocks walked per lax.map step
     mesh_shape: Optional[tuple] = None  # device mesh (n_shards,) or None
 
     # ------------------------------------------------------------------

@@ -32,7 +32,7 @@ from ..diagnostics.energy import compute_global_quantities, format_energy_line
 from ..io.gadget_format import (SnapshotData, SnapshotHeader, read_snapshot,
                                 write_snapshot)
 from ..models.wiring import build_wiring
-from ..ops.direct import direct_forces
+from ..ops.solver import GravitySolver
 from ..particles import Particles, SphState
 from ..units import set_units
 from .kdk import box_wrap, drift, kick
@@ -103,28 +103,12 @@ class Simulation:
     def _build_kernels(self):
         cfg, units, wiring = self.cfg, self.units, self.wiring
         tables = self.tables
-        box = cfg.box_size if cfg.periodic else 0.0
         fsoft_by_type = jnp.asarray(self.force_soft)
         soft_by_type = jnp.asarray(self.soft_table)
 
-        def forces_fn(p: Particles, tgt_idx):
-            fsoft = fsoft_by_type[p.ptype]
-            acc, pot = direct_forces(wiring, p.pos, p.mass, p.grav, fsoft,
-                                     tgt_idx=tgt_idx, box=box,
-                                     chunk=min(2048, _bucket(p.n)))
-            acc = acc * units.G
-            pot = pot * units.G
-            safe = jnp.maximum(tgt_idx, 0)
-            valid = (tgt_idx >= 0)[:, None]
-            new_accel = p.accel.at[safe].set(jnp.where(valid, acc, p.accel[safe]))
-            new_pot = p.potential.at[safe].set(
-                jnp.where(valid[:, 0], pot, p.potential[safe]))
-            old_acc = jnp.sqrt(jnp.sum((acc) ** 2, axis=-1))
-            new_old = p.old_acc.at[safe].set(
-                jnp.where(valid[:, 0], old_acc, p.old_acc[safe]))
-            return p.replace(accel=new_accel, potential=new_pot, old_acc=new_old)
-
-        self._forces = jax.jit(forces_fn)
+        self.solver = GravitySolver(cfg, wiring, self.force_soft,
+                                    self.soft_table, units.G)
+        self._forces_bootstrapped = False
 
         def drift_fn(p, sph, ti0, ti1):
             p, sph = drift(cfg, p, sph, tables, ti0, ti1)
@@ -200,12 +184,14 @@ class Simulation:
             n_active = int(n_act)
         if n_active == 0:
             return
-        if n_active == self.p.n:
-            tgt = jnp.arange(self.p.n, dtype=jnp.int32)
-        else:
-            tgt = self._gather_active(self.p, self.ti_current,
-                                      _bucket(n_active))
-        self.p = self._forces(self.p, tgt)
+        if not self._forces_bootstrapped \
+                and self.cfg.type_of_opening_criterion == 1:
+            # relative criterion needs OldAcc: bootstrap with the geometric
+            # criterion, then recompute (accel.c:48-52)
+            self.p, _ = self.solver.compute(self.p, self.ti_current,
+                                            n_active, opening="bh")
+        self._forces_bootstrapped = True
+        self.p, n_ia = self.solver.compute(self.p, self.ti_current, n_active)
         self.p.accel.block_until_ready()
         self.num_force_updates += n_active
         dt = _time.time() - t0
@@ -213,7 +199,8 @@ class Simulation:
         if "timings" in self._logs and dt > 0:
             self._logs["timings"].write(
                 f"Step {self.step_count}: forces for {n_active} particles "
-                f"in {dt:.4f}s  part/sec={n_active / dt:.5g}\n")
+                f"in {dt:.4f}s  part/sec={n_active / dt:.5g}  "
+                f"ia/part={n_ia / max(n_active, 1):.1f}\n")
 
     def write_snapshot_now(self, path=None):
         """savepositions (io.c:33): snapshot with velocities predicted to now."""

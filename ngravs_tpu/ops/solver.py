@@ -1,0 +1,199 @@
+"""Gravity solver front-end: octree or direct summation.
+
+Rebuild of `gravity_tree()` (gravtree.c:27) as a host-side orchestrator over
+jitted device kernels: build the tree from all particles, walk it for the
+active targets, scatter accelerations/potentials back, times G
+(gravtree.c:337-341).  The direct-summation path doubles as the FORCETEST
+oracle (gravtree_forcetest.c:28).
+
+Cap management: the walk's interaction-list/frontier caps are static shapes.
+The solver starts from the config's caps and doubles any cap the walk reports
+overflowing, recompiling — the TPU analog of Gadget growing its
+TreeAllocFactor on "too many nodes" (forcetree.c:3176).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimulationConfig
+from ..models.wiring import GravityWiring
+from .direct import direct_forces
+from .tree import build_tree, make_tree_forces
+
+
+class ForceResult(NamedTuple):
+    acc: jnp.ndarray        # [N,3] updated in place for targets (times G)
+    pot: jnp.ndarray        # [N]
+    old_acc: jnp.ndarray    # [N]
+    grav_cost: jnp.ndarray  # [N]
+    overflow: jnp.ndarray   # scalar bool
+    n_interactions: jnp.ndarray  # scalar
+
+
+def _bucket(n: int, minimum: int = 256) -> int:
+    return max(minimum, 1 << math.ceil(math.log2(max(n, 1))))
+
+
+class GravitySolver:
+    """Compiled gravity kernels for one simulation configuration."""
+
+    def __init__(self, cfg: SimulationConfig, wiring: GravityWiring,
+                 fsoft_by_type, soft_by_type, g_const: float):
+        self.cfg = cfg
+        self.wiring = wiring
+        self.G = float(g_const)
+        self.fsoft_by_type = jnp.asarray(fsoft_by_type)
+        self.caps = dict(node=cfg.tree_node_list_cap,
+                         leaf=cfg.tree_leaf_list_cap,
+                         frontier=cfg.tree_frontier_cap)
+        self._fns = {}   # (opening, caps-signature, n_targets) -> jitted fn
+
+    # ------------------------------------------------------------------
+    def _walk(self):
+        """The single-compilation batched walk (cached per caps)."""
+        cfg = self.cfg
+        key = ("walk", self.caps["node"], self.caps["leaf"],
+               self.caps["frontier"])
+        if key in self._fns:
+            return self._fns[key]
+        walk = make_tree_forces(
+            self.wiring, n_gravs=cfg.n_gravs,
+            group_size=cfg.tree_group_size,
+            node_list_cap=self.caps["node"],
+            leaf_list_cap=self.caps["leaf"],
+            frontier_cap=self.caps["frontier"],
+            bucket=cfg.tree_bucket_size,
+            depth=cfg.tree_depth,
+            theta=cfg.err_tol_theta,
+            opening="relative",
+            box_size=cfg.box_size if cfg.periodic else 0.0,
+            block_batch=cfg.tree_block_batch)
+        self._fns[key] = walk
+        return walk
+
+    def _tree_prep_fn(self, s: int):
+        """Jitted: build the tree + gather active targets in sorted order."""
+        key = ("prep", s)
+        if key in self._fns:
+            return self._fns[key]
+        cfg = self.cfg
+        fsoft_by_type = self.fsoft_by_type
+        box = cfg.box_size if cfg.periodic else 0.0
+        err_tol = cfg.err_tol_force_acc
+        G = self.G
+
+        @jax.jit
+        def fn(p, ti_current):
+            fsoft = fsoft_by_type[p.ptype]
+            aold = err_tol * p.old_acc / G  # walk works in G=1 units
+            tree = build_tree(p.pos, p.mass, p.grav, fsoft, aold,
+                              depth=cfg.tree_depth, n_gravs=cfg.n_gravs,
+                              bucket=cfg.tree_bucket_size, box_size=box)
+            mask_s = (p.ti_endstep == ti_current)[tree.order]
+            tgt_sorted = jnp.nonzero(mask_s, size=s, fill_value=-1)[0] \
+                .astype(jnp.int32)
+            return tree, tgt_sorted
+
+        self._fns[key] = fn
+        return fn
+
+    def _tree_scatter_fn(self, s: int):
+        """Jitted: scatter walk results back to original particle order."""
+        key = ("scatter", s)
+        if key in self._fns:
+            return self._fns[key]
+        G = self.G
+
+        @jax.jit
+        def fn(p, order, tgt_sorted, acc, pot, ninteract):
+            valid = tgt_sorted >= 0
+            # padding rows scatter out of bounds and are dropped
+            orig = jnp.where(valid, order[jnp.maximum(tgt_sorted, 0)], p.n)
+            acc = acc * G
+            pot = pot * G
+            new_acc = p.accel.at[orig].set(acc, mode="drop")
+            new_pot = p.potential.at[orig].set(pot, mode="drop")
+            amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
+            new_old = p.old_acc.at[orig].set(amag, mode="drop")
+            new_cost = p.grav_cost.at[orig].set(
+                ninteract.astype(p.grav_cost.dtype), mode="drop")
+            n_ia = jnp.sum(jnp.where(valid, ninteract, 0))
+            return p.replace(accel=new_acc, potential=new_pot,
+                             old_acc=new_old, grav_cost=new_cost), n_ia
+
+        self._fns[key] = fn
+        return fn
+
+    def _direct_fn(self, s: int):
+        key = ("direct", s)
+        if key in self._fns:
+            return self._fns[key]
+        cfg, wiring, G = self.cfg, self.wiring, self.G
+        fsoft_by_type = self.fsoft_by_type
+        box = cfg.box_size if cfg.periodic else 0.0
+
+        @jax.jit
+        def fn(p, ti_current):
+            fsoft = fsoft_by_type[p.ptype]
+            mask = p.ti_endstep == ti_current
+            tgt = jnp.nonzero(mask, size=s, fill_value=-1)[0].astype(jnp.int32)
+            acc, pot = direct_forces(wiring, p.pos, p.mass, p.grav, fsoft,
+                                     tgt_idx=tgt, box=box,
+                                     chunk=min(1024, s))
+            acc, pot = acc * G, pot * G
+            idx = jnp.where(tgt >= 0, tgt, p.n)  # padding dropped
+            new_acc = p.accel.at[idx].set(acc, mode="drop")
+            new_pot = p.potential.at[idx].set(pot, mode="drop")
+            amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
+            new_old = p.old_acc.at[idx].set(amag, mode="drop")
+            npair = jnp.asarray(s * p.pos.shape[0], jnp.int32)
+            return ForceResult(new_acc, new_pot, new_old, p.grav_cost,
+                               jnp.zeros((), bool), npair)
+
+        self._fns[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def compute(self, p, ti_current, n_active: int, opening: str = "relative"):
+        """Compute forces for the active set; returns (particles', n_ia).
+
+        Handles walk-cap overflow by doubling the offending caps and
+        recompiling (at most a few times per run).
+        """
+        s = _bucket(min(n_active, p.n) if n_active else p.n)
+        s = min(s, _bucket(p.n))
+        if self.cfg.solver == "direct" or p.n <= 2 * self.cfg.tree_group_size:
+            r = self._direct_fn(s)(p, ti_current)
+            p = p.replace(accel=r.acc, potential=r.pot, old_acc=r.old_acc,
+                          grav_cost=r.grav_cost)
+            return p, int(r.n_interactions)
+
+        if self.cfg.type_of_opening_criterion == 0:
+            opening = "bh"
+        tree, tgt_sorted = self._tree_prep_fn(s)(p, ti_current)
+        for _ in range(6):
+            res = self._walk()(tree, tgt_sorted, opening_override=opening)
+            if not bool(res.overflow):
+                break
+            # resize each cap to the measured peak demand (+25% margin,
+            # rounded to a power of two) and recompile once
+            self.caps["node"] = max(self.caps["node"],
+                                    _bucket(int(res.max_nodes) * 5 // 4, 64))
+            self.caps["leaf"] = max(self.caps["leaf"],
+                                    _bucket(int(res.max_leaves) * 5 // 4, 64))
+            self.caps["frontier"] = max(
+                self.caps["frontier"],
+                _bucket(int(res.max_frontier) * 5 // 4, 64))
+        else:
+            raise RuntimeError(
+                f"tree walk caps still overflowing at {self.caps}")
+        p, n_ia = self._tree_scatter_fn(s)(p, tree.order, tgt_sorted,
+                                           res.acc, res.pot, res.ninteract)
+        return p, int(n_ia)
