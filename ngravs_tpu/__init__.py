@@ -7,6 +7,29 @@ Reference: kcroker/Gadget-2.0.7-ngravs, mounted read-only at /root/reference.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the walk/build kernels take minutes
+    to compile on TPU; caching makes that a once-per-machine cost.  Disable
+    with NGRAVS_TPU_NO_CACHE=1."""
+    if _os.environ.get("NGRAVS_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+        path = _os.environ.get(
+            "NGRAVS_TPU_CACHE_DIR",
+            _os.path.expanduser("~/.cache/ngravs_tpu_jax"))
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
 from .config import SimulationConfig, read_parameter_file
 from .particles import Particles, SphState
 from .units import set_units

@@ -50,17 +50,20 @@ class GravitySolver:
         self.wiring = wiring
         self.G = float(g_const)
         self.fsoft_by_type = jnp.asarray(fsoft_by_type)
+        self.depth = cfg.tree_depth
+        self._fat_warned = False
         self.caps = dict(node=cfg.tree_node_list_cap,
                          leaf=cfg.tree_leaf_list_cap,
-                         frontier=cfg.tree_frontier_cap)
+                         frontier=cfg.tree_frontier_cap,
+                         src=cfg.tree_node_list_cap * cfg.n_gravs
+                         + cfg.tree_leaf_list_cap * 8)
         self._fns = {}   # (opening, caps-signature, n_targets) -> jitted fn
 
     # ------------------------------------------------------------------
     def _walk(self):
         """The single-compilation batched walk (cached per caps)."""
         cfg = self.cfg
-        key = ("walk", self.caps["node"], self.caps["leaf"],
-               self.caps["frontier"])
+        key = ("walk", self.depth) + tuple(sorted(self.caps.items()))
         if key in self._fns:
             return self._fns[key]
         walk = make_tree_forces(
@@ -69,8 +72,9 @@ class GravitySolver:
             node_list_cap=self.caps["node"],
             leaf_list_cap=self.caps["leaf"],
             frontier_cap=self.caps["frontier"],
+            src_cap=self.caps["src"],
             bucket=cfg.tree_bucket_size,
-            depth=cfg.tree_depth,
+            depth=self.depth,
             theta=cfg.err_tol_theta,
             opening="relative",
             box_size=cfg.box_size if cfg.periodic else 0.0,
@@ -80,10 +84,11 @@ class GravitySolver:
 
     def _tree_prep_fn(self, s: int):
         """Jitted: build the tree + gather active targets in sorted order."""
-        key = ("prep", s)
+        key = ("prep", self.depth, s)
         if key in self._fns:
             return self._fns[key]
         cfg = self.cfg
+        depth = self.depth
         fsoft_by_type = self.fsoft_by_type
         box = cfg.box_size if cfg.periodic else 0.0
         err_tol = cfg.err_tol_force_acc
@@ -94,12 +99,15 @@ class GravitySolver:
             fsoft = fsoft_by_type[p.ptype]
             aold = err_tol * p.old_acc / G  # walk works in G=1 units
             tree = build_tree(p.pos, p.mass, p.grav, fsoft, aold,
-                              depth=cfg.tree_depth, n_gravs=cfg.n_gravs,
+                              depth=depth, n_gravs=cfg.n_gravs,
                               bucket=cfg.tree_bucket_size, box_size=box)
             mask_s = (p.ti_endstep == ti_current)[tree.order]
             tgt_sorted = jnp.nonzero(mask_s, size=s, fill_value=-1)[0] \
                 .astype(jnp.int32)
-            return tree, tgt_sorted
+            # largest bucket-leaf occupancy: > bucket means the depth limit
+            # truncates leaf evaluation (fat leaf) and we must deepen
+            fat = jnp.max(jnp.where(tree.node_terminal, tree.node_pcount, 0))
+            return tree, tgt_sorted, fat
 
         self._fns[key] = fn
         return fn
@@ -177,20 +185,36 @@ class GravitySolver:
 
         if self.cfg.type_of_opening_criterion == 0:
             opening = "bh"
-        tree, tgt_sorted = self._tree_prep_fn(s)(p, ti_current)
+        from .morton import MAX_DEPTH
+        while True:
+            tree, tgt_sorted, fat = self._tree_prep_fn(s)(p, ti_current)
+            if int(fat) <= self.cfg.tree_bucket_size and self.depth >= 1:
+                break
+            if self.depth >= MAX_DEPTH:
+                if not self._fat_warned:
+                    import warnings
+                    warnings.warn(
+                        f"octree bucket leaves still hold {int(fat)} > "
+                        f"{self.cfg.tree_bucket_size} particles at the "
+                        f"maximum depth {MAX_DEPTH}; near-coincident "
+                        "particles will interact via softened truncated "
+                        "leaves")
+                    self._fat_warned = True
+                break
+            # fat leaves: deepen the tree (recompiles build + walk)
+            self.depth = min(self.depth + 3, MAX_DEPTH)
         for _ in range(6):
             res = self._walk()(tree, tgt_sorted, opening_override=opening)
             if not bool(res.overflow):
                 break
             # resize each cap to the measured peak demand (+25% margin,
             # rounded to a power of two) and recompile once
-            self.caps["node"] = max(self.caps["node"],
-                                    _bucket(int(res.max_nodes) * 5 // 4, 64))
-            self.caps["leaf"] = max(self.caps["leaf"],
-                                    _bucket(int(res.max_leaves) * 5 // 4, 64))
-            self.caps["frontier"] = max(
-                self.caps["frontier"],
-                _bucket(int(res.max_frontier) * 5 // 4, 64))
+            grow = lambda cur, mx: max(cur, _bucket(int(mx) * 5 // 4, 64))
+            self.caps["node"] = grow(self.caps["node"], res.max_nodes)
+            self.caps["leaf"] = grow(self.caps["leaf"], res.max_leaves)
+            self.caps["frontier"] = grow(self.caps["frontier"],
+                                         res.max_frontier)
+            self.caps["src"] = grow(self.caps["src"], res.max_src)
         else:
             raise RuntimeError(
                 f"tree walk caps still overflowing at {self.caps}")

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.wiring import GravityWiring
-from .morton import MAX_DEPTH, morton_decode, morton_keys
+from .morton import (MAX_DEPTH, decode_center, level_key2, morton_keys2,
+                     sort_by_keys2)
 
 INT32_MAX = np.int32(2**31 - 1)
 
@@ -119,9 +120,9 @@ def build_tree(pos, mass, grav, fsoft, aold,
         corner = (lo + hi) / 2 - root_len / 2
     inv_len = 1.0 / root_len
 
-    keys = morton_keys(pos, corner, inv_len, depth)
-    order = jnp.argsort(keys).astype(jnp.int32)
-    keys_s = keys[order]
+    khi, klo = morton_keys2(pos, corner, inv_len, depth)
+    order = sort_by_keys2(khi, klo)
+    khi_s, klo_s = khi[order], klo[order]
     pos_s, mass_s = pos[order], mass[order]
     grav_s = grav[order].astype(jnp.int32)
     fsoft_s, aold_s = fsoft[order], aold[order]
@@ -131,27 +132,29 @@ def build_tree(pos, mass, grav, fsoft, aold,
 
     centers, levels, cms, masses, counts, maxsofts = [], [], [], [], [], []
     starts, pcounts, terminals, child0s, nchilds = [], [], [], [], []
-    uniq_prev = None  # for child links of the previous level
+    prev = None  # (start_padded, pcount, cap) of the previous level
 
     mpos = mass_s[:, None] * pos_s
-
     arange_n = jnp.arange(n, dtype=jnp.int32)
 
     for lvl in range(depth + 1):
         cap = caps[lvl]
-        kl = keys_s >> (3 * (depth - lvl))
+        hk, lk = level_key2(khi_s, klo_s, depth, lvl)
         # occupied cells = runs in the (already sorted) level keys; no sort
         # and no searchsorted: rank every particle by run-start cumsum
         is_new = jnp.concatenate(
-            [jnp.ones((1,), bool), kl[1:] != kl[:-1]])
+            [jnp.ones((1,), bool),
+             (hk[1:] != hk[:-1]) | (lk[1:] != lk[:-1])])
         seg = jnp.cumsum(is_new).astype(jnp.int32) - 1       # particle->node
         sidx = jnp.where(is_new, seg, cap)
-        uniq = jnp.full((cap,), INT32_MAX, jnp.int32) \
-            .at[sidx].set(kl, mode="drop")
-        start = jnp.zeros((cap,), jnp.int32) \
+        uniq_h = jnp.full((cap,), INT32_MAX, jnp.int32) \
+            .at[sidx].set(hk, mode="drop")
+        uniq_l = jnp.full((cap,), INT32_MAX, jnp.int32) \
+            .at[sidx].set(lk, mode="drop")
+        # padding start = n so child ranges can be found by searchsorted
+        start = jnp.full((cap,), n, jnp.int32) \
             .at[sidx].set(arange_n, mode="drop")
-        pcount = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), seg,
-                                     cap)
+        pcount = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), seg, cap)
         valid = pcount > 0
         sid = seg * n_gravs + grav_s
         nseg = cap * n_gravs
@@ -163,20 +166,22 @@ def build_tree(pos, mass, grav, fsoft, aold,
         msoft = jnp.where(valid, msoft, 0.0)
 
         cell_len = root_len / (1 << lvl)
-        # decode the level-lvl key back to a cell center
-        ccoord = morton_decode(jnp.where(valid, uniq, 0))
-        center = corner + (ccoord.astype(pos.dtype) + 0.5) * cell_len
+        center = decode_center(jnp.where(valid, uniq_h, 0),
+                               jnp.where(valid, uniq_l, 0),
+                               depth, lvl, corner, root_len)
         cm = jnp.where(m_g[..., None] > 0, mx_g / jnp.maximum(m_g[..., None], 1e-37),
                        center[:, None, :])
         terminal = (pcount <= bucket) | (lvl == depth)
         terminal = terminal & valid
 
-        if uniq_prev is not None:
-            # children of the previous level's nodes live in this level
-            up = jnp.where(uniq_prev != INT32_MAX, uniq_prev,
-                           INT32_MAX >> 3)  # clamp padding to avoid overflow
-            lo_c = jnp.searchsorted(uniq, up * 8, side="left").astype(jnp.int32)
-            hi_c = jnp.searchsorted(uniq, up * 8 + 8, side="left").astype(jnp.int32)
+        if prev is not None:
+            # children of the previous level cover exactly the same particle
+            # range: find them by range position, no key arithmetic
+            # (start arrays are ascending with padding at n)
+            p_start, p_pcount, p_cap = prev
+            lo_c = jnp.searchsorted(start, p_start).astype(jnp.int32)
+            hi_c = jnp.searchsorted(
+                start, p_start + jnp.maximum(p_pcount, 1)).astype(jnp.int32)
             child0s.append(offsets[lvl] + lo_c)
             nchilds.append(hi_c - lo_c)
 
@@ -189,7 +194,7 @@ def build_tree(pos, mass, grav, fsoft, aold,
         starts.append(jnp.where(valid, start, 0))
         pcounts.append(pcount)
         terminals.append(terminal)
-        uniq_prev = uniq
+        prev = (start, pcount, cap)
 
     # deepest level has no children
     child0s.append(jnp.zeros((caps[depth],), jnp.int32))
@@ -257,6 +262,7 @@ class WalkResult(NamedTuple):
     max_nodes: jnp.ndarray      # scalar int32 — peak node-list demand
     max_leaves: jnp.ndarray     # scalar int32 — peak leaf-list demand
     max_frontier: jnp.ndarray   # scalar int32 — peak frontier demand
+    max_src: jnp.ndarray        # scalar int32 — peak generalized-source count
 
 
 def _pair_force(wiring: GravityWiring, tgrav, tmass, tfsoft,
@@ -297,7 +303,11 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
                      opening: str = "relative",
                      box_size: float = 0.0,
                      block_batch: int = 8,
-                     want_pot: bool = True):
+                     want_pot: bool = True,
+                     src_cap: int | None = None,
+                     use_pallas: bool | None = None,
+                     s_chunk: int = 512,
+                     _debug_skip: str | None = None):
     """Build the walk: a host loop over block batches calling ONE jitted
     batch kernel (fixed shapes — compiled exactly once per configuration,
     independent of the active-particle count).
@@ -308,6 +318,19 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
     criterion uses the minimum aold in each block, which opens at least as
     much as the reference would for any member target.
     """
+    rup = lambda x: max(s_chunk, ((x + s_chunk - 1) // s_chunk) * s_chunk)
+    src_cap = rup(node_list_cap * n_gravs + leaf_list_cap * bucket // 4
+                  if src_cap is None else src_cap)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from .pairwise_pallas import make_pairwise_kernel
+        pair_kernel = make_pairwise_kernel(
+            wiring, n_gravs, group=group_size, s_chunk=s_chunk,
+            box_size=box_size, want_pot=want_pot)
+    else:
+        pair_kernel = None
+
     periodic = box_size > 0
     rel_default = jnp.asarray(opening == "relative")
 
@@ -317,8 +340,8 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         return d - box_size * jnp.round(d / box_size)
 
     @jax.jit
-    def walk_blocks(tree: Octree, tpos, tmass, tgrav, tfsoft, tgid, taold,
-                    rel_open):
+    def walk_blocks(tree: Octree, gsrc, tpos, tmass, tgrav, tfsoft, tgid,
+                    taold, rel_open):
         """One batch of blocks: tpos [bb, G, 3] etc.; tgid<0 = padding."""
         bb = tpos.shape[0]
         G = tpos.shape[1]
@@ -405,69 +428,125 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         max_nodes = jnp.max(n_nodes)
         max_leaves = jnp.max(n_leaves)
 
-        # ---- dense evaluation: accepted-node multipoles ----
+        # ---- compact both lists into ONE generalized source list ----
+        # A "source" is a leaf particle or a (node, gravity) monopole entry,
+        # encoded in one id space: v < NP is sorted-particle v, v >= NP is
+        # node entry (v - NP) = node_id * NG + gravity.  Fields then come
+        # from the precomputed global arrays `gsrc` with a single gather,
+        # and all bucket/cap padding is stripped before evaluation.
+        NG = n_gravs
+        NP = tree.pos_s.shape[0]
         nlv = node_list >= 0
         nls = jnp.maximum(node_list, 0)
-        ncm = tree.node_cm[nls]                  # [bb,K,NG,3]
-        nmass = jnp.where(nlv[..., None], tree.node_mass[nls], 0.0)
-        # NGRAVS_ACCUMULATOR (allvars.h:645-647): pass the per-gravity node
-        # particle count to the laws only when the wiring opts in
-        if wiring.accumulator:
-            ncount = jnp.maximum(tree.node_count[nls], 1.0)
-        else:
-            ncount = jnp.ones_like(tree.node_mass[nls])
-        nsoft = tree.node_maxsoft[nls]           # [bb,K]
-        acc = jnp.zeros((bb, G, 3), tpos.dtype)
-        pot = jnp.zeros((bb, G), tpos.dtype)
-        for gs in range(n_gravs):
-            # per-axis elementwise+reduce chains fuse on the VPU without
-            # materializing a [bb,G,K,3] tensor in HBM (unlike dot_general)
-            dxs = [min_image(ncm[:, None, :, gs, d] - tpos[:, :, None, d])
-                   for d in range(3)]
-            r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
-            fac, p = _pair_force(
-                wiring, tgrav, tmass, tfsoft, None, r2,
-                nmass[:, None, :, gs], jnp.full_like(nls, gs)[:, None, :],
-                nsoft[:, None, :], ncount[:, None, :, gs], want_pot)
-            w = nlv[:, None, :] & (nmass[:, None, :, gs] > 0)
-            fac = jnp.where(w, fac, 0.0)
-            acc = acc + jnp.stack(
-                [jnp.sum(fac * dxs[d], axis=-1) for d in range(3)], axis=-1)
-            if want_pot:
-                pot = pot + jnp.sum(jnp.where(w, p, 0.0), axis=-1)
-        node_ia = jnp.sum(nlv, axis=1)
+        ent_mask = nlv[..., None] & (tree.node_mass[nls] > 0)
+        ent_flat = NP + nls[..., None] * NG + jnp.arange(NG, dtype=jnp.int32)
+        ent = jnp.where(ent_mask, ent_flat, -1).reshape(bb, -1)
 
-        # ---- dense evaluation: leaf particles (exact pairs) ----
         llv = leaf_list >= 0
         lls = jnp.maximum(leaf_list, 0)
-        lstart = tree.node_start[lls]            # [bb,L]
-        lcount = tree.node_pcount[lls]
+        lstart = tree.node_start[lls]
+        lcount = jnp.where(llv, tree.node_pcount[lls], 0)
         jj = jnp.arange(bucket, dtype=jnp.int32)
-        pidx = lstart[..., None] + jj            # [bb,L,bucket]
+        pidx = lstart[..., None] + jj
         pvalid = llv[..., None] & (jj < lcount[..., None])
-        pidx = jnp.where(pvalid, pidx, 0).reshape(bb, -1)   # [bb,L*B]
-        pvalid = pvalid.reshape(bb, -1)
-        spos = tree.pos_s[pidx]                  # [bb,S,3]
-        smass = jnp.where(pvalid, tree.mass_s[pidx], 0.0)
-        sgrav = tree.grav_s[pidx]
-        ssoft = tree.fsoft_s[pidx]
-        dxs = [min_image(spos[:, None, :, d] - tpos[:, :, None, d])
-               for d in range(3)]
-        r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
-        fac, p = _pair_force(wiring, tgrav, tmass, tfsoft, None, r2,
-                             smass[:, None, :], sgrav[:, None, :],
-                             ssoft[:, None, :], 1.0, want_pot)
-        notself = pidx[:, None, :] != tgid[:, :, None]
-        w = pvalid[:, None, :] & notself & tvalid[:, :, None]
-        fac = jnp.where(w, fac, 0.0)
-        acc = acc + jnp.stack(
-            [jnp.sum(fac * dxs[d], axis=-1) for d in range(3)], axis=-1)
-        if want_pot:
-            pot = pot + jnp.sum(jnp.where(w, p, 0.0), axis=-1)
-        leaf_ia = jnp.sum(pvalid, axis=1)
+        pidx = jnp.where(pvalid, pidx, -1).reshape(bb, -1)
 
-        ninter = (node_ia + leaf_ia)[:, None] * jnp.ones((1, G), jnp.int32)
-        return acc, pot, ninter, overflow, max_nodes, max_leaves, max_frontier
+        if _debug_skip == "lists":
+            zz = jnp.zeros((bb, G), tpos.dtype)
+            return (zz[..., None] * jnp.zeros(3), zz,
+                    jnp.zeros((bb, G), jnp.int32), overflow,
+                    max_nodes, max_leaves, max_frontier,
+                    jnp.zeros((), jnp.int32))
+        cand = jnp.concatenate([ent, pidx], axis=1)
+        src, n_src = _compact_rows(cand, cand >= 0, src_cap)
+        overflow = overflow | jnp.any(n_src > src_cap)
+        max_src = jnp.max(n_src)
+
+        sv = jnp.maximum(src, 0)
+        svalid = src >= 0
+        rows = gsrc[sv]                            # [bb, S, 16] one gather
+        # invalid rows: mass = 0, gid = -1
+        neg1 = jax.lax.bitcast_convert_type(
+            jnp.int32(-1), jnp.float32)
+        masked = rows.at[..., 3].set(jnp.where(svalid, rows[..., 3], 0.0))
+        masked = masked.at[..., 7].set(
+            jnp.where(svalid, rows[..., 7], neg1))
+        spacked = jnp.swapaxes(masked, 1, 2)       # [bb, 16, S]
+
+        if _debug_skip == "eval":
+            zz = jnp.zeros((bb, G), tpos.dtype)
+            return (zz[..., None] * jnp.zeros(3), zz, n_src[:, None]
+                    * jnp.ones((1, G), jnp.int32), overflow,
+                    max_nodes, max_leaves, max_frontier, max_src)
+        if pair_kernel is not None:
+            flat = lambda a: a.reshape(bb * G, 1)
+            targets = dict(x=flat(tpos[..., 0]), y=flat(tpos[..., 1]),
+                           z=flat(tpos[..., 2]), mass=flat(tmass),
+                           grav=flat(tgrav), fsoft=flat(tfsoft),
+                           gid=flat(tgid))
+            acc_f, pot_f, nia_f = pair_kernel(targets, spacked,
+                                              n_src[:, None])
+            acc = acc_f.reshape(bb, G, 3)
+            pot = pot_f.reshape(bb, G)
+            ninter = nia_f.reshape(bb, G)
+        else:
+            # XLA fallback: the same math on fused per-axis [bb,G,S] planes
+            ub = lambda c: jax.lax.bitcast_convert_type(
+                spacked[:, c, :], jnp.int32)
+            dxs = [min_image(spacked[:, d, None, :] - tpos[:, :, None, d])
+                   for d in range(3)]
+            r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
+            sgid = ub(7)
+            fac, p = _pair_force(
+                wiring, tgrav, tmass, tfsoft, None, r2,
+                spacked[:, 3, None, :], ub(6)[:, None, :],
+                spacked[:, 4, None, :], spacked[:, 5, None, :],
+                want_pot)
+            w = (sgid[:, None, :] != -1) & tvalid[:, :, None] \
+                & (sgid[:, None, :] != tgid[:, :, None])
+            fac = jnp.where(w, fac, 0.0)
+            acc = jnp.stack(
+                [jnp.sum(fac * dxs[d], axis=-1) for d in range(3)], axis=-1)
+            if want_pot:
+                pot = jnp.sum(jnp.where(w, p, 0.0), axis=-1)
+            else:
+                pot = jnp.zeros((bb, G), tpos.dtype)
+            ninter = jnp.sum(w, axis=-1).astype(jnp.int32)
+
+        return (acc, pot, ninter, overflow, max_nodes, max_leaves,
+                max_frontier, max_src)
+
+    @jax.jit
+    def _gsrc(tree: Octree):
+        """Global generalized-source table, one packed [16] f32 row per
+        source (particles first, then (node, gravity) entries): cols 0-5 =
+        x, y, z, mass, soft, count; col 6/7 = bitcast int32 grav / gid.
+        One row gather then fetches every field of an interaction list —
+        8 scalar gathers would be ~8x slower on TPU.
+        """
+        n = tree.pos_s.shape[0]
+        m = tree.node_mass.shape[0]
+        cm = tree.node_cm.reshape(m * n_gravs, 3)
+        nmass = tree.node_mass.reshape(m * n_gravs)
+        if wiring.accumulator:
+            ncount = jnp.maximum(tree.node_count.reshape(m * n_gravs), 1.0)
+        else:
+            ncount = jnp.ones_like(nmass)
+        nsoft = jnp.repeat(tree.node_maxsoft, n_gravs)
+        ngrav = jnp.tile(jnp.arange(n_gravs, dtype=jnp.int32), m)
+        cat = jnp.concatenate
+        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+        cols = [cat([tree.pos_s[:, 0], cm[:, 0]]),
+                cat([tree.pos_s[:, 1], cm[:, 1]]),
+                cat([tree.pos_s[:, 2], cm[:, 2]]),
+                cat([tree.mass_s, nmass]),
+                cat([tree.fsoft_s, nsoft]),
+                cat([jnp.ones_like(tree.mass_s), ncount]),
+                bc(cat([tree.grav_s, ngrav])),
+                bc(cat([jnp.arange(n, dtype=jnp.int32),
+                        jnp.full((m * n_gravs,), -2, jnp.int32)]))]
+        z = jnp.zeros_like(cols[0])
+        return jnp.stack(cols + [z] * 8, axis=1)     # [n + m*NG, 16]
 
     @functools.partial(jax.jit, static_argnames=("nb",))
     def _prep(tree: Octree, tgt: jnp.ndarray, nb: int):
@@ -495,6 +574,7 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
             [tgt_sorted, jnp.full((pad,), -1, jnp.int32)]) if pad else tgt_sorted
         nb = tgt.shape[0] // group_size
         prep = _prep(tree, tgt, nb)
+        gsrc = _gsrc(tree)
 
         outs = []
         nbb = nb // block_batch
@@ -502,12 +582,12 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
             sl = jax.tree.map(
                 lambda a: jax.lax.slice_in_dim(
                     a, i * block_batch, (i + 1) * block_batch, axis=0), prep)
-            outs.append(walk_blocks(tree, *sl, rel))
+            outs.append(walk_blocks(tree, gsrc, *sl, rel))
         acc = jnp.concatenate([o[0] for o in outs]).reshape(-1, 3)[:nt]
         pot = jnp.concatenate([o[1] for o in outs]).reshape(-1)[:nt]
         ninter = jnp.concatenate([o[2] for o in outs]).reshape(-1)[:nt]
         ovf = functools.reduce(jnp.logical_or, [o[3] for o in outs])
         mx = lambda k: functools.reduce(jnp.maximum, [o[k] for o in outs])
-        return WalkResult(acc, pot, ninter, ovf, mx(4), mx(5), mx(6))
+        return WalkResult(acc, pot, ninter, ovf, mx(4), mx(5), mx(6), mx(7))
 
     return tree_forces

@@ -134,3 +134,37 @@ def test_tree_partial_targets():
     rel = np.linalg.norm(acc_s - acc_d, axis=1) \
         / np.maximum(np.linalg.norm(acc_d, axis=1), 1e-12)
     assert np.sqrt((rel ** 2).mean()) < 5e-3
+
+
+def test_deep_tree_clustered_core():
+    """Fat-leaf regression: a tight core inside a huge halo needs depth > 10
+    (dual-key Morton levels) or leaf buckets overflow and silently truncate."""
+    rng = np.random.default_rng(3)
+    n = 1500
+    pos = np.concatenate([rng.normal(0, 0.01, (n // 2, 3)),
+                          rng.normal(0, 10.0, (n - n // 2, 3))]).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    grav = np.zeros(n, np.int32)
+    fsoft = np.full(n, 0.005, np.float32)
+    wiring = GravityWiring([[L.Newtonian()]])
+    acc_d, _ = direct_forces(wiring, jnp.asarray(pos), jnp.asarray(mass),
+                             jnp.asarray(grav), jnp.asarray(fsoft))
+    acc_d = np.asarray(acc_d)
+    aold = (0.005 * np.linalg.norm(acc_d, axis=1)).astype(np.float32)
+    tree = build_tree(jnp.asarray(pos), jnp.asarray(mass), jnp.asarray(grav),
+                      jnp.asarray(fsoft), jnp.asarray(aold),
+                      depth=16, n_gravs=1, bucket=16)
+    term = np.asarray(tree.node_terminal)
+    assert np.asarray(tree.node_pcount)[term].max() <= 16  # no fat leaves
+    walk = jax.jit(make_tree_forces(
+        wiring, n_gravs=1, group_size=64, node_list_cap=4096,
+        leaf_list_cap=4096, frontier_cap=2048, bucket=16, depth=16,
+        theta=0.5, opening="relative", block_batch=4, use_pallas=False,
+        src_cap=16384))
+    res = walk(tree, jnp.arange(n, dtype=jnp.int32))
+    assert not bool(res.overflow)
+    acc_t = np.zeros((n, 3), np.float32)
+    acc_t[np.asarray(tree.order)] = np.asarray(res.acc)
+    rel = np.linalg.norm(acc_t - acc_d, axis=1) \
+        / np.maximum(np.linalg.norm(acc_d, axis=1), 1e-12)
+    assert np.sqrt((rel ** 2).mean()) < 1e-3
