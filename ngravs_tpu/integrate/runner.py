@@ -78,7 +78,10 @@ class Simulation:
 
         self.ti_current = 0
         self.flag_fullstep = True
-        self.dt_displacement = cfg.max_size_timestep  # refined when comoving
+        self.dt_displacement = cfg.max_size_timestep  # refined per PM step
+        # PM (long-range) integer-timeline state (timestep.c:350-408)
+        self.pm_ti_begstep = 0
+        self.pm_ti_endstep = 0
         self.num_force_updates = 0
         self.step_count = 0
         self.snapshot_count = 0
@@ -121,6 +124,44 @@ class Simulation:
                         soft_by_type, time_now)
 
         self._kick = jax.jit(kick_fn)
+
+        def pm_kick_fn(p, tstart, tend):
+            """Long-range kick of ALL particles over the PM midpoint window
+            (timestep.c:350-408)."""
+            dt = tables.gravkick_factor(jnp.asarray([tstart], jnp.int32),
+                                        jnp.asarray([tend], jnp.int32))[0]
+            return p.replace(vel=p.vel + p.accel_pm * dt)
+
+        self._pm_kick = jax.jit(pm_kick_fn)
+
+        def dt_disp_fn(p, atime):
+            """find_dt_displacement_constraint (timestep.c:587-651): global
+            RMS-displacement limit, mesh-aware under PMGRID."""
+            if not cfg.pmgrid and not cfg.comoving_integration:
+                return jnp.asarray(cfg.max_size_timestep, jnp.float32)
+            dt_min = jnp.asarray(cfg.max_size_timestep, jnp.float32)
+            box = cfg.box_size
+            for t in range(6):
+                sel = p.ptype == t
+                count = jnp.sum(sel)
+                v2 = jnp.sum(jnp.where(sel[:, None], p.vel ** 2, 0.0))
+                vrms = jnp.sqrt(v2 / jnp.maximum(count, 1))
+                dmean = box / jnp.maximum(count, 1) ** (1.0 / 3)
+                if cfg.pmgrid:
+                    dmean = jnp.minimum(dmean, cfg.asmth * box / cfg.pmgrid)
+                if cfg.comoving_integration:
+                    # physical velocity = v/a; dloga limit (timestep.c:624-642)
+                    a = atime
+                    dt_t = (cfg.max_rms_displacement_fac * units.hubble
+                            * a * a * dmean / jnp.maximum(vrms / a, 1e-30))
+                else:
+                    dt_t = cfg.max_rms_displacement_fac * dmean \
+                        / jnp.maximum(vrms, 1e-30)
+                dt_min = jnp.where(count > 0, jnp.minimum(dt_min, dt_t),
+                                   dt_min)
+            return dt_min
+
+        self._dt_disp = jax.jit(dt_disp_fn)
 
         def active_info(p, ti_current):
             mask = p.ti_endstep == ti_current
@@ -260,6 +301,9 @@ class Simulation:
         # --- find next sync point (run.c:151-236) ---
         n_act, min_glob = self._active_info(self.p, self.ti_current)
         min_glob = int(min_glob)
+        if cfg.pmgrid and min_glob > self.pm_ti_endstep:
+            # a PM step forces a full synchronization (run.c:175-181)
+            min_glob = self.pm_ti_endstep
 
         # snapshots due strictly before the sync point
         while self._next_output <= self.time_at(min_glob) + 1e-12 \
@@ -288,7 +332,14 @@ class Simulation:
                 f"Begin Step {self.step_count}, Time: {self.time:.8g}, "
                 f"Active: {int(n_act)}\n")
 
-        # --- forces ---
+        # --- forces: long-range PM first when due (accel.c:34-42) ---
+        if cfg.pmgrid and self.ti_current == self.pm_ti_endstep:
+            t0 = _time.time()
+            accel_pm = self.solver.pm_forces(self.p)
+            self.p = self.p.replace(accel_pm=accel_pm)
+            self.dt_displacement = float(self._dt_disp(self.p, self.time))
+            self.cpu_timers["pm"] = self.cpu_timers.get("pm", 0.0) \
+                + _time.time() - t0
         self.compute_forces()
 
         # --- statistics ---
@@ -300,6 +351,20 @@ class Simulation:
         t0 = _time.time()
         self.p, self.sph = self._kick(self.p, self.sph, self.ti_current,
                                       self.time, self.dt_displacement)
+        # PM long-range kick over the PM midpoint window (timestep.c:350-408)
+        if cfg.pmgrid and self.ti_current == self.pm_ti_endstep:
+            from ..integrate.timeline import pow2_floor_i32
+            tbi = self.tbi
+            ti_step = max(1, min(int(self.dt_displacement / tbi),
+                                 C.TIMEBASE - self.ti_current))
+            ti_step = int(pow2_floor_i32(jnp.asarray(ti_step, jnp.int32)))
+            if self.ti_current == C.TIMEBASE:
+                ti_step = 0
+            tstart = (self.pm_ti_begstep + self.pm_ti_endstep) // 2
+            tend = self.pm_ti_endstep + ti_step // 2
+            self.p = self._pm_kick(self.p, tstart, tend)
+            self.pm_ti_begstep = self.pm_ti_endstep
+            self.pm_ti_endstep = self.pm_ti_endstep + ti_step
         self.p.vel.block_until_ready()
         self.cpu_timers["timeline"] += _time.time() - t0
 

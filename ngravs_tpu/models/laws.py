@@ -68,6 +68,12 @@ class ForceLaw:
         # reference `normed_pgdelta` (ngravs.c:400)
         return jnp.ones_like(k2)
 
+    # --- periodic lattice (Ewald) correction kind (see ops/lattice.py) ---
+    def lattice_kind(self):
+        """(kind, params) selecting the lattice correction tables; Newtonian
+        laws use the classic Ewald sum (reference wires `ewald_force`)."""
+        return "newton", {}
+
     # --- combined helpers used by the solvers ---
     def force_factor(self, tm, sm, r2, r, h, n):
         """fac such that acc += (x_s - x_t) * fac, softening switch included.
@@ -86,6 +92,28 @@ class ForceLaw:
         unsoft = -self.potential(tm, sm, r2, r, n)
         soft = self.spline_pot(tm, sm, h, r, n)
         return jnp.where(r >= h, unsoft, soft)
+
+    # --- TreePM short-range variants (forcetree.c:1958-2027, 3104-3145) ---
+    def force_factor_tpm(self, tm, sm, r2, r, h, n, lr):
+        """Like force_factor but with the tabulated long-range part `lr`
+        (mass-normalized, = utor2wpi * ftab[u]) subtracted outside the
+        softening radius."""
+        unsoft = (self.accel(tm, sm, r2, r, n) - sm * lr) * _safe_inv(r)
+        soft = self.spline(tm, sm, h, r, n)
+        return jnp.where(r >= h, unsoft, soft)
+
+    def potential_factor_tpm(self, tm, sm, r2, r, h, n, lrp):
+        unsoft = -(self.potential(tm, sm, r2, r, n) - sm * lrp)
+        soft = self.spline_pot(tm, sm, h, r, n)
+        return jnp.where(r >= h, unsoft, soft)
+
+    def kernel_shortrange(self):
+        """Analytic short-range truncation usable inside the Pallas kernel
+        (no table gathers), or None if only the tabulated path works.
+        Returns (sf, sp): fac_unsoft = accel * sf(u) / r and
+        pot_unsoft = -potential * sp(u), with u = r / (2 Asmth).  Laws
+        override where a closed form exists (Newton: erfc-based)."""
+        return None
 
     def __repr__(self):
         return f"<law {self.name}>"
@@ -133,10 +161,28 @@ class NoneLaw(ForceLaw):
     spline_pot = lambda self, tm, sm, h, r, n: jnp.zeros_like(r)
     greens = lambda self, k2, k: jnp.zeros_like(k2)
     normed_greens = lambda self, k2, k: jnp.zeros_like(k2)
+    lattice_kind = lambda self: ("none", {})
 
 
 class Newtonian(ForceLaw):
     name = "Newton"
+
+    def kernel_shortrange(self):
+        # classic TreePM truncation: erfc(u) + 2u/sqrt(pi) exp(-u^2)
+        # (equals 1 - utor2wpi*ftab*r^2/sm for the Newtonian Green's fn).
+        # Pallas TPU lowers neither erf nor erfc, so use the
+        # Abramowitz-Stegun 7.1.26 rational approximation (|err| < 1.5e-7,
+        # exp-only — VPU friendly).
+        def erfc_(u):
+            t = 1.0 / (1.0 + 0.3275911 * u)
+            poly = t * (0.254829592 + t * (-0.284496736 + t * (
+                1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+            return poly * jnp.exp(-u * u)
+
+        def sf(u):
+            return erfc_(u) + 2 * u / math.sqrt(math.pi) * jnp.exp(-u * u)
+
+        return sf, erfc_
 
 
 class NegNewtonian(ForceLaw):
@@ -160,6 +206,9 @@ class NegNewtonian(ForceLaw):
 
     def normed_greens(self, k2, k):
         return -jnp.ones_like(k2)
+
+    def lattice_kind(self):
+        raise NotImplementedError("NegNewtonian has no periodic wiring")
 
 
 class Yukawa(ForceLaw):
@@ -203,6 +252,11 @@ class Yukawa(ForceLaw):
         ym = self._norm_ym()
         return k2 / (k2 + ym * ym) * jnp.exp(-ym * ym * 0.25)
 
+    def lattice_kind(self):
+        # reference wires yukawa_lattice_force with YUKAWA_IMASS dimensionless
+        # per box length (ngravs.c:246-252)
+        return "yukawa", {"ym": self.yukawa_imass}
+
     def _norm_ym(self):
         # gridKtoNormK (ngravs_core.c:21-35): converts mesh-cell wavenumber to
         # the dimensionless units of the shortrange interpolation table where
@@ -234,6 +288,9 @@ class ColoYuk(ForceLaw):
 
     def normed_greens(self, k2, k):
         return self.yuk.normed_greens(k2, k) + self.newton.normed_greens(k2, k)
+
+    def lattice_kind(self):
+        return "coloyuk", {"ym": self.yuk.yukawa_imass}
 
 
 # ---------------------------------------------------------------------------
@@ -302,6 +359,10 @@ class BamBam(ForceLaw):
         return _bam_core_pot(rho, self._eta(tm, sm, n), r)
 
     spline_pot = potential
+
+    def lattice_kind(self):
+        raise NotImplementedError(
+            "BAM laws have no periodic wiring in the reference")
 
 
 class SourceBamBaryon(BamBam):

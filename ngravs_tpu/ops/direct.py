@@ -73,6 +73,7 @@ def pairwise_forces(
     box: float = 0.0,
     chunk: int = 1024,
     want_pot: bool = True,
+    lattice_tables=None,
 ):
     """Forces of all sources on all targets; returns (acc [Nt,3], pot [Nt]).
 
@@ -111,6 +112,19 @@ def pairwise_forces(
                              t.grav, src.grav, r2, r, h,
                              jnp.ones_like(r), want_pot)
         fac = jnp.where(valid, fac, 0.0)
+        if lattice_tables is not None:
+            # periodic lattice (Ewald) correction per pair
+            # (force_treeevaluate_direct includes it, forcetree.c:3471-3530)
+            from .lattice import lattice_correction
+            pidx = (t.grav[:, None] * wiring.n_gravs
+                    + src.grav[None, :]).astype(jnp.int32)
+            fcx, fcy, fcz, pc = lattice_correction(
+                lattice_tables, 2 * (lattice_tables.shape[1] - 1) / box,
+                dxs[0], dxs[1], dxs[2], pidx)
+            sm = jnp.where(valid, src.mass[None, :], 0.0)
+            lat_acc = jnp.stack([jnp.sum(sm * fcx, axis=-1),
+                                 jnp.sum(sm * fcy, axis=-1),
+                                 jnp.sum(sm * fcz, axis=-1)], axis=-1)
         # Accumulate sum_s fac*(x_s - x_t) against dx directly.  (The MXU
         # form `fac @ x_s - rowsum(fac) * x_t` is 3x cheaper but suffers
         # catastrophic f32 cancellation when |x| >> |dx| for close pairs —
@@ -118,8 +132,13 @@ def pairwise_forces(
         # numerically safe contraction is used unconditionally.)
         acc = jnp.stack([jnp.sum(fac * dxs[d], axis=-1) for d in range(3)],
                         axis=-1)
+        if lattice_tables is not None:
+            acc = acc + lat_acc
         if want_pot:
             pot = jnp.sum(jnp.where(valid, pot, 0.0), axis=1)
+            if lattice_tables is not None:
+                # periodic potential correction (potential.c:253-258)
+                pot = pot + jnp.sum(sm * pc, axis=-1)
         else:
             pot = jnp.zeros((pt.shape[0],), pt.dtype)
         return acc, pot
@@ -138,6 +157,7 @@ def direct_forces(
     box: float = 0.0,
     chunk: int = 1024,
     want_pot: bool = True,
+    lattice_tables=None,
 ):
     """All-sources-on-selected-targets wrapper over `pairwise_forces`."""
     n = pos.shape[0]
@@ -151,7 +171,7 @@ def direct_forces(
                             fsoft=fsoft[safe],
                             gid=jnp.where(tgt_idx >= 0, safe, -1).astype(jnp.int32))
     return pairwise_forces(wiring, tgt, src, box=box, chunk=chunk,
-                           want_pot=want_pot)
+                           want_pot=want_pot, lattice_tables=lattice_tables)
 
 
 def direct_forces_numpy(wiring: GravityWiring, pos, mass, grav, fsoft,

@@ -54,7 +54,8 @@ def make_pairwise_kernel(wiring: GravityWiring, n_gravs: int,
                          group: int, s_chunk: int = 512,
                          box_size: float = 0.0,
                          want_pot: bool = True,
-                         accumulator: bool | None = None):
+                         accumulator: bool | None = None,
+                         treepm_asmth: float = 0.0):
     """Returns fn(targets, sources) -> (acc [B*G,3], pot [B*G], nia [B*G]).
 
     targets: dict of [B*G, 1] arrays: x, y, z, mass, grav(i32), fsoft,
@@ -66,6 +67,30 @@ def make_pairwise_kernel(wiring: GravityWiring, n_gravs: int,
     single_law = len(groups) == 1
     periodic = box_size > 0
     use_count = wiring.accumulator if accumulator is None else accumulator
+    treepm = treepm_asmth > 0
+    inv2a = 0.5 / treepm_asmth if treepm else 0.0
+
+    def law_factors(law, tmass, smass, r2, r, h, scount):
+        """force/potential factors, analytic-truncated under TreePM
+        (forcetree.c:1958-2027 with the law's closed form)."""
+        if not treepm:
+            fac = law.force_factor(tmass, smass, r2, r, h, scount)
+            pot = law.potential_factor(tmass, smass, r2, r, h, scount) \
+                if want_pot else None
+            return fac, pot
+        u = r * inv2a
+        sf, sp = law.kernel_shortrange()
+        unsoft = law.accel(tmass, smass, r2, r, scount) * sf(u) \
+            / jnp.maximum(r, 1e-37)
+        soft = law.spline(tmass, smass, h, r, scount)
+        inside = u < 3.0
+        fac = jnp.where(inside, jnp.where(r >= h, unsoft, soft), 0.0)
+        pot = None
+        if want_pot:
+            punsoft = -law.potential(tmass, smass, r2, r, scount) * sp(u)
+            psoft = law.spline_pot(tmass, smass, h, r, scount)
+            pot = jnp.where(inside, jnp.where(r >= h, punsoft, psoft), 0.0)
+        return fac, pot
 
     def kernel(nsrc, tx, ty, tz, tm, tg, tf, tgid, sp, out, accbuf):
         i = pl.program_id(1)
@@ -105,9 +130,7 @@ def make_pairwise_kernel(wiring: GravityWiring, n_gravs: int,
 
             if single_law:
                 law = groups[0][0]
-                fac = law.force_factor(tmass, smass, r2, r, h, scount)
-                pot = law.potential_factor(tmass, smass, r2, r, h, scount) \
-                    if want_pot else None
+                fac, pot = law_factors(law, tmass, smass, r2, r, h, scount)
             else:
                 tgv = tg[:, :]
                 sgv = pltpu.bitcast(sp[0, IGRAV:IGRAV + 1, :], jnp.int32)
@@ -115,10 +138,10 @@ def make_pairwise_kernel(wiring: GravityWiring, n_gravs: int,
                 pot = jnp.zeros_like(r2) if want_pot else None
                 for law, slots in groups:
                     m = _pair_mask_expr(slots, tgv, sgv)
-                    f_k = law.force_factor(tmass, smass, r2, r, h, scount)
+                    f_k, p_k = law_factors(law, tmass, smass, r2, r, h,
+                                           scount)
                     fac = jnp.where(m, f_k, fac)
                     if want_pot:
-                        p_k = law.potential_factor(tmass, smass, r2, r, h, scount)
                         pot = jnp.where(m, p_k, pot)
             fac = jnp.where(valid, fac, 0.0)
 

@@ -1,0 +1,175 @@
+"""Periodic particle-mesh (PM) long-range gravity.
+
+Rebuild of `pm_periodic.c` (pmforce_periodic :204, pmpotential_periodic :798)
+as XLA array programs: CIC scatter via `segment_sum`-style index adds, a
+single `jnp.fft.rfftn`, the per-pair ngravs Green's-function multiply with
+Gaussian truncation and CIC deconvolution (pm_periodic.c:436-520), inverse
+FFT, 4th-order finite-difference gradient (pm_periodic.c:686-726), and CIC
+gather back to the receiver particles.
+
+The reference runs the whole pipeline once per (source nA, receiver nB)
+gravity pair (pm_periodic.c:288-291); we do the same but share one forward
+FFT per *source* gravity.
+
+Units follow the reference's contract: Green's functions take k in mesh
+cells in [-PMGRID/2, PMGRID/2], normalized so the Newtonian 4*pi*G/k_phys^2
+becomes 1/k_mesh^2 (ngravs.c:818-824); physical scaling G/(pi*L) is applied
+at the finite-difference stage (pm_periodic.c:232-238).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.wiring import GravityWiring
+
+ASMTH = 1.25   # Makefile.reference default; cfg.asmth overrides
+RCUT = 4.5
+
+
+def cic_assign(pos, weight, pmgrid: int, box: float):
+    """Cloud-in-cell mass assignment -> [pmgrid]^3 grid
+    (pm_periodic.c:297-331)."""
+    fac = pmgrid / box
+    u = pos * fac
+    i0 = jnp.floor(u).astype(jnp.int32)
+    d = u - i0
+    i0 = jnp.mod(i0, pmgrid)
+    i1 = jnp.mod(i0 + 1, pmgrid)
+    grid = jnp.zeros((pmgrid, pmgrid, pmgrid), weight.dtype)
+    for bx, wx in ((i0[:, 0], 1 - d[:, 0]), (i1[:, 0], d[:, 0])):
+        for by, wy in ((i0[:, 1], 1 - d[:, 1]), (i1[:, 1], d[:, 1])):
+            for bz, wz in ((i0[:, 2], 1 - d[:, 2]), (i1[:, 2], d[:, 2])):
+                grid = grid.at[bx, by, bz].add(weight * wx * wy * wz)
+    return grid
+
+
+def cic_readout(grid, pos, pmgrid: int, box: float):
+    """Trilinear interpolation of a grid at particle positions
+    (pm_periodic.c:728-763)."""
+    fac = pmgrid / box
+    u = pos * fac
+    i0 = jnp.floor(u).astype(jnp.int32)
+    d = u - i0
+    i0 = jnp.mod(i0, pmgrid)
+    i1 = jnp.mod(i0 + 1, pmgrid)
+    out = jnp.zeros(pos.shape[:-1], grid.dtype)
+    for bx, wx in ((i0[..., 0], 1 - d[..., 0]), (i1[..., 0], d[..., 0])):
+        for by, wy in ((i0[..., 1], 1 - d[..., 1]), (i1[..., 1], d[..., 1])):
+            for bz, wz in ((i0[..., 2], 1 - d[..., 2]), (i1[..., 2], d[..., 2])):
+                out = out + grid[bx, by, bz] * wx * wy * wz
+    return out
+
+
+def _kgrid(pmgrid: int):
+    """Mesh-cell wavenumbers for rfftn layout: kx,ky full, kz half."""
+    k = np.fft.fftfreq(pmgrid) * pmgrid        # [-G/2, G/2)
+    kz = np.arange(pmgrid // 2 + 1)
+    kx = k[:, None, None]
+    ky = k[None, :, None]
+    kz = kz[None, None, :]
+    return kx, ky, kz
+
+
+def _deconv_smth(wiring: GravityWiring, tg: int, sg: int, pmgrid: int,
+                 asmth_cells: float):
+    """k-space multiplier: greens * exp(-k2*asmth2) * CIC-deconvolution^4
+    (pm_periodic.c:456-515), as a numpy f64 [G,G,G/2+1] array baked per pair."""
+    kx, ky, kz = _kgrid(pmgrid)
+    k2 = kx * kx + ky * ky + kz * kz
+    kmag = np.sqrt(k2)
+    sinc = lambda t: np.where(t == 0, 1.0, np.sin(np.pi * t / pmgrid)
+                              / np.where(t == 0, 1.0, np.pi * t / pmgrid))
+    ff = sinc(kx) * sinc(ky) * sinc(kz)
+    asmth2 = (2 * math.pi * asmth_cells / pmgrid) ** 2
+    law = wiring.law(tg, sg)
+    greens = np.asarray(jax.device_get(
+        law.greens(jnp.asarray(k2), jnp.asarray(kmag))), np.float64)
+    smth = greens * np.exp(-k2 * asmth2) / np.maximum(ff, 1e-8) ** 4
+    smth[0, 0, 0] = 0.0  # kill DC mode (pm_periodic.c:519-520)
+    return smth
+
+
+class PMSolver:
+    """Periodic PM force/potential for an ngravs wiring (single device).
+
+    Per-pair k-space multipliers are precomputed on host in f64 and stored
+    as device arrays; `forces` shares one rfftn per source gravity.
+    """
+
+    def __init__(self, wiring: GravityWiring, pmgrid: int, box: float,
+                 n_gravs: int, g_const: float, asmth_cells: float = ASMTH):
+        self.pmgrid = int(pmgrid)
+        self.box = float(box)
+        self.n_gravs = n_gravs
+        self.G = float(g_const)
+        self.asmth_cells = float(asmth_cells)
+        self.asmth = asmth_cells * box / pmgrid        # length units
+        self.rcut = RCUT * self.asmth
+        smth = np.stack([np.stack([
+            _deconv_smth(wiring, tg, sg, self.pmgrid, asmth_cells)
+            for sg in range(n_gravs)]) for tg in range(n_gravs)])
+        self.smth = jnp.asarray(smth, jnp.float32)     # [NG,NG,G,G,G/2+1]
+        self._forces = jax.jit(self._forces_impl)
+        self._potential = jax.jit(self._potential_impl)
+
+    # ------------------------------------------------------------------
+    def _phi_k(self, pos, mass, grav, sg):
+        w = jnp.where(grav == sg, mass, 0.0)
+        rho = cic_assign(pos, w, self.pmgrid, self.box)
+        return jnp.fft.rfftn(rho)
+
+    def _forces_impl(self, pos, mass, grav):
+        """PM accelerations [N,3] (times G), all gravity pairs.
+
+        Normalization: with the DFT pair rho_k = fftn(mass grid) and
+        jnp.irfftn carrying 1/N^3, psi = (G N^3 / (pi L)) * irfftn(rho_k *
+        greens * ...) equals minus the physical potential (greens being
+        1/k_mesh^2-normalized, ngravs.c:382-400); acc = +grad(psi).
+        Equivalent to the reference's fac = G/(pi L) with FFTW's
+        unnormalized transforms (pm_periodic.c:231-238).
+        """
+        g = self.pmgrid
+        fac = self.G / (math.pi * self.box) * (g ** 3)
+        h = self.box / g
+        acc = jnp.zeros_like(pos)
+        for sg in range(self.n_gravs):
+            rho_k = self._phi_k(pos, mass, grav, sg)
+            for tg in range(self.n_gravs):
+                psi = jnp.fft.irfftn(rho_k * self.smth[tg, sg], s=(g, g, g))
+                recv = grav == tg
+                for dim in range(3):
+                    # 4th-order centered difference (pm_periodic.c:686-726)
+                    d1 = (jnp.roll(psi, -1, axis=dim)
+                          - jnp.roll(psi, 1, axis=dim))
+                    d2 = (jnp.roll(psi, -2, axis=dim)
+                          - jnp.roll(psi, 2, axis=dim))
+                    grad = (4.0 / 3 * d1 - 1.0 / 6 * d2) / (2 * h)
+                    a = cic_readout(grad, pos, g, self.box)
+                    acc = acc.at[:, dim].add(jnp.where(recv, a * fac, 0.0))
+        return acc
+
+    def _potential_impl(self, pos, mass, grav):
+        """PM potential [N] (times G) — pmpotential_periodic
+        (pm_periodic.c:798)."""
+        g = self.pmgrid
+        fac = self.G / (math.pi * self.box) * (g ** 3)
+        pot = jnp.zeros(pos.shape[0], pos.dtype)
+        for sg in range(self.n_gravs):
+            rho_k = self._phi_k(pos, mass, grav, sg)
+            for tg in range(self.n_gravs):
+                psi = jnp.fft.irfftn(rho_k * self.smth[tg, sg], s=(g, g, g))
+                v = cic_readout(psi, pos, g, self.box)
+                pot = pot - jnp.where(grav == tg, v * fac, 0.0)
+        return pot
+
+    def forces(self, pos, mass, grav):
+        return self._forces(pos, mass, grav)
+
+    def potential(self, pos, mass, grav):
+        return self._potential(pos, mass, grav)

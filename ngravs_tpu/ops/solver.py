@@ -52,6 +52,26 @@ class GravitySolver:
         self.fsoft_by_type = jnp.asarray(fsoft_by_type)
         self.depth = cfg.tree_depth
         self._fat_warned = False
+        # periodic pure-tree runs need the lattice (Ewald) correction tables
+        # (begrun.c:47-49: lattice_init when PERIODIC && !PMGRID)
+        self.lattice_tables = None
+        if cfg.periodic and not cfg.pmgrid:
+            from .lattice import build_lattice_tables
+            self.lattice_tables = build_lattice_tables(
+                wiring, cfg.ngravs_en, cfg.box_size)
+        # TreePM: PM solver + short-range transition tables
+        # (long_range_init, longrange.c:20; tabulation forcetree.c:3274)
+        self.pm = None
+        self.treepm = None
+        if cfg.pmgrid:
+            from .pm import PMSolver
+            from .shortrange import shortrange_tables
+            self.pm = PMSolver(wiring, cfg.pmgrid, cfg.box_size,
+                               cfg.n_gravs, g_const, asmth_cells=cfg.asmth)
+            self.pm.rcut = cfg.rcut * self.pm.asmth
+            sr_ftab, sr_ptab = shortrange_tables(wiring, ntab=cfg.ntab)
+            self.treepm = dict(sr_ftab=sr_ftab, sr_ptab=sr_ptab,
+                               asmth=self.pm.asmth, rcut=self.pm.rcut)
         self.caps = dict(node=cfg.tree_node_list_cap,
                          leaf=cfg.tree_leaf_list_cap,
                          frontier=cfg.tree_frontier_cap,
@@ -78,7 +98,9 @@ class GravitySolver:
             theta=cfg.err_tol_theta,
             opening="relative",
             box_size=cfg.box_size if cfg.periodic else 0.0,
-            block_batch=cfg.tree_block_batch)
+            block_batch=cfg.tree_block_batch,
+            lattice_tables=self.lattice_tables,
+            treepm=self.treepm)
         self._fns[key] = walk
         return walk
 
@@ -154,7 +176,8 @@ class GravitySolver:
             tgt = jnp.nonzero(mask, size=s, fill_value=-1)[0].astype(jnp.int32)
             acc, pot = direct_forces(wiring, p.pos, p.mass, p.grav, fsoft,
                                      tgt_idx=tgt, box=box,
-                                     chunk=min(1024, s))
+                                     chunk=min(1024, s),
+                                     lattice_tables=self.lattice_tables)
             acc, pot = acc * G, pot * G
             idx = jnp.where(tgt >= 0, tgt, p.n)  # padding dropped
             new_acc = p.accel.at[idx].set(acc, mode="drop")
@@ -168,6 +191,11 @@ class GravitySolver:
         self._fns[key] = fn
         return fn
 
+    def pm_forces(self, p):
+        """Long-range PM accelerations for ALL particles (long_range_force,
+        longrange.c:56 -> pmforce_periodic)."""
+        return self.pm.forces(p.pos, p.mass, p.grav)
+
     # ------------------------------------------------------------------
     def compute(self, p, ti_current, n_active: int, opening: str = "relative"):
         """Compute forces for the active set; returns (particles', n_ia).
@@ -177,7 +205,11 @@ class GravitySolver:
         """
         s = _bucket(min(n_active, p.n) if n_active else p.n)
         s = min(s, _bucket(p.n))
-        if self.cfg.solver == "direct" or p.n <= 2 * self.cfg.tree_group_size:
+        # under TreePM the direct path would double-count the long range
+        use_direct = (self.cfg.solver == "direct"
+                      or p.n <= 2 * self.cfg.tree_group_size) \
+            and self.treepm is None
+        if use_direct:
             r = self._direct_fn(s)(p, ti_current)
             p = p.replace(accel=r.acc, potential=r.pot, old_acc=r.old_acc,
                           grav_cost=r.grav_cost)

@@ -266,29 +266,57 @@ class WalkResult(NamedTuple):
 
 
 def _pair_force(wiring: GravityWiring, tgrav, tmass, tfsoft,
-                dx, r2, smass, sgrav_idx, ssoft, scount, want_pot: bool):
+                dx, r2, smass, sgrav_idx, ssoft, scount, want_pot: bool,
+                treepm=None):
     """Evaluate the wiring over a [T, S] tile for a *fixed source gravity*
     column type (sgrav_idx int array [..S]) — shared by node and leaf evals.
 
     Returns (fac [T,S], pot [T,S]).  fac multiplies dx (source - target).
+
+    treepm: optional (sr_ftab, sr_ptab, asmth, ntab) — switches to the
+    short-range truncated factors and zeroes pairs beyond the table
+    (forcetree.c:1958-2027).
     """
+    from .shortrange import longrange_force_factor, longrange_pot_factor
+
     r = jnp.sqrt(r2)
     h = jnp.maximum(tfsoft[..., :, None], ssoft)
     groups = wiring.unique_laws()
+    ng = wiring.n_gravs
+    if len(groups) > 1 or treepm is not None:
+        pair_full = tgrav[..., :, None] * ng + sgrav_idx
     if len(groups) > 1:
         pair_idx = jnp.asarray(wiring.pair_index_matrix())
         pair_of = pair_idx[tgrav[..., :, None], sgrav_idx]
     else:
         pair_of = None
+    if treepm is not None:
+        sr_ftab, sr_ptab, asmth, ntab = treepm
+        lr, inside = longrange_force_factor(sr_ftab, asmth, ntab, r,
+                                            pair_full)
+        lrp, _ = longrange_pot_factor(sr_ptab, asmth, ntab, r, pair_full)
     fac = jnp.zeros_like(r)
     pot = jnp.zeros_like(r) if want_pot else None
     for k, (law, _) in enumerate(groups):
-        f_k = law.force_factor(tmass[..., :, None], smass, r2, r, h, scount)
+        if treepm is None:
+            f_k = law.force_factor(tmass[..., :, None], smass, r2, r, h,
+                                   scount)
+        else:
+            f_k = law.force_factor_tpm(tmass[..., :, None], smass, r2, r, h,
+                                       scount, lr)
         fac = f_k if pair_of is None else jnp.where(pair_of == k, f_k, fac)
         if want_pot:
-            p_k = law.potential_factor(tmass[..., :, None], smass, r2, r, h,
-                                       scount)
+            if treepm is None:
+                p_k = law.potential_factor(tmass[..., :, None], smass, r2, r,
+                                           h, scount)
+            else:
+                p_k = law.potential_factor_tpm(tmass[..., :, None], smass,
+                                               r2, r, h, scount, lrp)
             pot = p_k if pair_of is None else jnp.where(pair_of == k, p_k, pot)
+    if treepm is not None:
+        fac = jnp.where(inside, fac, 0.0)
+        if want_pot:
+            pot = jnp.where(inside, pot, 0.0)
     return fac, pot
 
 
@@ -307,6 +335,8 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
                      src_cap: int | None = None,
                      use_pallas: bool | None = None,
                      s_chunk: int = 512,
+                     lattice_tables=None,
+                     treepm: dict | None = None,
                      _debug_skip: str | None = None):
     """Build the walk: a host loop over block batches calling ONE jitted
     batch kernel (fixed shapes — compiled exactly once per configuration,
@@ -321,13 +351,30 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
     rup = lambda x: max(s_chunk, ((x + s_chunk - 1) // s_chunk) * s_chunk)
     src_cap = rup(node_list_cap * n_gravs + leaf_list_cap * bucket // 4
                   if src_cap is None else src_cap)
+    fac_intp = (2 * (lattice_tables.shape[1] - 1) / box_size
+                if lattice_tables is not None else 0.0)
+    # treepm: dict(sr_ftab, sr_ptab, asmth, ntab, rcut) — short-range walk
+    # (forcetree.c:1623: Rcut box-discard + tabulated truncation)
+    tpm_tuple = None
+    rcut = 0.0
+    if treepm is not None:
+        tpm_tuple = (treepm["sr_ftab"], treepm["sr_ptab"],
+                     float(treepm["asmth"]), int(treepm["sr_ftab"].shape[-1]))
+        rcut = float(treepm["rcut"])
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and treepm is not None:
+        # the kernel cannot gather tables; it needs an analytic closed form
+        # from every law in the wiring
+        if any(law.kernel_shortrange() is None
+               for law, _ in wiring.unique_laws()):
+            use_pallas = False
     if use_pallas:
         from .pairwise_pallas import make_pairwise_kernel
         pair_kernel = make_pairwise_kernel(
             wiring, n_gravs, group=group_size, s_chunk=s_chunk,
-            box_size=box_size, want_pot=want_pot)
+            box_size=box_size, want_pot=want_pot,
+            treepm_asmth=(float(treepm["asmth"]) if treepm else 0.0))
     else:
         pair_kernel = None
 
@@ -373,14 +420,21 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
             cell_len = tree.root_len / (1 << lvl)
 
             # min distance^2 from block bbox to each per-gravity CM
-            # (conservative analog of forcetree.c:1364-1392's r2min)
-            d = jnp.maximum(lo[:, None, None, :] - cm,
-                            cm - hi[:, None, None, :])
-            if periodic:
-                # wrapped distance: reduce per-axis gap by min-image
-                d = jnp.minimum(jnp.maximum(d, 0.0),
-                                jnp.abs(min_image(jnp.maximum(d, 0.0))))
-            d = jnp.maximum(d, 0.0)
+            # (conservative analog of forcetree.c:1364-1392's r2min).
+            # Periodic: the point may sit across the wrap, so take the min
+            # gap over the three nearest images per axis.
+            def bbox_gap(point, lo_b, hi_b):
+                g = jnp.maximum(lo_b - point, point - hi_b)
+                if periodic:
+                    gp = jnp.maximum(lo_b - point - box_size,
+                                     point + box_size - hi_b)
+                    gm = jnp.maximum(lo_b - point + box_size,
+                                     point - box_size - hi_b)
+                    g = jnp.minimum(g, jnp.minimum(gp, gm))
+                return g
+
+            d = jnp.maximum(
+                bbox_gap(cm, lo[:, None, None, :], hi[:, None, None, :]), 0.0)
             r2g = jnp.sum(d * d, axis=-1)                     # [bb,f,NG]
             r2min = jnp.min(jnp.where(m_g > 0, r2g, big), axis=-1)  # [bb,f]
             mtot = jnp.sum(m_g, axis=-1)
@@ -393,12 +447,17 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
             # block bbox within 0.6*len of the node center => always open
             # (covers forcetree.c:1453-1464's inside-node checks, made
             # conservative for the whole block)
-            gap = jnp.maximum(lo[:, None, :] - center,
-                              center - hi[:, None, :])
-            if periodic:
-                gap = jnp.minimum(gap, jnp.abs(min_image(jnp.maximum(gap, 0.0))))
+            gap = bbox_gap(center, lo[:, None, :], hi[:, None, :])
             intersects = jnp.all(gap < 0.6 * cell_len, axis=-1)
             must_open = must_open | intersects
+
+            if rcut > 0:
+                # TreePM short-range walk: discard nodes whose cell lies
+                # entirely beyond Rcut from the block (the per-axis
+                # box-discard of forcetree.c:1828-1862)
+                ngap = bbox_gap(center, lo[:, None, :], hi[:, None, :])
+                beyond = jnp.any(ngap - 0.5 * cell_len > rcut, axis=-1)
+                nvalid = nvalid & ~beyond
 
             accept = nvalid & ~must_open
             rest = nvalid & must_open
@@ -501,7 +560,7 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
                 wiring, tgrav, tmass, tfsoft, None, r2,
                 spacked[:, 3, None, :], ub(6)[:, None, :],
                 spacked[:, 4, None, :], spacked[:, 5, None, :],
-                want_pot)
+                want_pot, treepm=tpm_tuple)
             w = (sgid[:, None, :] != -1) & tvalid[:, :, None] \
                 & (sgid[:, None, :] != tgid[:, :, None])
             fac = jnp.where(w, fac, 0.0)
@@ -512,6 +571,28 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
             else:
                 pot = jnp.zeros((bb, G), tpos.dtype)
             ninter = jnp.sum(w, axis=-1).astype(jnp.int32)
+
+        if lattice_tables is not None:
+            # periodic lattice (Ewald) correction over the same interaction
+            # list (the reference's second correction walk,
+            # forcetree.c:2077-2432, folded into one pass)
+            from .lattice import lattice_correction
+            ub2 = lambda c: jax.lax.bitcast_convert_type(
+                spacked[:, c, :], jnp.int32)
+            sgid2 = ub2(7)
+            dxs2 = [min_image(spacked[:, d, None, :] - tpos[:, :, None, d])
+                    for d in range(3)]
+            pidx = tgrav[:, :, None] * n_gravs + ub2(6)[:, None, :]
+            fcx, fcy, fcz, _pc = lattice_correction(
+                lattice_tables, fac_intp, dxs2[0], dxs2[1], dxs2[2], pidx)
+            w2 = (sgid2[:, None, :] != -1) & tvalid[:, :, None] \
+                & (sgid2[:, None, :] != tgid[:, :, None])
+            sm2 = jnp.where(w2, spacked[:, 3, None, :], 0.0)
+            acc = acc + jnp.stack([jnp.sum(sm2 * fcx, axis=-1),
+                                   jnp.sum(sm2 * fcy, axis=-1),
+                                   jnp.sum(sm2 * fcz, axis=-1)], axis=-1)
+            if want_pot:
+                pot = pot + jnp.sum(sm2 * _pc, axis=-1)
 
         return (acc, pot, ninter, overflow, max_nodes, max_leaves,
                 max_frontier, max_src)

@@ -1,0 +1,112 @@
+"""TreePM: PM long-range + short-range tree with tabulated transition.
+
+Accuracy oracle: direct summation with Ewald lattice correction (the exact
+periodic force), as in the reference's FORCETEST under PMGRID
+(gravtree_forcetest.c:46-49).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.special import erf
+
+from ngravs_tpu.config import SimulationConfig
+from ngravs_tpu.models import laws as L
+from ngravs_tpu.models.wiring import GravityWiring
+from ngravs_tpu.ops import lattice as LAT
+from ngravs_tpu.ops.direct import direct_forces
+from ngravs_tpu.ops.pm import PMSolver
+from ngravs_tpu.ops.shortrange import shortrange_tables, UMAX
+from ngravs_tpu.ops.tree import build_tree, make_tree_forces
+
+
+def test_shortrange_tables_newton_analytic():
+    """The numeric transition tables must reproduce the classic analytic
+    Newtonian truncation to near machine accuracy (ngravs_core.c:38-43)."""
+    w = GravityWiring([[L.Newtonian()]])
+    ftab, ptab = shortrange_tables(w, ntab=256)
+    u = UMAX / 256 * (np.arange(256) + 0.5)
+    fexp = np.pi * (erf(u) - 2 * u / np.sqrt(np.pi) * np.exp(-u * u)) / u ** 2
+    pexp = np.pi * erf(u) / u
+    assert np.abs(np.asarray(ftab)[0, 0] / fexp - 1).max() < 1e-5
+    assert np.abs(np.asarray(ptab)[0, 0] / pexp - 1).max() < 1e-5
+
+
+def _exact_periodic(w, pos, mass, grav, fsoft, box, en=16):
+    tab = LAT.lattice_tables_for("newton", en, cache=False)
+    tabs = np.zeros((1, en + 1, en + 1, en + 1, 4))
+    tabs[0] = tab
+    tabs[..., :3] /= box * box
+    tabs[..., 3] /= box
+    tabs = jnp.asarray(tabs, jnp.float32)
+    acc, _ = direct_forces(w, jnp.asarray(pos), jnp.asarray(mass),
+                           jnp.asarray(grav), jnp.asarray(fsoft),
+                           box=box, lattice_tables=tabs)
+    return np.asarray(acc)
+
+
+def test_treepm_total_force_vs_exact():
+    box, pmgrid, n = 100.0, 64, 700
+    w = GravityWiring([[L.Newtonian()]])
+    pm = PMSolver(w, pmgrid, box, 1, g_const=1.0)
+    ftab, ptab = shortrange_tables(w, ntab=1024)
+    rng = np.random.default_rng(1)
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    mass = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    grav = np.zeros(n, np.int32)
+    fsoft = np.full(n, 0.5, np.float32)
+
+    acc_exact = _exact_periodic(w, pos, mass, grav, fsoft, box)
+    acc_pm = np.asarray(pm.forces(jnp.asarray(pos), jnp.asarray(mass),
+                                  jnp.asarray(grav)))
+    tree = build_tree(jnp.asarray(pos), jnp.asarray(mass), jnp.asarray(grav),
+                      jnp.asarray(fsoft), jnp.ones(n, jnp.float32),
+                      depth=7, n_gravs=1, bucket=16, box_size=box)
+    tpm = dict(sr_ftab=ftab, sr_ptab=ptab, asmth=pm.asmth, rcut=pm.rcut)
+    walk = make_tree_forces(
+        w, n_gravs=1, group_size=64, node_list_cap=2048, leaf_list_cap=2048,
+        frontier_cap=2048, bucket=16, depth=7, theta=0.5, opening="bh",
+        block_batch=4, box_size=box, use_pallas=False, treepm=tpm)
+    res = walk(tree, jnp.arange(n, dtype=jnp.int32))
+    assert not bool(res.overflow)
+    acc_t = np.zeros((n, 3), np.float32)
+    acc_t[np.asarray(tree.order)] = np.asarray(res.acc)
+    tot = acc_t + acc_pm
+    rel = np.linalg.norm(tot - acc_exact, axis=1) \
+        / np.maximum(np.linalg.norm(acc_exact, axis=1), 1e-12)
+    # Gadget's own TreePM error band is ~1% rms across the transition
+    assert np.sqrt((rel ** 2).mean()) < 2.5e-2
+    # short-range must vanish beyond Rcut: a particle pair at > rcut
+    # interacts through PM only (checked implicitly by the total above)
+
+
+def test_treepm_simulation_runs():
+    """End-to-end: periodic TreePM box through the Simulation main loop
+    (PM stepping + long-range kick)."""
+    from ngravs_tpu.integrate.runner import Simulation
+    from ngravs_tpu.particles import Particles
+
+    box, n = 50.0, 400
+    rng = np.random.default_rng(3)
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=0.05, gravity_constant_internal=1.0,
+        softening=(0.3,) * 6, max_size_timestep=0.01,
+        periodic=True, box_size=box, pmgrid=32, ntab=512,
+        tree_depth=6, tree_bucket_size=16, tree_group_size=64,
+        tree_block_batch=4,
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0, wiring="newton")
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    vel = rng.normal(0, 0.05, (n, 3)).astype(np.float32)
+    p = Particles.create(pos, vel, np.full(n, 1e-2, np.float32),
+                         np.arange(n), np.ones(n, np.int32),
+                         cfg.type_to_grav)
+    sim = Simulation(cfg, particles=p, log_dir="")
+    sim.run(max_steps=6)
+    assert sim.time > 0
+    acc = np.asarray(sim.p.accel)
+    acc_pm = np.asarray(sim.p.accel_pm)
+    assert np.isfinite(acc).all() and np.isfinite(acc_pm).all()
+    assert np.abs(acc_pm).max() > 0  # PM actually ran
+    assert sim.pm_ti_endstep > 0
