@@ -33,6 +33,7 @@ from ..io.gadget_format import (SnapshotData, SnapshotHeader, read_snapshot,
                                 write_snapshot)
 from ..models.wiring import build_wiring
 from ..ops.solver import GravitySolver
+from ..ops.sph import HydroSolver
 from ..particles import Particles, SphState
 from ..units import set_units
 from .kdk import box_wrap, drift, kick
@@ -75,6 +76,19 @@ class Simulation:
         self.p = particles
         self.sph = sph
         self.n_gas = int(np.asarray(self.p.ptype == 0).sum()) if sph is not None else 0
+        if self.sph is not None and self.n_gas > 0 \
+                and float(jnp.max(self.sph.hsml)) == 0.0:
+            # initial smoothing-length guess (setup_smoothinglengths,
+            # init.c:218): from the mean gas interparticle separation
+            gas = np.asarray(self.p.ptype) == 0
+            gpos = np.asarray(self.p.pos)[gas]
+            vol = float(np.prod(gpos.max(0) - gpos.min(0)) + 1e-30)
+            if cfg.periodic and cfg.box_size > 0:
+                vol = cfg.box_size ** 3
+            h0 = (3 * vol * cfg.des_num_ngb
+                  / (4 * math.pi * max(self.n_gas, 1))) ** (1.0 / 3)
+            hs = jnp.where(jnp.asarray(gas), jnp.float32(h0), 0.0)
+            self.sph = self.sph.replace(hsml=hs)
 
         self.ti_current = 0
         self.flag_fullstep = True
@@ -111,7 +125,9 @@ class Simulation:
 
         self.solver = GravitySolver(cfg, wiring, self.force_soft,
                                     self.soft_table, units.G)
+        self.hydro = HydroSolver(cfg, units) if self.sph is not None else None
         self._forces_bootstrapped = False
+        self._entropy_is_u = self.sph is not None and self.n_gas > 0
 
         def drift_fn(p, sph, ti0, ti1):
             p, sph = drift(cfg, p, sph, tables, ti0, ti1)
@@ -225,18 +241,63 @@ class Simulation:
             n_active = int(n_act)
         if n_active == 0:
             return
+        hsml = self.sph.hsml if self.sph is not None else None
         if not self._forces_bootstrapped \
                 and self.cfg.type_of_opening_criterion == 1:
             # relative criterion needs OldAcc: bootstrap with the geometric
             # criterion, then recompute (accel.c:48-52)
-            self.p, _ = self.solver.compute(self.p, self.ti_current,
-                                            n_active, opening="bh")
+            self.p, _, _ = self.solver.compute(self.p, self.ti_current,
+                                               n_active, opening="bh",
+                                               hsml=hsml)
         self._forces_bootstrapped = True
-        self.p, n_ia = self.solver.compute(self.p, self.ti_current, n_active)
+        self.p, n_ia, tree = self.solver.compute(self.p, self.ti_current,
+                                                 n_active, hsml=hsml)
         self.p.accel.block_until_ready()
         self.num_force_updates += n_active
         dt = _time.time() - t0
         self.cpu_timers["gravity"] += dt
+
+        # --- SPH: density + smoothing lengths, then hydro (accel.c:60-89) ---
+        if self.sph is not None and self.n_gas > 0:
+            t1 = _time.time()
+            n_gas_act = int(jnp.sum(
+                (self.p.ti_endstep == self.ti_current)
+                & (self.p.ptype == 0)))
+            if n_gas_act > 0:
+                if tree is None:
+                    from ..ops.tree import build_tree
+                    fsoft = jnp.asarray(self.force_soft)[self.p.ptype]
+                    tree = build_tree(
+                        self.p.pos, self.p.mass, self.p.grav, fsoft,
+                        self.p.old_acc, self.sph.hsml,
+                        depth=self.solver.depth, n_gravs=self.cfg.n_gravs,
+                        bucket=self.cfg.tree_bucket_size,
+                        box_size=self.cfg.box_size if self.cfg.periodic
+                        else 0.0)
+                self.sph = self.hydro.density(
+                    tree, self.p, self.sph, self.ti_current, n_gas_act,
+                    self.solver.depth, float(self.tbi))
+                if self._entropy_is_u:
+                    # the IC carried internal energy u: convert to entropy
+                    # A = (gamma-1) u / rho^(gamma-1) (init.c:170-174)
+                    from ..constants import GAMMA_MINUS1
+                    a3inv = 1.0 / self.time ** 3 \
+                        if self.cfg.comoving_integration else 1.0
+                    rho = jnp.maximum(self.sph.density * a3inv, 1e-37)
+                    ent = GAMMA_MINUS1 * self.sph.entropy \
+                        / rho ** GAMMA_MINUS1
+                    gasm = self.p.ptype == 0
+                    self.sph = self.sph.replace(
+                        entropy=jnp.where(gasm, ent, self.sph.entropy),
+                        pressure=jnp.where(
+                            gasm, jnp.where(gasm, ent, 0.0)
+                            * jnp.maximum(self.sph.density, 1e-37)
+                            ** (GAMMA_MINUS1 + 1), self.sph.pressure))
+                    self._entropy_is_u = False
+                self.sph = self.hydro.hydro(
+                    tree, self.p, self.sph, self.ti_current, n_gas_act,
+                    self.solver.depth, float(self.tbi), self.time)
+            self.cpu_timers["hydro"] += _time.time() - t1
         if "timings" in self._logs and dt > 0:
             self._logs["timings"].write(
                 f"Step {self.step_count}: forces for {n_active} particles "

@@ -249,7 +249,8 @@ def build_lattice_tables(wiring, en: int, box_size: float):
             tabs[tg, sg] = lattice_tables_for(kind, en, params)
     tabs[..., :3] /= box_size * box_size
     tabs[..., 3] /= box_size
-    return jnp.asarray(tabs, jnp.float32)
+    # pairs flattened tg*NG+sg, as lattice_correction expects
+    return jnp.asarray(tabs.reshape((ng * ng,) + tabs.shape[2:]), jnp.float32)
 
 
 def lattice_correction(tables, fac_intp, dx, dy, dz, pair_idx):

@@ -117,10 +117,10 @@ class GravitySolver:
         G = self.G
 
         @jax.jit
-        def fn(p, ti_current):
+        def fn(p, ti_current, hsml):
             fsoft = fsoft_by_type[p.ptype]
             aold = err_tol * p.old_acc / G  # walk works in G=1 units
-            tree = build_tree(p.pos, p.mass, p.grav, fsoft, aold,
+            tree = build_tree(p.pos, p.mass, p.grav, fsoft, aold, hsml,
                               depth=depth, n_gravs=cfg.n_gravs,
                               bucket=cfg.tree_bucket_size, box_size=box)
             mask_s = (p.ti_endstep == ti_current)[tree.order]
@@ -197,12 +197,17 @@ class GravitySolver:
         return self.pm.forces(p.pos, p.mass, p.grav)
 
     # ------------------------------------------------------------------
-    def compute(self, p, ti_current, n_active: int, opening: str = "relative"):
-        """Compute forces for the active set; returns (particles', n_ia).
+    def compute(self, p, ti_current, n_active: int, opening: str = "relative",
+                hsml=None):
+        """Compute forces for the active set; returns (particles', n_ia,
+        tree) — the octree is shared with the SPH passes (hsml feeds the
+        node hmax fields used by the symmetric neighbor search).
 
-        Handles walk-cap overflow by doubling the offending caps and
-        recompiling (at most a few times per run).
+        Handles walk-cap overflow by resizing the offending caps to the
+        measured demand and recompiling (at most a few times per run).
         """
+        if hsml is None:
+            hsml = jnp.zeros((p.n,), p.mass.dtype)
         s = _bucket(min(n_active, p.n) if n_active else p.n)
         s = min(s, _bucket(p.n))
         # under TreePM the direct path would double-count the long range
@@ -213,13 +218,13 @@ class GravitySolver:
             r = self._direct_fn(s)(p, ti_current)
             p = p.replace(accel=r.acc, potential=r.pot, old_acc=r.old_acc,
                           grav_cost=r.grav_cost)
-            return p, int(r.n_interactions)
+            return p, int(r.n_interactions), None
 
         if self.cfg.type_of_opening_criterion == 0:
             opening = "bh"
         from .morton import MAX_DEPTH
         while True:
-            tree, tgt_sorted, fat = self._tree_prep_fn(s)(p, ti_current)
+            tree, tgt_sorted, fat = self._tree_prep_fn(s)(p, ti_current, hsml)
             if int(fat) <= self.cfg.tree_bucket_size and self.depth >= 1:
                 break
             if self.depth >= MAX_DEPTH:
@@ -252,4 +257,4 @@ class GravitySolver:
                 f"tree walk caps still overflowing at {self.caps}")
         p, n_ia = self._tree_scatter_fn(s)(p, tree.order, tgt_sorted,
                                            res.acc, res.pot, res.ninteract)
-        return p, int(n_ia)
+        return p, int(n_ia), tree

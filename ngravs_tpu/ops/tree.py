@@ -66,6 +66,7 @@ class Octree(NamedTuple):
     node_mass: jnp.ndarray    # [M,NG]
     node_count: jnp.ndarray   # [M,NG] particle count per gravity (accumulator)
     node_maxsoft: jnp.ndarray  # [M] max force-softening of members
+    node_hmax: jnp.ndarray    # [M] max SPH smoothing length of members
     # particle range in Morton-sorted order
     node_start: jnp.ndarray   # [M] int32
     node_pcount: jnp.ndarray  # [M] int32
@@ -80,6 +81,7 @@ class Octree(NamedTuple):
     grav_s: jnp.ndarray       # [N] int32
     fsoft_s: jnp.ndarray      # [N]
     aold_s: jnp.ndarray       # [N] ErrTolForceAcc * OldAcc (relative criterion)
+    hsml_s: jnp.ndarray       # [N] SPH smoothing length (0 for non-gas)
 
     @property
     def n_nodes(self) -> int:
@@ -99,7 +101,7 @@ def level_caps(n: int, depth: int, max_nodes: int | None = None):
 
 @functools.partial(jax.jit,
                    static_argnames=("depth", "n_gravs", "bucket", "box_size"))
-def build_tree(pos, mass, grav, fsoft, aold,
+def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
                depth: int = 8, n_gravs: int = 1, bucket: int = 32,
                box_size: float = 0.0) -> Octree:
     """Construct the octree (force_treebuild, forcetree.c:61-763).
@@ -120,18 +122,22 @@ def build_tree(pos, mass, grav, fsoft, aold,
         corner = (lo + hi) / 2 - root_len / 2
     inv_len = 1.0 / root_len
 
+    if hsml is None:
+        hsml = jnp.zeros_like(mass)
     khi, klo = morton_keys2(pos, corner, inv_len, depth)
     order = sort_by_keys2(khi, klo)
     khi_s, klo_s = khi[order], klo[order]
     pos_s, mass_s = pos[order], mass[order]
     grav_s = grav[order].astype(jnp.int32)
     fsoft_s, aold_s = fsoft[order], aold[order]
+    hsml_s = hsml[order]
 
     caps = level_caps(n, depth)
     offsets = np.concatenate([[0], np.cumsum(caps)]).astype(np.int32)
 
     centers, levels, cms, masses, counts, maxsofts = [], [], [], [], [], []
     starts, pcounts, terminals, child0s, nchilds = [], [], [], [], []
+    hmaxs = []
     prev = None  # (start_padded, pcount, cap) of the previous level
 
     mpos = mass_s[:, None] * pos_s
@@ -164,6 +170,8 @@ def build_tree(pos, mass, grav, fsoft, aold,
                                   nseg).reshape(cap, n_gravs)
         msoft = jax.ops.segment_max(fsoft_s, seg, cap)
         msoft = jnp.where(valid, msoft, 0.0)
+        mhmax = jax.ops.segment_max(hsml_s, seg, cap)
+        mhmax = jnp.where(valid, mhmax, 0.0)
 
         cell_len = root_len / (1 << lvl)
         center = decode_center(jnp.where(valid, uniq_h, 0),
@@ -191,6 +199,7 @@ def build_tree(pos, mass, grav, fsoft, aold,
         masses.append(m_g)
         counts.append(c_g)
         maxsofts.append(msoft)
+        hmaxs.append(mhmax)
         starts.append(jnp.where(valid, start, 0))
         pcounts.append(pcount)
         terminals.append(terminal)
@@ -208,13 +217,14 @@ def build_tree(pos, mass, grav, fsoft, aold,
         node_mass=jnp.concatenate(masses),
         node_count=jnp.concatenate(counts),
         node_maxsoft=jnp.concatenate(maxsofts),
+        node_hmax=jnp.concatenate(hmaxs),
         node_start=jnp.concatenate(starts),
         node_pcount=jnp.concatenate(pcounts),
         node_terminal=jnp.concatenate(terminals),
         node_child0=jnp.concatenate(child0s),
         node_nchild=jnp.concatenate(nchilds),
         order=order, pos_s=pos_s, mass_s=mass_s, grav_s=grav_s,
-        fsoft_s=fsoft_s, aold_s=aold_s,
+        fsoft_s=fsoft_s, aold_s=aold_s, hsml_s=hsml_s,
     )
 
 
@@ -575,24 +585,50 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         if lattice_tables is not None:
             # periodic lattice (Ewald) correction over the same interaction
             # list (the reference's second correction walk,
-            # forcetree.c:2077-2432, folded into one pass)
+            # forcetree.c:2077-2432, folded into one pass).  Scanned over
+            # source chunks: the trilinear gathers would otherwise
+            # materialize [bb,G,S,4] corner tensors (gigabytes).
             from .lattice import lattice_correction
-            ub2 = lambda c: jax.lax.bitcast_convert_type(
-                spacked[:, c, :], jnp.int32)
-            sgid2 = ub2(7)
-            dxs2 = [min_image(spacked[:, d, None, :] - tpos[:, :, None, d])
-                    for d in range(3)]
-            pidx = tgrav[:, :, None] * n_gravs + ub2(6)[:, None, :]
-            fcx, fcy, fcz, _pc = lattice_correction(
-                lattice_tables, fac_intp, dxs2[0], dxs2[1], dxs2[2], pidx)
-            w2 = (sgid2[:, None, :] != -1) & tvalid[:, :, None] \
-                & (sgid2[:, None, :] != tgid[:, :, None])
-            sm2 = jnp.where(w2, spacked[:, 3, None, :], 0.0)
-            acc = acc + jnp.stack([jnp.sum(sm2 * fcx, axis=-1),
-                                   jnp.sum(sm2 * fcy, axis=-1),
-                                   jnp.sum(sm2 * fcz, axis=-1)], axis=-1)
+            lat_chunk = 2048
+            s_tot = spacked.shape[2]
+            pad_s = (-s_tot) % lat_chunk
+            sp_l = jnp.pad(spacked, ((0, 0), (0, 0), (0, pad_s)))
+            # padded gid must be -1 (invalid)
+            if pad_s:
+                neg1f = jax.lax.bitcast_convert_type(jnp.int32(-1),
+                                                     jnp.float32)
+                sp_l = sp_l.at[:, 7, s_tot:].set(neg1f)
+            nch = sp_l.shape[2] // lat_chunk
+            sp_l = sp_l.reshape(bb, 16, nch, lat_chunk) \
+                .transpose(2, 0, 1, 3)                    # [nch,bb,16,Sc]
+
+            def lat_body(carry, spc):
+                acc_c, pot_c = carry
+                ubc = lambda c: jax.lax.bitcast_convert_type(
+                    spc[:, c, :], jnp.int32)
+                sgid_c = ubc(7)
+                dxs_c = [min_image(spc[:, d, None, :]
+                                   - tpos[:, :, None, d]) for d in range(3)]
+                pidx_c = tgrav[:, :, None] * n_gravs + ubc(6)[:, None, :]
+                fcx, fcy, fcz, pc2 = lattice_correction(
+                    lattice_tables, fac_intp, dxs_c[0], dxs_c[1], dxs_c[2],
+                    pidx_c)
+                w2 = (sgid_c[:, None, :] != -1) & tvalid[:, :, None] \
+                    & (sgid_c[:, None, :] != tgid[:, :, None])
+                sm2 = jnp.where(w2, spc[:, 3, None, :], 0.0)
+                acc_c = acc_c + jnp.stack(
+                    [jnp.sum(sm2 * fcx, axis=-1),
+                     jnp.sum(sm2 * fcy, axis=-1),
+                     jnp.sum(sm2 * fcz, axis=-1)], axis=-1)
+                if want_pot:
+                    pot_c = pot_c + jnp.sum(sm2 * pc2, axis=-1)
+                return (acc_c, pot_c), None
+
+            (lacc, lpot), _ = jax.lax.scan(
+                lat_body, (jnp.zeros_like(acc), jnp.zeros_like(pot)), sp_l)
+            acc = acc + lacc
             if want_pot:
-                pot = pot + jnp.sum(sm2 * _pc, axis=-1)
+                pot = pot + lpot
 
         return (acc, pot, ninter, overflow, max_nodes, max_leaves,
                 max_frontier, max_src)
