@@ -7,6 +7,11 @@ throughput on comparable runs is ~1e5 part/sec per rank (timings.txt part/sec
 format, gravtree.c:443-444), so a 64-rank CPU baseline of 6.4e6
 particle-steps/sec is used as the comparison denominator, matching the
 BASELINE.json north-star framing.
+
+The run exercises the production path: BH octree with the relative opening
+criterion, N_GRAVS=2 multi-gravity moments (the stock all-Newton wiring of
+Makefile.reference:51,60), Pallas pairwise kernel, individual power-of-two
+timesteps on the integer timeline.
 """
 
 import json
@@ -20,13 +25,6 @@ BASELINE_PART_STEPS_PER_SEC = 6.4e6  # 64 ranks x ~1e5 part/sec CPU tree
 
 
 def main():
-    import jax
-
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "scratch", "jaxcache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-
     from ngravs_tpu.config import read_parameter_file
     from ngravs_tpu.integrate.runner import Simulation
 
@@ -38,7 +36,7 @@ def main():
     sim = Simulation(cfg, log_dir="")
 
     # warmup: compile all kernels on the shapes the loop will use
-    for _ in range(4):
+    for _ in range(8):
         sim.step()
 
     n0 = sim.num_force_updates
@@ -51,7 +49,8 @@ def main():
     rate = updates / dt
 
     print(json.dumps({
-        "metric": "particle-steps/sec (GalaxyCollision 60k, 2-species direct gravity)",
+        "metric": "particle-steps/sec (GalaxyCollision 60k, 2-species "
+                  "BH-tree gravity, relative opening)",
         "value": round(rate, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(rate / BASELINE_PART_STEPS_PER_SEC, 4),

@@ -403,6 +403,13 @@ class Simulation:
                 + _time.time() - t0
         self.compute_forces()
 
+        # --- FORCETEST: direct-sum accuracy rows (gravtree_forcetest.c:28;
+        # under PMGRID only on PM steps, :46-49) ---
+        if cfg.force_test > 0 and (not cfg.pmgrid
+                                   or self.ti_current == self.pm_ti_endstep):
+            from ..diagnostics.forcetest import force_test
+            force_test(self)
+
         # --- statistics ---
         if cfg.time_bet_statistics > 0 and self.time >= self._next_stats:
             self.energy_statistics()
@@ -439,15 +446,53 @@ class Simulation:
                 f"{c['domain']:.2f} {c['potential']:.2f} {c['drift']:.2f} "
                 f"{c['timeline']:.2f} {c['snapshot']:.2f}\n")
 
+    def save_restart(self, path: str | None = None) -> str:
+        """Write a restart checkpoint (restart(0), restart.c:35)."""
+        from ..io.restart import save_restart
+        return save_restart(self, path)
+
+    def resume(self, path: str | None = None):
+        """Resume from a restart checkpoint (RestartFlag=1)."""
+        from ..io.restart import load_restart
+        return load_restart(self, path)
+
+    def _interrupt_requested(self) -> bool:
+        """stop-file and CPU-limit checks (run.c:67-103)."""
+        if self.log_dir and os.path.exists(os.path.join(self.log_dir,
+                                                        "stop")):
+            os.remove(os.path.join(self.log_dir, "stop"))
+            return True
+        if self.cfg.time_limit_cpu > 0:
+            elapsed = _time.time() - self._wall_start
+            if elapsed > 0.85 * self.cfg.time_limit_cpu:
+                return True
+        return False
+
     def run(self, max_steps: int | None = None):
         """run() (run.c:20): loop to TimeMax.  At entry, all particles have
-        ti_endstep == 0 so the first step computes forces for everyone."""
+        ti_endstep == 0 so the first step computes forces for everyone.
+
+        Handles graceful self-interruption: a `stop` file in the output dir
+        or reaching 85% of TimeLimitCPU writes restart files and returns
+        (run.c:67-103); periodic safety restart writes every
+        CpuTimeBetRestartFile seconds (run.c:108-125)."""
         steps = 0
+        self._wall_start = getattr(self, "_wall_start", _time.time())
+        last_restart = _time.time()
         while self.ti_current < C.TIMEBASE:
             self.step()
             steps += 1
             if max_steps is not None and steps >= max_steps:
                 break
+            if self._interrupt_requested():
+                if self.log_dir:
+                    self.save_restart()
+                break
+            if self.log_dir and self.cfg.cpu_time_bet_restart_file > 0 \
+                    and _time.time() - last_restart \
+                    > self.cfg.cpu_time_bet_restart_file:
+                self.save_restart()
+                last_restart = _time.time()
         if self.ti_current >= C.TIMEBASE and self._next_output < float("inf"):
             self.write_snapshot_now()  # final snapshot (run.c:134-141)
         for f in self._logs.values():

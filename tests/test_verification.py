@@ -1,0 +1,75 @@
+"""Verification machinery: FORCETEST harness, restart round-trip,
+stop-file interruption — the reference's gravtree_forcetest.c / restart.c /
+run.c:67-125 behaviors."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ngravs_tpu.config import SimulationConfig
+from ngravs_tpu.diagnostics.forcetest import force_test, rms_error
+from ngravs_tpu.integrate.runner import Simulation
+from ngravs_tpu.particles import Particles
+
+
+def _small_sim(tmp_path=None, n=1200, **kw):
+    rng = np.random.default_rng(5)
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=0.5, gravity_constant_internal=1.0,
+        softening=(0.05,) * 6, max_size_timestep=0.005,
+        tree_depth=7, tree_bucket_size=16, tree_group_size=64,
+        tree_block_batch=4,
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0, wiring="newton", **kw)
+    pos = np.concatenate([rng.normal(0, 1.0, (n // 2, 3)),
+                          rng.normal(4, 0.5, (n - n // 2, 3))]).astype(np.float32)
+    vel = rng.normal(0, 0.05, (n, 3)).astype(np.float32)
+    p = Particles.create(pos, vel, np.full(n, 1e-3, np.float32),
+                         np.arange(n), np.ones(n, np.int32), cfg.type_to_grav)
+    return Simulation(cfg, particles=p,
+                      log_dir=str(tmp_path) if tmp_path else "")
+
+
+def test_forcetest_accuracy_gate(tmp_path):
+    """Tree forces vs direct summation: the FORCETEST harness reports rms
+    relative error under the ErrTolForceAcc target."""
+    sim = _small_sim(tmp_path)
+    sim.compute_forces(full=True)
+    idx, acc_d, acc_s, rel = force_test(sim, fraction=0.2)
+    stats = rms_error(rel)
+    assert stats["rms"] < 5e-3
+    # forcetest.txt written with the reference's column layout
+    path = os.path.join(str(tmp_path), "forcetest.txt")
+    assert os.path.exists(path)
+    row = open(path).readline().split()
+    assert len(row) == 12
+
+
+def test_restart_roundtrip(tmp_path):
+    """restart(0)/restart(1): resumed trajectories continue identically."""
+    sim = _small_sim(tmp_path)
+    sim.run(max_steps=3)
+    path = sim.save_restart()
+    # continue the original
+    sim.run(max_steps=2)
+    pos_ref = np.asarray(sim.p.pos).copy()
+    ti_ref = sim.ti_current
+    # resume a fresh instance from the file and take the same steps
+    sim2 = _small_sim(tmp_path)
+    sim2.resume(path)
+    sim2.run(max_steps=2)
+    assert sim2.ti_current == ti_ref
+    np.testing.assert_array_equal(np.asarray(sim2.p.pos), pos_ref)
+
+
+def test_stop_file_interrupt(tmp_path):
+    """A `stop` file in the output dir halts the loop and writes a restart
+    checkpoint (run.c:71-76)."""
+    sim = _small_sim(tmp_path)
+    open(os.path.join(str(tmp_path), "stop"), "w").close()
+    sim.run(max_steps=10)
+    assert sim.step_count <= 2
+    assert os.path.exists(os.path.join(str(tmp_path),
+                                       sim.cfg.restart_file + ".npz"))
