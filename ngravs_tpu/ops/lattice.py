@@ -36,6 +36,69 @@ def _cache_dir():
 
 
 # ---------------------------------------------------------------------------
+# Native (C++/OpenMP) table generator — the reference computes these tables
+# MPI-parallel in C (forcetree.c:3662-3726); here a ctypes-loaded shared
+# library (native/lattice_tables.cpp), built on demand, with the vectorized
+# numpy implementation below as the fallback.
+# ---------------------------------------------------------------------------
+
+_NATIVE = None
+
+
+def _native_lib():
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    import ctypes
+    import subprocess
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    src_dir = os.path.join(here, "native")
+    lib = os.path.join(src_dir, "liblattice_tables.so")
+    if not os.path.exists(lib) and os.path.exists(
+            os.path.join(src_dir, "Makefile")):
+        try:
+            subprocess.run(["make", "-C", src_dir], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            pass
+    if not os.path.exists(lib):
+        _NATIVE = False
+        return None
+    try:
+        dll = ctypes.CDLL(lib)
+        dbl_p = ctypes.POINTER(ctypes.c_double)
+        dll.ewald_newton_tables.argtypes = [ctypes.c_int, dbl_p, dbl_p]
+        dll.yukawa_lattice_tables.argtypes = [ctypes.c_int, ctypes.c_double,
+                                              dbl_p, dbl_p]
+        _NATIVE = dll
+        return dll
+    except OSError:
+        _NATIVE = False
+        return None
+
+
+def _native_tables(kind: str, en: int, ym: float = 0.0):
+    """(force [M,3], psi [M]) via the native generator, or None."""
+    dll = _native_lib()
+    if dll is None:
+        return None
+    import ctypes
+    m = (en + 1) ** 3
+    force = np.zeros((m, 3))
+    psi = np.zeros(m)
+    fp = force.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    pp = psi.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    if kind == "newton":
+        dll.ewald_newton_tables(en, fp, pp)
+    elif kind == "yukawa":
+        dll.yukawa_lattice_tables(en, ctypes.c_double(ym), fp, pp)
+    else:
+        return None
+    return force, psi
+
+
+# ---------------------------------------------------------------------------
 # Ewald summation kernels (vectorized over a batch of octant points x [M,3])
 # ---------------------------------------------------------------------------
 
@@ -213,18 +276,24 @@ def lattice_tables_for(kind: str, en: int, params: dict | None = None,
         return np.load(path)
     x = _octant_points(en)
     if kind == "newton":
-        f = ewald_force_newton(x)
-        p = ewald_psi_newton(x)
+        nat = _native_tables("newton", en)
+        f, p = nat if nat else (ewald_force_newton(x), ewald_psi_newton(x))
         p[0] = NEWTON_MADELUNG
     elif kind == "yukawa":
         ym = float(params["ym"])
-        f = yukawa_lattice_force(x, ym)
-        p = yukawa_lattice_psi(x, ym)
+        nat = _native_tables("yukawa", en, ym)
+        f, p = nat if nat else (yukawa_lattice_force(x, ym),
+                                yukawa_lattice_psi(x, ym))
         p[0] = yukawa_madelung(ym)
     elif kind == "coloyuk":
         ym = float(params["ym"])
-        f = yukawa_lattice_force(x, ym) + ewald_force_newton(x)
-        p = yukawa_lattice_psi(x, ym) + ewald_psi_newton(x)
+        natn = _native_tables("newton", en)
+        fn, pn = natn if natn else (ewald_force_newton(x),
+                                    ewald_psi_newton(x))
+        naty = _native_tables("yukawa", en, ym)
+        fy, py = naty if naty else (yukawa_lattice_force(x, ym),
+                                    yukawa_lattice_psi(x, ym))
+        f, p = fy + fn, py + pn
         p[0] = NEWTON_MADELUNG + yukawa_madelung(ym)
     else:
         raise ValueError(f"unknown lattice kind {kind!r}")

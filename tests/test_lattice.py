@@ -98,3 +98,21 @@ def test_periodic_tree_matches_periodic_direct():
     rel = np.linalg.norm(acc_t - acc_d, axis=1) \
         / np.maximum(np.linalg.norm(acc_d, axis=1), 1e-12)
     assert np.sqrt((rel ** 2).mean()) < 1e-2  # theta=0.5 monopole + interp
+
+
+def test_native_tables_match_numpy():
+    """The C++/OpenMP table generator (native/lattice_tables.cpp) must agree
+    with the vectorized numpy Ewald sums to machine precision."""
+    nat = LAT._native_tables("newton", 6)
+    if nat is None:
+        pytest.skip("native library unavailable")
+    x = LAT._octant_points(6)
+    f, p = nat
+    np.testing.assert_allclose(f, LAT.ewald_force_newton(x), atol=1e-12)
+    np.testing.assert_allclose(p, LAT.ewald_psi_newton(x), atol=1e-12)
+    naty = LAT._native_tables("yukawa", 6, 2.5)
+    f2, p2 = naty
+    np.testing.assert_allclose(f2, LAT.yukawa_lattice_force(x, 2.5),
+                               atol=1e-12)
+    np.testing.assert_allclose(p2, LAT.yukawa_lattice_psi(x, 2.5),
+                               atol=1e-12)
