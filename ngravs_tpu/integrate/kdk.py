@@ -92,6 +92,24 @@ def compute_timestep_ticks(cfg, units, p, sph, cf: CosmoFactors,
     return pow2_floor_i32(ti_step)
 
 
+def glass_step(cfg, units, p):
+    """MAKEGLASS (timestep.c:85-133): reverse gravity, displace toward
+    uniformity, zero velocities — makes glass initial conditions."""
+    acc = -(p.accel + p.accel_pm)
+    disp_fac = 2.0 / (3 * units.hubble ** 2)
+    disp = jnp.linalg.norm(acc, axis=-1) * disp_fac
+    dmax = jnp.max(disp)
+    rho_crit_mean = cfg.omega0 * 3 * units.hubble ** 2 / (8 * np.pi * units.G)
+    dmean = (p.mass[0] / jnp.maximum(rho_crit_mean, 1e-37)) ** (1.0 / 3)
+    fac = jnp.where(dmax > dmean, dmean / dmax, 1.0)
+    pos = p.pos + fac * acc * disp_fac
+    if cfg.periodic and cfg.box_size > 0:
+        pos = jnp.mod(pos, cfg.box_size)
+    return p.replace(pos=pos, vel=jnp.zeros_like(p.vel),
+                     accel=jnp.zeros_like(p.accel),
+                     accel_pm=jnp.zeros_like(p.accel_pm))
+
+
 def kick(cfg, units, p, sph, tables, ti_current: jnp.ndarray,
          dt_displacement: float, soft_table, time_now):
     """advance_and_find_timesteps (timestep.c:24-408) for the active set.

@@ -415,6 +415,21 @@ class Simulation:
             self.energy_statistics()
             self._next_stats += cfg.time_bet_statistics
 
+        # --- MAKEGLASS (timestep.c:85-133): displace instead of kicking ---
+        if cfg.make_glass:
+            from .kdk import glass_step
+            self.p = glass_step(cfg, self.units, self.p)
+            self.p = self.p.replace(
+                ti_begstep=jnp.where(self.p.ti_endstep == self.ti_current,
+                                     self.p.ti_endstep, self.p.ti_begstep),
+                ti_endstep=jnp.where(
+                    self.p.ti_endstep == self.ti_current,
+                    self.p.ti_endstep + max(
+                        1, int(cfg.max_size_timestep / self.tbi)),
+                    self.p.ti_endstep))
+            self.step_count += 1
+            return
+
         # --- kick + new timesteps ---
         t0 = _time.time()
         self.p, self.sph = self._kick(self.p, self.sph, self.ti_current,

@@ -22,8 +22,19 @@ def main(argv=None):
     restartflag = int(argv[1]) if len(argv) > 1 else 0
     cfg = read_parameter_file(paramfile)
     if restartflag == 1:
-        from .io.restart import load_checkpoint
-        sim = load_checkpoint(cfg)
+        # resume from restart files (main.c:47-50, restart.c:35)
+        sim = Simulation(cfg)
+        sim.resume()
+    elif restartflag == 2:
+        # start fresh from the last snapshot (init.c:84-85)
+        import glob
+        snaps = sorted(glob.glob(
+            f"{cfg.output_dir}/{cfg.snapshot_file_base}_*"))
+        if not snaps:
+            print("no snapshot found for RestartFlag=2", file=sys.stderr)
+            return 1
+        sim = Simulation(cfg, ic_path=snaps[-1])
+        sim.snapshot_count = len(snaps)
     else:
         sim = Simulation(cfg)
     print(f"ngravs_tpu: {sim.p.n} particles, n_gravs={cfg.n_gravs}, "
