@@ -133,7 +133,7 @@ class SimulationConfig:
     tree_node_list_cap: int = 4096   # per-block accepted-node list cap
     tree_leaf_list_cap: int = 8192   # per-block leaf list cap
     tree_frontier_cap: int = 2048    # per-block frontier cap
-    tree_block_batch: int = 8        # blocks walked per lax.map step
+    tree_block_batch: int = 32       # blocks walked per batched device call
     mesh_shape: Optional[tuple] = None  # device mesh (n_shards,) or None
 
     # ------------------------------------------------------------------

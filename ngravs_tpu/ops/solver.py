@@ -25,7 +25,7 @@ import numpy as np
 from ..config import SimulationConfig
 from ..models.wiring import GravityWiring
 from .direct import direct_forces
-from .tree import build_tree, make_tree_forces
+from .tree import build_tree, make_tree_forces, refresh_tree
 
 
 class ForceResult(NamedTuple):
@@ -52,6 +52,11 @@ class GravitySolver:
         self.fsoft_by_type = jnp.asarray(fsoft_by_type)
         self.depth = cfg.tree_depth
         self._fat_warned = False
+        # cached tree for Gadget-style rebuild cadence: a full rebuild only
+        # after TreeDomainUpdateFrequency * N force computations
+        # (domain.c:76); between rebuilds moments are refreshed in place
+        self._tree_cache = None
+        self._forces_since_build = 0
         # periodic pure-tree runs need the lattice (Ewald) correction tables
         # (begrun.c:47-49: lattice_init when PERIODIC && !PMGRID)
         self.lattice_tables = None
@@ -104,9 +109,9 @@ class GravitySolver:
         self._fns[key] = walk
         return walk
 
-    def _tree_prep_fn(self, s: int):
-        """Jitted: build the tree + gather active targets in sorted order."""
-        key = ("prep", self.depth, s)
+    def _tree_prep_fn(self, s: int, refresh: bool):
+        """Jitted: build (or refresh) the tree + gather active targets."""
+        key = ("prep", self.depth, s, refresh)
         if key in self._fns:
             return self._fns[key]
         cfg = self.cfg
@@ -116,20 +121,35 @@ class GravitySolver:
         err_tol = cfg.err_tol_force_acc
         G = self.G
 
-        @jax.jit
-        def fn(p, ti_current, hsml):
-            fsoft = fsoft_by_type[p.ptype]
-            aold = err_tol * p.old_acc / G  # walk works in G=1 units
-            tree = build_tree(p.pos, p.mass, p.grav, fsoft, aold, hsml,
-                              depth=depth, n_gravs=cfg.n_gravs,
-                              bucket=cfg.tree_bucket_size, box_size=box)
-            mask_s = (p.ti_endstep == ti_current)[tree.order]
-            tgt_sorted = jnp.nonzero(mask_s, size=s, fill_value=-1)[0] \
-                .astype(jnp.int32)
-            # largest bucket-leaf occupancy: > bucket means the depth limit
-            # truncates leaf evaluation (fat leaf) and we must deepen
-            fat = jnp.max(jnp.where(tree.node_terminal, tree.node_pcount, 0))
-            return tree, tgt_sorted, fat
+        if refresh:
+            @jax.jit
+            def fn(p, ti_current, hsml, cached):
+                fsoft = fsoft_by_type[p.ptype]
+                aold = err_tol * p.old_acc / G
+                tree = refresh_tree(cached, p.pos, p.mass, p.grav, fsoft,
+                                    aold, hsml, depth=depth,
+                                    n_gravs=cfg.n_gravs,
+                                    bucket=cfg.tree_bucket_size)
+                mask_s = (p.ti_endstep == ti_current)[tree.order]
+                tgt_sorted = jnp.nonzero(mask_s, size=s, fill_value=-1)[0] \
+                    .astype(jnp.int32)
+                return tree, tgt_sorted, jnp.zeros((), jnp.int32)
+        else:
+            @jax.jit
+            def fn(p, ti_current, hsml, cached):
+                fsoft = fsoft_by_type[p.ptype]
+                aold = err_tol * p.old_acc / G  # walk works in G=1 units
+                tree = build_tree(p.pos, p.mass, p.grav, fsoft, aold, hsml,
+                                  depth=depth, n_gravs=cfg.n_gravs,
+                                  bucket=cfg.tree_bucket_size, box_size=box)
+                mask_s = (p.ti_endstep == ti_current)[tree.order]
+                tgt_sorted = jnp.nonzero(mask_s, size=s, fill_value=-1)[0] \
+                    .astype(jnp.int32)
+                # largest bucket-leaf occupancy: > bucket means the depth
+                # limit truncates leaf evaluation (fat leaf) -> deepen
+                fat = jnp.max(jnp.where(tree.node_terminal,
+                                        tree.node_pcount, 0))
+                return tree, tgt_sorted, fat
 
         self._fns[key] = fn
         return fn
@@ -223,8 +243,14 @@ class GravitySolver:
         if self.cfg.type_of_opening_criterion == 0:
             opening = "bh"
         from .morton import MAX_DEPTH
+        can_refresh = (self._tree_cache is not None
+                       and self._forces_since_build
+                       < self.cfg.tree_domain_update_frequency * p.n)
         while True:
-            tree, tgt_sorted, fat = self._tree_prep_fn(s)(p, ti_current, hsml)
+            tree, tgt_sorted, fat = self._tree_prep_fn(s, can_refresh)(
+                p, ti_current, hsml, self._tree_cache)
+            if can_refresh:
+                break
             if int(fat) <= self.cfg.tree_bucket_size and self.depth >= 1:
                 break
             if self.depth >= MAX_DEPTH:
@@ -257,4 +283,9 @@ class GravitySolver:
                 f"tree walk caps still overflowing at {self.caps}")
         p, n_ia = self._tree_scatter_fn(s)(p, tree.order, tgt_sorted,
                                            res.acc, res.pot, res.ninteract)
+        if can_refresh:
+            self._forces_since_build += min(n_active, p.n)
+        else:
+            self._forces_since_build = min(n_active, p.n)
+        self._tree_cache = tree
         return p, int(n_ia), tree

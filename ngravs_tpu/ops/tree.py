@@ -82,6 +82,8 @@ class Octree(NamedTuple):
     fsoft_s: jnp.ndarray      # [N]
     aold_s: jnp.ndarray       # [N] ErrTolForceAcc * OldAcc (relative criterion)
     hsml_s: jnp.ndarray       # [N] SPH smoothing length (0 for non-gas)
+    khi_s: jnp.ndarray        # [N] sorted dual Morton keys (for refresh)
+    klo_s: jnp.ndarray        # [N]
 
     @property
     def n_nodes(self) -> int:
@@ -225,7 +227,68 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
         node_nchild=jnp.concatenate(nchilds),
         order=order, pos_s=pos_s, mass_s=mass_s, grav_s=grav_s,
         fsoft_s=fsoft_s, aold_s=aold_s, hsml_s=hsml_s,
+        khi_s=khi_s, klo_s=klo_s,
     )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("depth", "n_gravs", "bucket"))
+def refresh_tree(tree: Octree, pos, mass, grav, fsoft, aold, hsml,
+                 depth: int, n_gravs: int, bucket: int) -> Octree:
+    """Re-aggregate node moments on the cached tree structure.
+
+    The TPU analog of Gadget's dynamic tree updates between rebuilds
+    (predict.c:83-90, force_update_pseudoparticles): cell assignment and
+    children stay frozen (exactly as the reference does not re-insert
+    particles until the next domain decomposition), but per-gravity CMs,
+    masses, counts, softening/hmax maxima and the sorted particle fields are
+    recomputed from the CURRENT positions — no argsort, no key generation,
+    ~half the cost of a full build."""
+    n = pos.shape[0]
+    order = tree.order
+    pos_s, mass_s = pos[order], mass[order]
+    grav_s = grav[order].astype(jnp.int32)
+    fsoft_s, aold_s, hsml_s = fsoft[order], aold[order], hsml[order]
+    mpos = mass_s[:, None] * pos_s
+    caps = level_caps(n, depth)
+    offsets = np.concatenate([[0], np.cumsum(caps)]).astype(np.int32)
+
+    cms, masses, counts, maxsofts, hmaxs = [], [], [], [], []
+    for lvl in range(depth + 1):
+        cap = caps[lvl]
+        hk, lk = level_key2(tree.khi_s, tree.klo_s, depth, lvl)
+        is_new = jnp.concatenate(
+            [jnp.ones((1,), bool),
+             (hk[1:] != hk[:-1]) | (lk[1:] != lk[:-1])])
+        seg = jnp.cumsum(is_new).astype(jnp.int32) - 1
+        sid = seg * n_gravs + grav_s
+        nseg = cap * n_gravs
+        m_g = jax.ops.segment_sum(mass_s, sid, nseg).reshape(cap, n_gravs)
+        mx_g = jax.ops.segment_sum(mpos, sid, nseg).reshape(cap, n_gravs, 3)
+        c_g = jax.ops.segment_sum(jnp.ones_like(mass_s), sid,
+                                  nseg).reshape(cap, n_gravs)
+        msoft = jnp.where(tree.node_pcount[offsets[lvl]:offsets[lvl + 1]] > 0,
+                          jax.ops.segment_max(fsoft_s, seg, cap), 0.0)
+        mh = jnp.where(tree.node_pcount[offsets[lvl]:offsets[lvl + 1]] > 0,
+                       jax.ops.segment_max(hsml_s, seg, cap), 0.0)
+        center = tree.node_center[offsets[lvl]:offsets[lvl + 1]]
+        cm = jnp.where(m_g[..., None] > 0,
+                       mx_g / jnp.maximum(m_g[..., None], 1e-37),
+                       center[:, None, :])
+        cms.append(cm)
+        masses.append(m_g)
+        counts.append(c_g)
+        maxsofts.append(msoft)
+        hmaxs.append(mh)
+
+    return tree._replace(
+        node_cm=jnp.concatenate(cms),
+        node_mass=jnp.concatenate(masses),
+        node_count=jnp.concatenate(counts),
+        node_maxsoft=jnp.concatenate(maxsofts),
+        node_hmax=jnp.concatenate(hmaxs),
+        pos_s=pos_s, mass_s=mass_s, grav_s=grav_s,
+        fsoft_s=fsoft_s, aold_s=aold_s, hsml_s=hsml_s)
 
 
 # ---------------------------------------------------------------------------
@@ -344,7 +407,7 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
                      want_pot: bool = True,
                      src_cap: int | None = None,
                      use_pallas: bool | None = None,
-                     s_chunk: int = 512,
+                     s_chunk: int = 1024,
                      lattice_tables=None,
                      treepm: dict | None = None,
                      _debug_skip: str | None = None):
@@ -397,8 +460,8 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         return d - box_size * jnp.round(d / box_size)
 
     @jax.jit
-    def walk_blocks(tree: Octree, gsrc, tpos, tmass, tgrav, tfsoft, tgid,
-                    taold, rel_open):
+    def walk_blocks(tree: Octree, gsrc, gwalk, tpos, tmass, tgrav, tfsoft,
+                    tgid, taold, rel_open):
         """One batch of blocks: tpos [bb, G, 3] etc.; tgid<0 = padding."""
         bb = tpos.shape[0]
         G = tpos.shape[1]
@@ -419,14 +482,18 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         fcaps = [min(8**l if l > 0 else 1, frontier_cap)
                  for l in range(depth + 1)]
 
+        wnode, cmm = gwalk
+        garange = jnp.arange(n_gravs, dtype=jnp.int32)
         for lvl in range(depth + 1):
             f = frontier.shape[1]
             nvalid = frontier >= 0
             nid = jnp.maximum(frontier, 0)
-            cm = tree.node_cm[nid]             # [bb,f,NG,3]
-            m_g = tree.node_mass[nid]          # [bb,f,NG]
-            center = tree.node_center[nid]     # [bb,f,3]
-            terminal = tree.node_terminal[nid]
+            wn = wnode[nid]                    # [bb,f,8] one row gather
+            center = wn[..., 0:3]
+            terminal = wn[..., 3] > 0
+            cg = cmm[(nid[..., None] * n_gravs + garange)]  # [bb,f,NG,4]
+            cm = cg[..., 0:3]
+            m_g = cg[..., 3]
             cell_len = tree.root_len / (1 << lvl)
 
             # min distance^2 from block bbox to each per-gravity CM
@@ -480,8 +547,8 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
                 leaf_list, n_leaves, jnp.where(leaf_here, frontier, -1))
 
             if lvl < depth:
-                c0 = tree.node_child0[nid]
-                nc = tree.node_nchild[nid]
+                c0 = jax.lax.bitcast_convert_type(wn[..., 4], jnp.int32)
+                nc = jax.lax.bitcast_convert_type(wn[..., 5], jnp.int32)
                 j = jnp.arange(8, dtype=jnp.int32)
                 cand = c0[..., None] + j                       # [bb,f,8]
                 cvalid = expand[..., None] & (j < nc[..., None])
@@ -665,6 +732,25 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         z = jnp.zeros_like(cols[0])
         return jnp.stack(cols + [z] * 8, axis=1)     # [n + m*NG, 16]
 
+    @jax.jit
+    def _gwalk(tree: Octree):
+        """Packed traversal tables: one [M,8] row per node (center, terminal,
+        bitcast child0/nchild) and one [M*NG,4] row per (node,gravity)
+        (cm, mass) — two row gathers per level instead of six scalar
+        gathers (TPU gathers of contiguous rows are ~8x faster)."""
+        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+        z = jnp.zeros_like(tree.node_maxsoft)
+        wnode = jnp.stack(
+            [tree.node_center[:, 0], tree.node_center[:, 1],
+             tree.node_center[:, 2],
+             tree.node_terminal.astype(jnp.float32),
+             bc(tree.node_child0), bc(tree.node_nchild), z, z], axis=1)
+        m = tree.node_mass.shape[0]
+        cmm = jnp.concatenate(
+            [tree.node_cm.reshape(m * n_gravs, 3),
+             tree.node_mass.reshape(m * n_gravs, 1)], axis=1)
+        return wnode, cmm
+
     @functools.partial(jax.jit, static_argnames=("nb",))
     def _prep(tree: Octree, tgt: jnp.ndarray, nb: int):
         tgt_b = tgt.reshape(nb, group_size)
@@ -692,6 +778,7 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         nb = tgt.shape[0] // group_size
         prep = _prep(tree, tgt, nb)
         gsrc = _gsrc(tree)
+        gwalk = _gwalk(tree)
 
         outs = []
         nbb = nb // block_batch
@@ -699,7 +786,7 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
             sl = jax.tree.map(
                 lambda a: jax.lax.slice_in_dim(
                     a, i * block_batch, (i + 1) * block_batch, axis=0), prep)
-            outs.append(walk_blocks(tree, gsrc, *sl, rel))
+            outs.append(walk_blocks(tree, gsrc, gwalk, *sl, rel))
         acc = jnp.concatenate([o[0] for o in outs]).reshape(-1, 3)[:nt]
         pot = jnp.concatenate([o[1] for o in outs]).reshape(-1)[:nt]
         ninter = jnp.concatenate([o[2] for o in outs]).reshape(-1)[:nt]
