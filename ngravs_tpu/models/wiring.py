@@ -66,7 +66,19 @@ class GravityWiring:
         Evaluates AccelFxns[i][j] and AccelFxns[j][i] at the probe point
         (tm=1, sm=1, r2=0.5... the reference uses (1,1,.5,3,1)) and requires
         equality.  Raises ValueError on violation.
+
+        Runs on the host CPU backend: these are scalar probes, and paying a
+        remote-accelerator dispatch per probe stalls startup.
         """
+        import jax
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        with jax.default_device(cpu):
+            self._check_l3_symmetry_impl(rtol)
+
+    def _check_l3_symmetry_impl(self, rtol: float):
         for i in range(self.n_gravs):
             for j in range(i + 1, self.n_gravs):
                 a = float(self.laws[i][j].accel(1.0, 1.0, 0.5, 3.0, 1))

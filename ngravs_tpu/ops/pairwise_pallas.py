@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.wiring import GravityWiring
 
-# packed source-table rows ([16, S] blocks; 6/7 are bitcast int32)
+# packed source-table rows ([8, S] blocks; 6/7 are bitcast int32)
 FX, FY, FZ, FMASS, FSOFT, FCOUNT, IGRAV, IGID = 0, 1, 2, 3, 4, 5, 6, 7
 
 
@@ -164,7 +164,7 @@ def make_pairwise_kernel(wiring: GravityWiring, n_gravs: int,
 
     @jax.jit
     def fn(targets: dict, spacked, n_src):
-        """spacked: [bb, 16, S] packed source table (see row constants);
+        """spacked: [bb, 8, S] packed source table (see row constants);
         n_src: [bb, 1] int32 valid-source counts per block."""
         bg = targets["x"].shape[0]
         bb, _, s = spacked.shape
@@ -177,7 +177,7 @@ def make_pairwise_kernel(wiring: GravityWiring, n_gravs: int,
 
         t_spec = pl.BlockSpec((group, 1), lambda b, i, *_: (b, 0),
                               memory_space=pltpu.VMEM)
-        s_spec = pl.BlockSpec((1, 16, s_chunk), lambda b, i, *_: (b, 0, i),
+        s_spec = pl.BlockSpec((1, 8, s_chunk), lambda b, i, *_: (b, 0, i),
                               memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((group, 8), lambda b, i, *_: (b, 0),
                                 memory_space=pltpu.VMEM)

@@ -80,15 +80,22 @@ class GravitySolver:
         self.caps = dict(node=cfg.tree_node_list_cap,
                          leaf=cfg.tree_leaf_list_cap,
                          frontier=cfg.tree_frontier_cap,
-                         src=cfg.tree_node_list_cap * cfg.n_gravs
-                         + cfg.tree_leaf_list_cap * 8)
+                         ent=_bucket(cfg.tree_node_list_cap * cfg.n_gravs, 256),
+                         chunk=_bucket(cfg.tree_leaf_list_cap, 256))
+        self.leaf_factor = 2.0  # leaf-chunk table rows per particle
+        self.ent_stripes = None  # learned per-level accept-stripe widths
+        self.chk_stripes = None  # learned per-level leaf-chunk-stripe widths
         self._fns = {}   # (opening, caps-signature, n_targets) -> jitted fn
+        self._eval_cache = {}  # phase-E kernels, persistent across re-tunes
 
     # ------------------------------------------------------------------
     def _walk(self):
-        """The single-compilation batched walk (cached per caps)."""
+        """The demand-adaptive two-phase walk (cached per caps)."""
         cfg = self.cfg
-        key = ("walk", self.depth) + tuple(sorted(self.caps.items()))
+        tup = lambda x: tuple(x) if x is not None else None
+        key = ("walk", self.depth, self.leaf_factor,
+               tup(self.ent_stripes), tup(self.chk_stripes)) \
+            + tuple(sorted(self.caps.items()))
         if key in self._fns:
             return self._fns[key]
         walk = make_tree_forces(
@@ -97,15 +104,20 @@ class GravitySolver:
             node_list_cap=self.caps["node"],
             leaf_list_cap=self.caps["leaf"],
             frontier_cap=self.caps["frontier"],
-            src_cap=self.caps["src"],
+            ent_cap=self.caps["ent"],
+            chunk_cap=self.caps["chunk"],
+            ent_stripes=tup(self.ent_stripes),
+            chk_stripes=tup(self.chk_stripes),
             bucket=cfg.tree_bucket_size,
             depth=self.depth,
             theta=cfg.err_tol_theta,
             opening="relative",
             box_size=cfg.box_size if cfg.periodic else 0.0,
             block_batch=cfg.tree_block_batch,
+            leaf_factor=self.leaf_factor,
             lattice_tables=self.lattice_tables,
-            treepm=self.treepm)
+            treepm=self.treepm,
+            eval_cache=self._eval_cache)
         self._fns[key] = walk
         return walk
 
@@ -251,13 +263,19 @@ class GravitySolver:
                 p, ti_current, hsml, self._tree_cache)
             if can_refresh:
                 break
-            if int(fat) <= self.cfg.tree_bucket_size and self.depth >= 1:
+            fat_v, need = (int(x) for x in
+                           jax.device_get((fat, tree.n_chunk_rows)))
+            # leaf-chunk table capacity (walk layout) vs measured demand
+            cap2 = ((int(p.n * self.leaf_factor) + 8 + 7) // 8) * 8
+            if need > cap2:
+                self.leaf_factor = need * 1.25 / p.n
+            if fat_v <= self.cfg.tree_bucket_size and self.depth >= 1:
                 break
             if self.depth >= MAX_DEPTH:
                 if not self._fat_warned:
                     import warnings
                     warnings.warn(
-                        f"octree bucket leaves still hold {int(fat)} > "
+                        f"octree bucket leaves still hold {fat_v} > "
                         f"{self.cfg.tree_bucket_size} particles at the "
                         f"maximum depth {MAX_DEPTH}; near-coincident "
                         "particles will interact via softened truncated "
@@ -268,8 +286,29 @@ class GravitySolver:
             self.depth = min(self.depth + 3, MAX_DEPTH)
         for _ in range(6):
             res = self._walk()(tree, tgt_sorted, opening_override=opening)
+            edem = np.asarray(res.ent_stripe_demand)
+            cdem = np.asarray(res.chk_stripe_demand)
             if not bool(res.overflow):
+                if self.ent_stripes is None:
+                    # adopt demand-sized per-level stripe widths (2x margin,
+                    # grown monotonically on later overflows): stripe width
+                    # bounds the walk's scatter targets and the eval's
+                    # padded source width
+                    self.ent_stripes = [max(8, _bucket(int(d) * 2, 8))
+                                        for d in edem]
+                    self.chk_stripes = [max(8, _bucket(int(d) * 2, 8))
+                                        for d in cdem]
                 break
+            # grow only the overflowing levels (monotone: no ping-pong);
+            # if stripes were never adopted, initialize from the (possibly
+            # truncated) demand so the next try fits
+            grow_lvl = lambda cur, d: [max(c, _bucket(int(x) * 2, 8))
+                                       for c, x in zip(cur, d)]
+            if self.ent_stripes is None:
+                self.ent_stripes = [8] * len(edem)
+                self.chk_stripes = [8] * len(cdem)
+            self.ent_stripes = grow_lvl(self.ent_stripes, edem)
+            self.chk_stripes = grow_lvl(self.chk_stripes, cdem)
             # resize each cap to the measured peak demand (+25% margin,
             # rounded to a power of two) and recompile once
             grow = lambda cur, mx: max(cur, _bucket(int(mx) * 5 // 4, 64))
@@ -277,7 +316,8 @@ class GravitySolver:
             self.caps["leaf"] = grow(self.caps["leaf"], res.max_leaves)
             self.caps["frontier"] = grow(self.caps["frontier"],
                                          res.max_frontier)
-            self.caps["src"] = grow(self.caps["src"], res.max_src)
+            self.caps["ent"] = grow(self.caps["ent"], res.max_ent)
+            self.caps["chunk"] = grow(self.caps["chunk"], res.max_chunk)
         else:
             raise RuntimeError(
                 f"tree walk caps still overflowing at {self.caps}")

@@ -74,6 +74,14 @@ class Octree(NamedTuple):
     # children (flat indices into node arrays); nchild == 0 at depth limit
     node_child0: jnp.ndarray  # [M] int32
     node_nchild: jnp.ndarray  # [M] int32
+    # aligned leaf-chunk table layout: every *shallowest* terminal node owns
+    # ceil(pcount/8) aligned 8-row chunks in the packed source table, so the
+    # walk gathers leaf particles as 256-byte contiguous rows instead of
+    # per-particle 32-byte rows (8-10x faster HBM gathers)
+    node_chunk0: jnp.ndarray  # [M] int32 first chunk id (real leaves only)
+    node_nchunk: jnp.ndarray  # [M] int32 chunk count (0 for non-leaves)
+    leaf_row: jnp.ndarray     # [N] int32 row of each sorted particle
+    n_chunk_rows: jnp.ndarray  # scalar int32: total leaf-table rows used
     # sorted particle data
     order: jnp.ndarray        # [N] sorted -> original index
     pos_s: jnp.ndarray        # [N,3]
@@ -144,6 +152,9 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
 
     mpos = mass_s[:, None] * pos_s
     arange_n = jnp.arange(n, dtype=jnp.int32)
+    # shallowest terminal ancestor of each particle + rank within it
+    term_node = jnp.full((n,), -1, jnp.int32)
+    term_rank = jnp.zeros((n,), jnp.int32)
 
     for lvl in range(depth + 1):
         cap = caps[lvl]
@@ -184,6 +195,11 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
         terminal = (pcount <= bucket) | (lvl == depth)
         terminal = terminal & valid
 
+        # assign particles to their shallowest terminal ancestor
+        newly = (term_node < 0) & terminal[seg]
+        term_node = jnp.where(newly, offsets[lvl] + seg, term_node)
+        term_rank = jnp.where(newly, arange_n - start[seg], term_rank)
+
         if prev is not None:
             # children of the previous level cover exactly the same particle
             # range: find them by range position, no key arithmetic
@@ -211,6 +227,16 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
     child0s.append(jnp.zeros((caps[depth],), jnp.int32))
     nchilds.append(jnp.zeros((caps[depth],), jnp.int32))
 
+    # leaf-chunk table layout over the *real* leaves (shallowest terminal
+    # nodes — descendants of a terminal node are never walked)
+    pcount_all = jnp.concatenate(pcounts)
+    m_total = pcount_all.shape[0]
+    real_leaf = jnp.zeros((m_total,), bool).at[term_node].set(True)
+    nchunk = jnp.where(real_leaf, (pcount_all + 7) // 8, 0).astype(jnp.int32)
+    chunk0 = (jnp.cumsum(nchunk) - nchunk).astype(jnp.int32)
+    leaf_row = chunk0[term_node] * 8 + term_rank
+    n_chunk_rows = jnp.sum(nchunk) * 8
+
     return Octree(
         corner=corner, root_len=root_len,
         node_center=jnp.concatenate(centers),
@@ -225,6 +251,8 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
         node_terminal=jnp.concatenate(terminals),
         node_child0=jnp.concatenate(child0s),
         node_nchild=jnp.concatenate(nchilds),
+        node_chunk0=chunk0, node_nchunk=nchunk, leaf_row=leaf_row,
+        n_chunk_rows=n_chunk_rows,
         order=order, pos_s=pos_s, mass_s=mass_s, grav_s=grav_s,
         fsoft_s=fsoft_s, aold_s=aold_s, hsml_s=hsml_s,
         khi_s=khi_s, klo_s=klo_s,
@@ -313,6 +341,20 @@ def _compact_rows(vals: jnp.ndarray, valid: jnp.ndarray, out_size: int):
     return out, count
 
 
+def _append_rows2(buf_a, n_in, new_a, buf_b, new_b):
+    """Append valid entries of `new_a` (-1 = invalid) and the co-indexed
+    `new_b` values to two parallel row buffers at the same positions."""
+    b, cap = buf_a.shape
+    valid = new_a >= 0
+    pos = n_in[:, None] + jnp.cumsum(valid, axis=1) - 1
+    idx = jnp.where(valid, pos, cap)
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    out_a = buf_a.at[rows, idx].set(new_a, mode="drop")
+    out_b = buf_b.at[rows, idx].set(new_b, mode="drop")
+    count = n_in + jnp.sum(valid, axis=1).astype(jnp.int32)
+    return out_a, out_b, count
+
+
 def _append_rows(buf: jnp.ndarray, n_in: jnp.ndarray, new: jnp.ndarray):
     """Append the valid entries of `new` (any layout, -1 = invalid) to each
     row of `buf` (-1-padded-left with n_in valid entries).  Returns
@@ -335,7 +377,11 @@ class WalkResult(NamedTuple):
     max_nodes: jnp.ndarray      # scalar int32 — peak node-list demand
     max_leaves: jnp.ndarray     # scalar int32 — peak leaf-list demand
     max_frontier: jnp.ndarray   # scalar int32 — peak frontier demand
-    max_src: jnp.ndarray        # scalar int32 — peak generalized-source count
+    max_ent: jnp.ndarray        # scalar int32 — peak node-entry demand
+    max_chunk: jnp.ndarray      # scalar int32 — peak leaf-chunk demand
+    frontier_demand: jnp.ndarray  # [depth+1] int32 per-level frontier peak
+    ent_stripe_demand: jnp.ndarray  # [depth+1] per-level per-block ent peak
+    chk_stripe_demand: jnp.ndarray  # [depth+1] per-level per-block chk peak
 
 
 def _pair_force(wiring: GravityWiring, tgrav, tmass, tfsoft,
@@ -393,6 +439,10 @@ def _pair_force(wiring: GravityWiring, tgrav, tmass, tfsoft,
     return fac, pot
 
 
+def _p2(x: int, minimum: int) -> int:
+    return max(minimum, 1 << int(math.ceil(math.log2(max(int(x), 1)))))
+
+
 def make_tree_forces(wiring: GravityWiring, n_gravs: int,
                      group_size: int = 256,
                      node_list_cap: int = 1024,
@@ -403,17 +453,33 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
                      theta: float = 0.5,
                      opening: str = "relative",
                      box_size: float = 0.0,
-                     block_batch: int = 8,
+                     block_batch: int = 32,
+                     trav_batch: int = 512,
                      want_pot: bool = True,
-                     src_cap: int | None = None,
+                     ent_cap: int | None = None,
+                     chunk_cap: int | None = None,
+                     fcaps: tuple | None = None,
+                     ent_stripes: tuple | None = None,
+                     chk_stripes: tuple | None = None,
+                     leaf_factor: float = 2.0,
                      use_pallas: bool | None = None,
                      s_chunk: int = 1024,
                      lattice_tables=None,
                      treepm: dict | None = None,
-                     _debug_skip: str | None = None):
-    """Build the walk: a host loop over block batches calling ONE jitted
-    batch kernel (fixed shapes — compiled exactly once per configuration,
-    independent of the active-particle count).
+                     eval_cache: dict | None = None):
+    """Build the two-phase demand-adaptive walk.
+
+    Phase T (traverse): level-synchronous frontier traversal for batches of
+    target blocks, producing per-block interaction lists at *node-entry /
+    leaf-chunk* granularity (no per-particle expansion): node entries are
+    (node, gravity) monopole rows, leaf chunks are aligned 8-particle runs of
+    the packed source table.  One jitted dispatch covers trav_batch blocks.
+
+    Phase E (evaluate): blocks are sorted by measured demand and evaluated in
+    batches of block_batch with source shapes sized to each batch's actual
+    demand (bucketed to powers of two) — gather volume and pair math are
+    demand-proportional instead of worst-block-cap-proportional.  Leaf
+    sources gather as contiguous 256-byte rows.
 
     `opening`: "bh" (geometric, ErrTolTheta; forcetree.c:1437-1445) or
     "relative" (ErrTolForceAcc * OldAcc; forcetree.c:1446-1473) — selected by
@@ -421,12 +487,29 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
     criterion uses the minimum aold in each block, which opens at least as
     much as the reference would for any member target.
     """
-    rup = lambda x: max(s_chunk, ((x + s_chunk - 1) // s_chunk) * s_chunk)
-    src_cap = rup(node_list_cap * n_gravs + leaf_list_cap * bucket // 4
-                  if src_cap is None else src_cap)
+    G = group_size
+    NG = n_gravs
+    cpl = (bucket + 7) // 8          # max chunks per leaf
+    assert cpl <= 7, "bucket must be <= 56 (chunk count packed in 3 bits)"
+    del fcaps, frontier_cap  # frontier widths are host-paced per level
+    # per-level per-block column-stripe widths for the accept/leaf lists
+    if ent_stripes is None:
+        ent_stripes = [min(8**l * NG, 1024) for l in range(depth + 1)]
+    else:
+        ent_stripes = [int(ent_stripes[l]) if l < len(ent_stripes)
+                       else 1024 for l in range(depth + 1)]
+    if chk_stripes is None:
+        chk_stripes = [min(8**l * cpl, 2048) for l in range(depth + 1)]
+    else:
+        chk_stripes = [int(chk_stripes[l]) if l < len(chk_stripes)
+                       else 2048 for l in range(depth + 1)]
+    if ent_cap is None:
+        ent_cap = _p2(node_list_cap * NG, 256)
+    if chunk_cap is None:
+        chunk_cap = _p2(leaf_list_cap, 256)
     fac_intp = (2 * (lattice_tables.shape[1] - 1) / box_size
                 if lattice_tables is not None else 0.0)
-    # treepm: dict(sr_ftab, sr_ptab, asmth, ntab, rcut) — short-range walk
+    # treepm: dict(sr_ftab, sr_ptab, asmth, rcut) — short-range walk
     # (forcetree.c:1623: Rcut box-discard + tabulated truncation)
     tpm_tuple = None
     rcut = 0.0
@@ -445,7 +528,7 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
     if use_pallas:
         from .pairwise_pallas import make_pairwise_kernel
         pair_kernel = make_pairwise_kernel(
-            wiring, n_gravs, group=group_size, s_chunk=s_chunk,
+            wiring, n_gravs, group=G, s_chunk=s_chunk,
             box_size=box_size, want_pot=want_pot,
             treepm_asmth=(float(treepm["asmth"]) if treepm else 0.0))
     else:
@@ -459,72 +542,239 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
             return d
         return d - box_size * jnp.round(d / box_size)
 
+    def _layout(tree: Octree):
+        """Static layout of the packed source table for this tree shape."""
+        n = tree.pos_s.shape[0]
+        m = tree.node_mass.shape[0]
+        rup8 = lambda x: ((x + 7) // 8) * 8
+        cap2 = rup8(max(int(n * leaf_factor) + 8, n))
+        nstart = cap2                       # node-entry region start
+        rows = cap2 + rup8(m * NG) + 16     # +8 null chunk, +8 junk
+        null_row = rows - 16                # 8 rows of gid=-1 padding
+        return cap2, nstart, rows, null_row
+
+    # ------------------------------------------------------------------
     @jax.jit
-    def walk_blocks(tree: Octree, gsrc, gwalk, tpos, tmass, tgrav, tfsoft,
-                    tgid, taold, rel_open):
-        """One batch of blocks: tpos [bb, G, 3] etc.; tgid<0 = padding."""
-        bb = tpos.shape[0]
-        G = tpos.shape[1]
-        tvalid = tgid >= 0
-        big = jnp.asarray(1e30, tpos.dtype)
-        lo = jnp.min(jnp.where(tvalid[..., None], tpos, big), axis=1)   # [bb,3]
-        hi = jnp.max(jnp.where(tvalid[..., None], tpos, -big), axis=1)
-        aold_min = jnp.min(jnp.where(tvalid, taold, big), axis=1)       # [bb]
+    def _gsrc(tree: Octree):
+        """Packed source table [R, 8]: leaf-chunk region (aligned 8-row runs
+        per real leaf), then one row per (node, gravity) monopole, then a
+        null chunk (gid=-1) used as padding target.  Row layout: x, y, z,
+        mass, soft, count, bitcast grav, bitcast gid."""
+        n = tree.pos_s.shape[0]
+        m = tree.node_mass.shape[0]
+        cap2, nstart, rows, null_row = _layout(tree)
+        bc = lambda a: jax.lax.bitcast_convert_type(
+            a.astype(jnp.int32), jnp.float32)
+        neg1f = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
 
-        node_list = jnp.full((bb, node_list_cap), -1, jnp.int32)
-        leaf_list = jnp.full((bb, leaf_list_cap), -1, jnp.int32)
-        n_nodes = jnp.zeros((bb,), jnp.int32)
-        n_leaves = jnp.zeros((bb,), jnp.int32)
-        overflow = jnp.zeros((), bool)
-        max_frontier = jnp.zeros((), jnp.int32)
+        prow = jnp.stack(
+            [tree.pos_s[:, 0], tree.pos_s[:, 1], tree.pos_s[:, 2],
+             tree.mass_s, tree.fsoft_s, jnp.ones_like(tree.mass_s),
+             bc(tree.grav_s), bc(jnp.arange(n, dtype=jnp.int32))], axis=1)
 
-        frontier = jnp.zeros((bb, 1), jnp.int32)  # root at flat index 0
-        fcaps = [min(8**l if l > 0 else 1, frontier_cap)
-                 for l in range(depth + 1)]
+        cm = tree.node_cm.reshape(m * NG, 3)
+        nmass = tree.node_mass.reshape(m * NG)
+        if wiring.accumulator:
+            ncount = jnp.maximum(tree.node_count.reshape(m * NG), 1.0)
+        else:
+            ncount = jnp.ones_like(nmass)
+        nsoft = jnp.repeat(tree.node_maxsoft, NG)
+        ngrav = jnp.tile(jnp.arange(NG, dtype=jnp.int32), m)
+        nrow = jnp.stack(
+            [cm[:, 0], cm[:, 1], cm[:, 2], nmass, nsoft, ncount,
+             bc(ngrav), bc(jnp.full((m * NG,), -2, jnp.int32))], axis=1)
 
-        wnode, cmm = gwalk
-        garange = jnp.arange(n_gravs, dtype=jnp.int32)
-        for lvl in range(depth + 1):
-            f = frontier.shape[1]
-            nvalid = frontier >= 0
-            nid = jnp.maximum(frontier, 0)
-            wn = wnode[nid]                    # [bb,f,8] one row gather
-            center = wn[..., 0:3]
-            terminal = wn[..., 3] > 0
-            cg = cmm[(nid[..., None] * n_gravs + garange)]  # [bb,f,NG,4]
+        tbl = jnp.zeros((rows, 8), jnp.float32).at[:, 7].set(neg1f)
+        # overflowing leaf rows (leaf table cap exceeded — detected by the
+        # caller via n_chunk_rows) are routed to the junk zone
+        lr = jnp.where(tree.leaf_row < cap2, tree.leaf_row, rows - 8)
+        tbl = tbl.at[lr].set(prow, mode="drop")
+        tbl = jax.lax.dynamic_update_slice(tbl, nrow, (nstart, 0))
+        # junk zone may have been overwritten with a valid gid: re-null it
+        tbl = tbl.at[rows - 8:, 7].set(neg1f)
+        tbl = tbl.at[rows - 8:, 3].set(0.0)
+        tbl = tbl.at[rows - 16:rows - 8, 7].set(neg1f)
+        tbl = tbl.at[rows - 16:rows - 8, 3].set(0.0)
+        return tbl
+
+    @jax.jit
+    def _gwalk(tree: Octree):
+        """Packed traversal table: ONE [M, 8+4*NG] row per node so every
+        level of the walk costs a single row gather.  Columns: center xyz,
+        bitcast flags (bit0 terminal, bit 1+g: gravity-g mass>0), bitcast
+        child0 / nchild / chunk0 / nchunk, then per gravity (cm xyz, mass).
+        """
+        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+        m = tree.node_mass.shape[0]
+        flags = tree.node_terminal.astype(jnp.int32)
+        for g in range(NG):
+            flags = flags | ((tree.node_mass[:, g] > 0).astype(jnp.int32)
+                             << (1 + g))
+        cols = [tree.node_center[:, 0], tree.node_center[:, 1],
+                tree.node_center[:, 2], bc(flags),
+                bc(tree.node_child0), bc(tree.node_nchild),
+                bc(tree.node_chunk0), bc(tree.node_nchunk)]
+        for g in range(NG):
+            cols += [tree.node_cm[:, g, 0], tree.node_cm[:, g, 1],
+                     tree.node_cm[:, g, 2], tree.node_mass[:, g]]
+        return jnp.stack(cols, axis=1)
+
+    @functools.partial(jax.jit, static_argnames=("nb",))
+    def _prep(tree: Octree, tgt: jnp.ndarray, nb: int):
+        tgt_b = tgt.reshape(nb, G)
+        safe = jnp.maximum(tgt_b, 0)
+        return (tree.pos_s[safe], tree.mass_s[safe], tree.grav_s[safe],
+                tree.fsoft_s[safe], jnp.where(tgt_b >= 0, safe, -1),
+                tree.aold_s[safe])
+
+    # ------------------------------------------------------------------
+    # Phase T: host-paced per-level traversal over a FLAT work queue.
+    #
+    # The frontier is a single list of (block, node) pairs compacted across
+    # all blocks, so every tensor is sized to the batch's *total* demand.
+    # Each level is its own (small, fast-to-compile) jitted step whose
+    # frontier width the HOST picks from the previous level's measured
+    # count — tensors track true demand with no learned caps and no
+    # worst-case padding.  The primitive mix is chosen from measured TPU
+    # costs: cumsum/cummax scans and elementwise chains fuse for free;
+    # segment_sum is avoided entirely (per-block ranks come from cummax
+    # scans over the block-major queue); accepted entries land in per-level
+    # column stripes of per-block rows, compacted once at the end.
+    _lvl_cache = {}
+
+    def _ghost_filter(lvl, init_lvl):
+        return lvl == init_lvl and init_lvl > 0
+
+    def _stripe_offs(widths):
+        offs = np.concatenate([[0], np.cumsum(widths)]).astype(np.int32)
+        return offs, int(offs[-1])
+
+    def blk_rank(blk, valid):
+        """Rank among valid entries of the same block, for a block-major
+        (ascending blocks, -1 holes anywhere) flat list.  Scan ops only."""
+        v = valid.astype(jnp.int32)
+        grank = jnp.cumsum(v) - v            # exclusive valid prefix
+        blk_ff = jax.lax.cummax(blk)
+        bnd = jnp.concatenate(
+            [jnp.ones((1,), bool), blk_ff[1:] != blk_ff[:-1]])
+        start = jax.lax.cummax(jnp.where(bnd, grank, -1))
+        return grank - start
+
+    def _bbox_gap(point, lo_b, hi_b):
+        g = jnp.maximum(lo_b - point, point - hi_b)
+        if periodic:
+            gp = jnp.maximum(lo_b - point - box_size,
+                             point + box_size - hi_b)
+            gm = jnp.maximum(lo_b - point + box_size,
+                             point - box_size - hi_b)
+            g = jnp.minimum(g, jnp.minimum(gp, gm))
+        return g
+
+    def _t_init(init_lvl: int, n_sh: int, n_init: int, off0: int,
+                chk_total: int):
+        """Jitted batch init: block bbox rows, init frontier over all
+        level-`init_lvl` slots, and the shallow real-leaf pre-pass (leaves
+        above the init level go straight to exact summation — always at
+        least as accurate as any opening decision)."""
+        key = ("init", init_lvl, n_sh, n_init, off0, chk_total)
+        if key in _lvl_cache:
+            return _lvl_cache[key]
+
+        @jax.jit
+        def fn(tree, wtab, tpos, tgid, taold):
+            bb = tpos.shape[0]
+            cap2, nstart, rows, null_row = _layout(tree)
+            null_chunk = null_row // 8
+            tvalid = tgid >= 0
+            blk_ok = jnp.any(tvalid, axis=1)
+            big = jnp.asarray(1e30, tpos.dtype)
+            lo_b = jnp.min(jnp.where(tvalid[..., None], tpos, big), axis=1)
+            hi_b = jnp.max(jnp.where(tvalid[..., None], tpos, -big), axis=1)
+            aold_b = jnp.min(jnp.where(tvalid, taold, big), axis=1)
+            bdata = jnp.concatenate(
+                [lo_b, hi_b, aold_b[:, None],
+                 jnp.zeros((bb, 1), tpos.dtype)], axis=1)
+            biota = jnp.arange(bb, dtype=jnp.int32)
+            fblk = jnp.repeat(jnp.where(blk_ok, biota, -1), n_init)
+            fnode = jnp.tile(off0 + jnp.arange(n_init, dtype=jnp.int32), bb)
+            chk_sbuf = jnp.full((bb, chk_total), null_chunk, jnp.int32)
+            if n_sh:
+                s_blk0 = jnp.repeat(jnp.where(blk_ok, biota, -1), n_sh)
+                s_node = jnp.tile(jnp.arange(n_sh, dtype=jnp.int32), bb)
+                swn = wtab[s_node]
+                s_ch0 = jax.lax.bitcast_convert_type(swn[:, 6], jnp.int32)
+                s_nch = jax.lax.bitcast_convert_type(swn[:, 7], jnp.int32)
+                jc0 = jnp.arange(cpl, dtype=jnp.int32)
+                sc_blk = jnp.broadcast_to(
+                    s_blk0[:, None], (bb * n_sh, cpl)).reshape(-1)
+                sc_val = (s_ch0[:, None] + jc0).reshape(-1)
+                sc_ok = ((s_blk0 >= 0)[:, None]
+                         & (jc0 < s_nch[:, None])).reshape(-1)
+                sc_blk = jnp.where(sc_ok, sc_blk, -1)
+                sc_rank = blk_rank(sc_blk, sc_ok)
+                sc_pos = jnp.where(sc_ok, sc_rank, chk_total)
+                chk_sbuf = chk_sbuf.at[
+                    jnp.maximum(sc_blk, 0), sc_pos].set(sc_val, mode="drop")
+            return bdata, fblk, fnode, chk_sbuf
+
+        _lvl_cache[key] = fn
+        return fn
+
+    def _t_level(lvl: int, init_lvl: int, e_off: int, e_w: int,
+                 c_off: int, c_w: int):
+        """Jitted one-level step: criteria for the current flat frontier,
+        scatter accepted entries / leaf chunks into their column stripes,
+        emit expansion candidates + the count the host uses to size the
+        next level."""
+        key = ("lvl", lvl, init_lvl, e_off, e_w, c_off, c_w)
+        if key in _lvl_cache:
+            return _lvl_cache[key]
+        last = lvl >= depth
+
+        @jax.jit
+        def fn(tree, wtab, bdata, fblk, fnode, ent_sbuf, chk_sbuf, rel_open):
+            F = fblk.shape[0]
+            big = jnp.asarray(1e30, bdata.dtype)
+            garange = jnp.arange(NG, dtype=jnp.int32)
+            jc = jnp.arange(cpl, dtype=jnp.int32)
+            valid = fblk >= 0
+            wn = wtab[jnp.maximum(fnode, 0)]      # [F, 8+4NG] one gather
+            bd = bdata[jnp.maximum(fblk, 0)]      # [F, 8] one gather
+            lo = bd[:, 0:3]
+            hi = bd[:, 3:6]
+            aold_min = bd[:, 6]
+            center = wn[:, 0:3]
+            flags = jax.lax.bitcast_convert_type(wn[:, 3], jnp.int32)
+            terminal = (flags & 1) > 0
+            nch = jax.lax.bitcast_convert_type(wn[:, 7], jnp.int32)
+            if _ghost_filter(lvl, init_lvl):
+                # drop descendants of shallow real leaves (terminal, but
+                # their particles live in the ancestor's chunks, emitted by
+                # the shallow pre-pass in _t_init)
+                valid = valid & ~(terminal & (nch == 0))
+            cg = wn[:, 8:8 + 4 * NG].reshape(F, NG, 4)
             cm = cg[..., 0:3]
             m_g = cg[..., 3]
             cell_len = tree.root_len / (1 << lvl)
 
             # min distance^2 from block bbox to each per-gravity CM
-            # (conservative analog of forcetree.c:1364-1392's r2min).
-            # Periodic: the point may sit across the wrap, so take the min
-            # gap over the three nearest images per axis.
-            def bbox_gap(point, lo_b, hi_b):
-                g = jnp.maximum(lo_b - point, point - hi_b)
-                if periodic:
-                    gp = jnp.maximum(lo_b - point - box_size,
-                                     point + box_size - hi_b)
-                    gm = jnp.maximum(lo_b - point + box_size,
-                                     point - box_size - hi_b)
-                    g = jnp.minimum(g, jnp.minimum(gp, gm))
-                return g
-
-            d = jnp.maximum(
-                bbox_gap(cm, lo[:, None, None, :], hi[:, None, None, :]), 0.0)
-            r2g = jnp.sum(d * d, axis=-1)                     # [bb,f,NG]
-            r2min = jnp.min(jnp.where(m_g > 0, r2g, big), axis=-1)  # [bb,f]
+            # (conservative analog of forcetree.c:1364-1392's r2min);
+            # periodic images handled inside _bbox_gap
+            d = jnp.maximum(_bbox_gap(cm, lo[:, None, :], hi[:, None, :]),
+                            0.0)
+            r2g = jnp.sum(d * d, axis=-1)                     # [F,NG]
+            r2min = jnp.min(jnp.where(m_g > 0, r2g, big), axis=-1)  # [F]
             mtot = jnp.sum(m_g, axis=-1)
 
             open_bh = cell_len * cell_len > r2min * (theta * theta)
             # M l^2 > r^4 aold  (forcetree.c:1447)
             open_rel = (mtot * cell_len * cell_len
-                        > r2min * r2min * aold_min[:, None])
+                        > r2min * r2min * aold_min)
             must_open = jnp.where(rel_open, open_rel, open_bh)
             # block bbox within 0.6*len of the node center => always open
             # (covers forcetree.c:1453-1464's inside-node checks, made
             # conservative for the whole block)
-            gap = bbox_gap(center, lo[:, None, :], hi[:, None, :])
+            gap = _bbox_gap(center, lo, hi)
             intersects = jnp.all(gap < 0.6 * cell_len, axis=-1)
             must_open = must_open | intersects
 
@@ -532,266 +782,467 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
                 # TreePM short-range walk: discard nodes whose cell lies
                 # entirely beyond Rcut from the block (the per-axis
                 # box-discard of forcetree.c:1828-1862)
-                ngap = bbox_gap(center, lo[:, None, :], hi[:, None, :])
-                beyond = jnp.any(ngap - 0.5 * cell_len > rcut, axis=-1)
-                nvalid = nvalid & ~beyond
+                beyond = jnp.any(gap - 0.5 * cell_len > rcut, axis=-1)
+                valid = valid & ~beyond
 
-            accept = nvalid & ~must_open
-            rest = nvalid & must_open
+            accept = valid & ~must_open
+            rest = valid & must_open
             leaf_here = rest & terminal
             expand = rest & ~terminal
 
-            node_list, n_nodes = _append_rows(
-                node_list, n_nodes, jnp.where(accept, frontier, -1))
-            leaf_list, n_leaves = _append_rows(
-                leaf_list, n_leaves, jnp.where(leaf_here, frontier, -1))
+            cap2, nstart, rows, null_row = _layout(tree)
+            # accepted (node, gravity) entries -> this level's ent stripe
+            e_blk = jnp.broadcast_to(
+                jnp.where(accept, fblk, -1)[:, None], (F, NG)).reshape(-1)
+            e_val = (nstart + fnode[:, None] * NG + garange).reshape(-1)
+            e_ok = (accept[:, None]
+                    & (((flags[:, None] >> (1 + garange)) & 1) > 0)
+                    ).reshape(-1)
+            e_blk = jnp.where(e_ok, e_blk, -1)
+            e_rank = blk_rank(e_blk, e_ok)
+            e_dem = jnp.max(jnp.where(e_ok, e_rank, -1)) + 1
+            e_pos = jnp.where(e_ok & (e_rank < e_w), e_off + e_rank,
+                              ent_sbuf.shape[1])
+            ent_sbuf = ent_sbuf.at[jnp.maximum(e_blk, 0), e_pos].set(
+                e_val, mode="drop")
 
+            # leaf chunks -> this level's chunk stripe
+            ch0 = jax.lax.bitcast_convert_type(wn[:, 6], jnp.int32)
+            c_blk = jnp.broadcast_to(
+                jnp.where(leaf_here, fblk, -1)[:, None],
+                (F, cpl)).reshape(-1)
+            c_val = (ch0[:, None] + jc).reshape(-1)
+            c_ok = (leaf_here[:, None] & (jc < nch[:, None])).reshape(-1)
+            c_blk = jnp.where(c_ok, c_blk, -1)
+            c_rank = blk_rank(c_blk, c_ok)
+            c_dem = jnp.max(jnp.where(c_ok, c_rank, -1)) + 1
+            c_pos = jnp.where(c_ok & (c_rank < c_w), c_off + c_rank,
+                              chk_sbuf.shape[1])
+            chk_sbuf = chk_sbuf.at[jnp.maximum(c_blk, 0), c_pos].set(
+                c_val, mode="drop")
+
+            if last:
+                z = jnp.zeros((1,), jnp.int32)
+                return (ent_sbuf, chk_sbuf, z, z, z > 0,
+                        jnp.zeros((), jnp.int32), e_dem, c_dem)
+            c0 = jax.lax.bitcast_convert_type(wn[:, 4], jnp.int32)
+            ncc = jax.lax.bitcast_convert_type(wn[:, 5], jnp.int32)
+            j8 = jnp.arange(8, dtype=jnp.int32)
+            cand_node = (c0[:, None] + j8).reshape(F * 8)
+            cand_blk = jnp.broadcast_to(fblk[:, None], (F, 8)).reshape(F * 8)
+            cvalid = (expand[:, None] & (j8 < ncc[:, None])).reshape(F * 8)
+            fcount = jnp.sum(cvalid).astype(jnp.int32)
+            return (ent_sbuf, chk_sbuf, cand_blk, cand_node, cvalid,
+                    fcount, e_dem, c_dem)
+
+        _lvl_cache[key] = fn
+        return fn
+
+    def _t_compact(w_out: int):
+        """Jitted frontier compaction to the host-chosen width."""
+        key = ("compact", w_out)
+        if key in _lvl_cache:
+            return _lvl_cache[key]
+
+        @jax.jit
+        def fn(cand_blk, cand_node, cvalid):
+            pos = jnp.cumsum(cvalid) - 1
+            idx = jnp.where(cvalid, pos, w_out).astype(jnp.int32)
+            fblk = jnp.full((w_out,), -1, jnp.int32) \
+                .at[idx].set(cand_blk, mode="drop")
+            fnode = jnp.zeros((w_out,), jnp.int32) \
+                .at[idx].set(cand_node, mode="drop")
+            return fblk, fnode
+
+        _lvl_cache[key] = fn
+        return fn
+
+    @jax.jit
+    def _t_finish(tree, ent_sbuf, chk_sbuf):
+        """Compact the striped per-block rows into dense lists for eval."""
+        cap2, nstart, rows, null_row = _layout(tree)
+        null_chunk = null_row // 8
+        ent, n_ent = _compact_rows(ent_sbuf, ent_sbuf != null_row, ent_cap)
+        ent = jnp.where(ent < 0, null_row, ent)
+        chk, n_chk = _compact_rows(chk_sbuf, chk_sbuf != null_chunk,
+                                   chunk_cap)
+        chk = jnp.where(chk < 0, null_chunk, chk)
+        return ent, chk, jnp.minimum(n_ent, ent_cap), \
+            jnp.minimum(n_chk, chunk_cap)
+
+    def traverse_batch(tree, wtab, tpos, tgid, taold, rel):
+        """Host-paced traversal of one batch of blocks.  Returns
+        (ent, chk, n_ent, n_chk, stripe_overflow, fdem list,
+        edem list, cdem list) — n_ent/n_chk still on device."""
+        bb = tpos.shape[0]
+        caps_l = level_caps(tree.pos_s.shape[0], depth)
+        offs_l = np.concatenate([[0], np.cumsum(caps_l)]).astype(np.int32)
+        init_lvl = min(2, depth)
+        n_sh = int(offs_l[init_lvl])
+        n_init = int(offs_l[init_lvl + 1] - offs_l[init_lvl])
+
+        ent_w = [int(w) for w in ent_stripes]
+        chk_w_all = [n_sh * cpl] + [int(w) for w in chk_stripes[init_lvl:]]
+        e_offs, ent_total = _stripe_offs(ent_w[init_lvl:])
+        c_offs, chk_total = _stripe_offs(chk_w_all)
+
+        bdata, fblk, fnode, chk_sbuf = _t_init(
+            init_lvl, n_sh, n_init, int(offs_l[init_lvl]), chk_total)(
+            tree, wtab, tpos, tgid, taold)
+        cap2, nstart, rows, null_row = _layout(tree)
+        ent_sbuf = jnp.full((bb, ent_total), null_row, jnp.int32)
+
+        fdem, edem, cdem = [1] * (init_lvl + 1), [0] * init_lvl, [0] * init_lvl
+        stripe_ovf = False
+        for k, lvl in enumerate(range(init_lvl, depth + 1)):
+            step = _t_level(lvl, init_lvl, int(e_offs[k]),
+                            ent_w[init_lvl + k],
+                            int(c_offs[k + 1]), chk_w_all[k + 1])
+            (ent_sbuf, chk_sbuf, cand_blk, cand_node, cvalid, fcount,
+             e_dem, c_dem) = step(tree, wtab, bdata, fblk, fnode,
+                                  ent_sbuf, chk_sbuf, rel)
+            fc, ed, cd = (int(x) for x in
+                          jax.device_get((fcount, e_dem, c_dem)))
+            edem.append(ed)
+            cdem.append(cd)
+            stripe_ovf = stripe_ovf or ed > ent_w[init_lvl + k] \
+                or cd > chk_w_all[k + 1]
             if lvl < depth:
-                c0 = jax.lax.bitcast_convert_type(wn[..., 4], jnp.int32)
-                nc = jax.lax.bitcast_convert_type(wn[..., 5], jnp.int32)
-                j = jnp.arange(8, dtype=jnp.int32)
-                cand = c0[..., None] + j                       # [bb,f,8]
-                cvalid = expand[..., None] & (j < nc[..., None])
-                nxt_cap = fcaps[lvl + 1]
-                frontier, fcount = _compact_rows(
-                    cand.reshape(bb, f * 8), cvalid.reshape(bb, f * 8),
-                    nxt_cap)
-                overflow = overflow | jnp.any(fcount > nxt_cap)
-                max_frontier = jnp.maximum(max_frontier, jnp.max(fcount))
+                fdem.append(fc)
+                if fc == 0 or stripe_ovf:
+                    break
+                w_out = _p2(fc, 512)
+                fblk, fnode = _t_compact(w_out)(cand_blk, cand_node, cvalid)
+        ent, chk, n_ent, n_chk = _t_finish(tree, ent_sbuf, chk_sbuf)
+        while len(fdem) < depth + 1:
+            fdem.append(0)
+        while len(edem) < depth + 1:
+            edem.append(0)
+        while len(cdem) < depth + 1:
+            cdem.append(0)
+        return ent, chk, n_ent, n_chk, stripe_ovf, fdem, edem, cdem
 
-        overflow = overflow | jnp.any(n_nodes > node_list_cap) \
-            | jnp.any(n_leaves > leaf_list_cap)
-        max_nodes = jnp.max(n_nodes)
-        max_leaves = jnp.max(n_leaves)
+    # ------------------------------------------------------------------
+    # the eval cache may outlive this walk instance (the solver passes a
+    # persistent dict) so that cap/frontier re-tunes don't recompile phase E
+    _eval_cache = {} if eval_cache is None else eval_cache
 
-        # ---- compact both lists into ONE generalized source list ----
-        # A "source" is a leaf particle or a (node, gravity) monopole entry,
-        # encoded in one id space: v < NP is sorted-particle v, v >= NP is
-        # node entry (v - NP) = node_id * NG + gravity.  Fields then come
-        # from the precomputed global arrays `gsrc` with a single gather,
-        # and all bucket/cap padding is stripped before evaluation.
-        NG = n_gravs
-        NP = tree.pos_s.shape[0]
-        nlv = node_list >= 0
-        nls = jnp.maximum(node_list, 0)
-        ent_mask = nlv[..., None] & (tree.node_mass[nls] > 0)
-        ent_flat = NP + nls[..., None] * NG + jnp.arange(NG, dtype=jnp.int32)
-        ent = jnp.where(ent_mask, ent_flat, -1).reshape(bb, -1)
+    def _eval_for(se: int, sl: int, bbe: int):
+        """Phase E kernel for batch shapes (Se node entries, Sl chunks)."""
+        key = (se, sl, bbe, leaf_factor, s_chunk)
+        if key in _eval_cache:
+            return _eval_cache[key]
+        s_tot = se + sl * 8
+        sp_len = ((s_tot + s_chunk - 1) // s_chunk) * s_chunk
 
-        llv = leaf_list >= 0
-        lls = jnp.maximum(leaf_list, 0)
-        lstart = tree.node_start[lls]
-        lcount = jnp.where(llv, tree.node_pcount[lls], 0)
-        jj = jnp.arange(bucket, dtype=jnp.int32)
-        pidx = lstart[..., None] + jj
-        pvalid = llv[..., None] & (jj < lcount[..., None])
-        pidx = jnp.where(pvalid, pidx, -1).reshape(bb, -1)
+        @jax.jit
+        def ev(tree: Octree, gsrc, ent_all, chk_all, n_chk_all,
+               tpos_a, tmass_a, tgrav_a, tfsoft_a, tgid_a, blk):
+            cap2, nstart, rows, null_row = _layout(tree)
+            bbe_ = blk.shape[0]
+            ent = ent_all[blk][:, :se]                 # [bbe,Se]
+            chk = chk_all[blk][:, :sl]                 # [bbe,Sl]
+            nchk = jnp.minimum(n_chk_all[blk], sl)
+            gent = gsrc[ent]                           # [bbe,Se,8]
+            gch = gsrc.reshape(-1, 8, 8)[chk]          # [bbe,Sl,8,8]
+            src = jnp.concatenate(
+                [gent, gch.reshape(bbe_, sl * 8, 8)], axis=1)
+            if sp_len > s_tot:
+                null = gsrc[null_row]
+                src = jnp.concatenate(
+                    [src, jnp.broadcast_to(null, (bbe_, sp_len - s_tot, 8))],
+                    axis=1)
+            spacked = jnp.swapaxes(src, 1, 2)          # [bbe,8,Sp]
+            n_src = se + nchk * 8
 
-        if _debug_skip == "lists":
-            zz = jnp.zeros((bb, G), tpos.dtype)
-            return (zz[..., None] * jnp.zeros(3), zz,
-                    jnp.zeros((bb, G), jnp.int32), overflow,
-                    max_nodes, max_leaves, max_frontier,
-                    jnp.zeros((), jnp.int32))
-        cand = jnp.concatenate([ent, pidx], axis=1)
-        src, n_src = _compact_rows(cand, cand >= 0, src_cap)
-        overflow = overflow | jnp.any(n_src > src_cap)
-        max_src = jnp.max(n_src)
+            tpos = tpos_a[blk]
+            tmass = tmass_a[blk]
+            tgrav = tgrav_a[blk]
+            tfsoft = tfsoft_a[blk]
+            tgid = tgid_a[blk]
+            tvalid = tgid >= 0
 
-        sv = jnp.maximum(src, 0)
-        svalid = src >= 0
-        rows = gsrc[sv]                            # [bb, S, 16] one gather
-        # invalid rows: mass = 0, gid = -1
-        neg1 = jax.lax.bitcast_convert_type(
-            jnp.int32(-1), jnp.float32)
-        masked = rows.at[..., 3].set(jnp.where(svalid, rows[..., 3], 0.0))
-        masked = masked.at[..., 7].set(
-            jnp.where(svalid, rows[..., 7], neg1))
-        spacked = jnp.swapaxes(masked, 1, 2)       # [bb, 16, S]
-
-        if _debug_skip == "eval":
-            zz = jnp.zeros((bb, G), tpos.dtype)
-            return (zz[..., None] * jnp.zeros(3), zz, n_src[:, None]
-                    * jnp.ones((1, G), jnp.int32), overflow,
-                    max_nodes, max_leaves, max_frontier, max_src)
-        if pair_kernel is not None:
-            flat = lambda a: a.reshape(bb * G, 1)
-            targets = dict(x=flat(tpos[..., 0]), y=flat(tpos[..., 1]),
-                           z=flat(tpos[..., 2]), mass=flat(tmass),
-                           grav=flat(tgrav), fsoft=flat(tfsoft),
-                           gid=flat(tgid))
-            acc_f, pot_f, nia_f = pair_kernel(targets, spacked,
-                                              n_src[:, None])
-            acc = acc_f.reshape(bb, G, 3)
-            pot = pot_f.reshape(bb, G)
-            ninter = nia_f.reshape(bb, G)
-        else:
-            # XLA fallback: the same math on fused per-axis [bb,G,S] planes
-            ub = lambda c: jax.lax.bitcast_convert_type(
-                spacked[:, c, :], jnp.int32)
-            dxs = [min_image(spacked[:, d, None, :] - tpos[:, :, None, d])
-                   for d in range(3)]
-            r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
-            sgid = ub(7)
-            fac, p = _pair_force(
-                wiring, tgrav, tmass, tfsoft, None, r2,
-                spacked[:, 3, None, :], ub(6)[:, None, :],
-                spacked[:, 4, None, :], spacked[:, 5, None, :],
-                want_pot, treepm=tpm_tuple)
-            w = (sgid[:, None, :] != -1) & tvalid[:, :, None] \
-                & (sgid[:, None, :] != tgid[:, :, None])
-            fac = jnp.where(w, fac, 0.0)
-            acc = jnp.stack(
-                [jnp.sum(fac * dxs[d], axis=-1) for d in range(3)], axis=-1)
-            if want_pot:
-                pot = jnp.sum(jnp.where(w, p, 0.0), axis=-1)
+            if pair_kernel is not None:
+                flat = lambda a: a.reshape(bbe_ * G, 1)
+                targets = dict(x=flat(tpos[..., 0]), y=flat(tpos[..., 1]),
+                               z=flat(tpos[..., 2]), mass=flat(tmass),
+                               grav=flat(tgrav), fsoft=flat(tfsoft),
+                               gid=flat(tgid))
+                acc_f, pot_f, nia_f = pair_kernel(targets, spacked,
+                                                  n_src[:, None])
+                acc = acc_f.reshape(bbe_, G, 3)
+                pot = pot_f.reshape(bbe_, G)
+                ninter = nia_f.reshape(bbe_, G)
             else:
-                pot = jnp.zeros((bb, G), tpos.dtype)
-            ninter = jnp.sum(w, axis=-1).astype(jnp.int32)
-
-        if lattice_tables is not None:
-            # periodic lattice (Ewald) correction over the same interaction
-            # list (the reference's second correction walk,
-            # forcetree.c:2077-2432, folded into one pass).  Scanned over
-            # source chunks: the trilinear gathers would otherwise
-            # materialize [bb,G,S,4] corner tensors (gigabytes).
-            from .lattice import lattice_correction
-            lat_chunk = 2048
-            s_tot = spacked.shape[2]
-            pad_s = (-s_tot) % lat_chunk
-            sp_l = jnp.pad(spacked, ((0, 0), (0, 0), (0, pad_s)))
-            # padded gid must be -1 (invalid)
-            if pad_s:
-                neg1f = jax.lax.bitcast_convert_type(jnp.int32(-1),
-                                                     jnp.float32)
-                sp_l = sp_l.at[:, 7, s_tot:].set(neg1f)
-            nch = sp_l.shape[2] // lat_chunk
-            sp_l = sp_l.reshape(bb, 16, nch, lat_chunk) \
-                .transpose(2, 0, 1, 3)                    # [nch,bb,16,Sc]
-
-            def lat_body(carry, spc):
-                acc_c, pot_c = carry
-                ubc = lambda c: jax.lax.bitcast_convert_type(
-                    spc[:, c, :], jnp.int32)
-                sgid_c = ubc(7)
-                dxs_c = [min_image(spc[:, d, None, :]
-                                   - tpos[:, :, None, d]) for d in range(3)]
-                pidx_c = tgrav[:, :, None] * n_gravs + ubc(6)[:, None, :]
-                fcx, fcy, fcz, pc2 = lattice_correction(
-                    lattice_tables, fac_intp, dxs_c[0], dxs_c[1], dxs_c[2],
-                    pidx_c)
-                w2 = (sgid_c[:, None, :] != -1) & tvalid[:, :, None] \
-                    & (sgid_c[:, None, :] != tgid[:, :, None])
-                sm2 = jnp.where(w2, spc[:, 3, None, :], 0.0)
-                acc_c = acc_c + jnp.stack(
-                    [jnp.sum(sm2 * fcx, axis=-1),
-                     jnp.sum(sm2 * fcy, axis=-1),
-                     jnp.sum(sm2 * fcz, axis=-1)], axis=-1)
+                # XLA fallback: the same math on fused per-axis planes
+                ub = lambda c: jax.lax.bitcast_convert_type(
+                    spacked[:, c, :], jnp.int32)
+                dxs = [min_image(spacked[:, d, None, :]
+                                 - tpos[:, :, None, d]) for d in range(3)]
+                r2 = dxs[0] * dxs[0] + dxs[1] * dxs[1] + dxs[2] * dxs[2]
+                sgid = ub(7)
+                fac, p = _pair_force(
+                    wiring, tgrav, tmass, tfsoft, None, r2,
+                    spacked[:, 3, None, :], ub(6)[:, None, :],
+                    spacked[:, 4, None, :], spacked[:, 5, None, :],
+                    want_pot, treepm=tpm_tuple)
+                w = (sgid[:, None, :] != -1) & tvalid[:, :, None] \
+                    & (sgid[:, None, :] != tgid[:, :, None])
+                fac = jnp.where(w, fac, 0.0)
+                acc = jnp.stack(
+                    [jnp.sum(fac * dxs[d], axis=-1) for d in range(3)],
+                    axis=-1)
                 if want_pot:
-                    pot_c = pot_c + jnp.sum(sm2 * pc2, axis=-1)
-                return (acc_c, pot_c), None
+                    pot = jnp.sum(jnp.where(w, p, 0.0), axis=-1)
+                else:
+                    pot = jnp.zeros((bbe_, G), tpos.dtype)
+                ninter = jnp.sum(w, axis=-1).astype(jnp.int32)
 
-            (lacc, lpot), _ = jax.lax.scan(
-                lat_body, (jnp.zeros_like(acc), jnp.zeros_like(pot)), sp_l)
-            acc = acc + lacc
-            if want_pot:
-                pot = pot + lpot
+            if lattice_tables is not None:
+                # periodic lattice (Ewald) correction over the same
+                # interaction list (the reference's second correction walk,
+                # forcetree.c:2077-2432, folded into one pass).  Scanned over
+                # source chunks to bound the trilinear corner tensors.
+                from .lattice import lattice_correction
+                lat_chunk = 2048
+                pad_s = (-sp_len) % lat_chunk
+                sp_l = jnp.pad(spacked, ((0, 0), (0, 0), (0, pad_s)))
+                if pad_s:
+                    neg1f = jax.lax.bitcast_convert_type(jnp.int32(-1),
+                                                         jnp.float32)
+                    sp_l = sp_l.at[:, 7, sp_len:].set(neg1f)
+                nch2 = sp_l.shape[2] // lat_chunk
+                sp_l = sp_l.reshape(bbe_, 8, nch2, lat_chunk) \
+                    .transpose(2, 0, 1, 3)                    # [nch,bb,8,Sc]
 
-        return (acc, pot, ninter, overflow, max_nodes, max_leaves,
-                max_frontier, max_src)
+                def lat_body(carry, spc):
+                    acc_c, pot_c = carry
+                    ubc = lambda c: jax.lax.bitcast_convert_type(
+                        spc[:, c, :], jnp.int32)
+                    sgid_c = ubc(7)
+                    dxs_c = [min_image(spc[:, d, None, :]
+                                       - tpos[:, :, None, d])
+                             for d in range(3)]
+                    pidx_c = tgrav[:, :, None] * NG + ubc(6)[:, None, :]
+                    fcx, fcy, fcz, pc2 = lattice_correction(
+                        lattice_tables, fac_intp, dxs_c[0], dxs_c[1],
+                        dxs_c[2], pidx_c)
+                    w2 = (sgid_c[:, None, :] != -1) & tvalid[:, :, None] \
+                        & (sgid_c[:, None, :] != tgid[:, :, None])
+                    sm2 = jnp.where(w2, spc[:, 3, None, :], 0.0)
+                    acc_c = acc_c + jnp.stack(
+                        [jnp.sum(sm2 * fcx, axis=-1),
+                         jnp.sum(sm2 * fcy, axis=-1),
+                         jnp.sum(sm2 * fcz, axis=-1)], axis=-1)
+                    if want_pot:
+                        pot_c = pot_c + jnp.sum(sm2 * pc2, axis=-1)
+                    return (acc_c, pot_c), None
 
-    @jax.jit
-    def _gsrc(tree: Octree):
-        """Global generalized-source table, one packed [16] f32 row per
-        source (particles first, then (node, gravity) entries): cols 0-5 =
-        x, y, z, mass, soft, count; col 6/7 = bitcast int32 grav / gid.
-        One row gather then fetches every field of an interaction list —
-        8 scalar gathers would be ~8x slower on TPU.
-        """
-        n = tree.pos_s.shape[0]
-        m = tree.node_mass.shape[0]
-        cm = tree.node_cm.reshape(m * n_gravs, 3)
-        nmass = tree.node_mass.reshape(m * n_gravs)
-        if wiring.accumulator:
-            ncount = jnp.maximum(tree.node_count.reshape(m * n_gravs), 1.0)
-        else:
-            ncount = jnp.ones_like(nmass)
-        nsoft = jnp.repeat(tree.node_maxsoft, n_gravs)
-        ngrav = jnp.tile(jnp.arange(n_gravs, dtype=jnp.int32), m)
-        cat = jnp.concatenate
-        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-        cols = [cat([tree.pos_s[:, 0], cm[:, 0]]),
-                cat([tree.pos_s[:, 1], cm[:, 1]]),
-                cat([tree.pos_s[:, 2], cm[:, 2]]),
-                cat([tree.mass_s, nmass]),
-                cat([tree.fsoft_s, nsoft]),
-                cat([jnp.ones_like(tree.mass_s), ncount]),
-                bc(cat([tree.grav_s, ngrav])),
-                bc(cat([jnp.arange(n, dtype=jnp.int32),
-                        jnp.full((m * n_gravs,), -2, jnp.int32)]))]
-        z = jnp.zeros_like(cols[0])
-        return jnp.stack(cols + [z] * 8, axis=1)     # [n + m*NG, 16]
+                (lacc, lpot), _ = jax.lax.scan(
+                    lat_body, (jnp.zeros_like(acc), jnp.zeros_like(pot)),
+                    sp_l)
+                acc = acc + lacc
+                if want_pot:
+                    pot = pot + lpot
 
-    @jax.jit
-    def _gwalk(tree: Octree):
-        """Packed traversal tables: one [M,8] row per node (center, terminal,
-        bitcast child0/nchild) and one [M*NG,4] row per (node,gravity)
-        (cm, mass) — two row gathers per level instead of six scalar
-        gathers (TPU gathers of contiguous rows are ~8x faster)."""
-        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-        z = jnp.zeros_like(tree.node_maxsoft)
-        wnode = jnp.stack(
-            [tree.node_center[:, 0], tree.node_center[:, 1],
-             tree.node_center[:, 2],
-             tree.node_terminal.astype(jnp.float32),
-             bc(tree.node_child0), bc(tree.node_nchild), z, z], axis=1)
-        m = tree.node_mass.shape[0]
-        cmm = jnp.concatenate(
-            [tree.node_cm.reshape(m * n_gravs, 3),
-             tree.node_mass.reshape(m * n_gravs, 1)], axis=1)
-        return wnode, cmm
+            return acc, pot, ninter
 
-    @functools.partial(jax.jit, static_argnames=("nb",))
-    def _prep(tree: Octree, tgt: jnp.ndarray, nb: int):
-        tgt_b = tgt.reshape(nb, group_size)
-        safe = jnp.maximum(tgt_b, 0)
-        return (tree.pos_s[safe], tree.mass_s[safe], tree.grav_s[safe],
-                tree.fsoft_s[safe], jnp.where(tgt_b >= 0, safe, -1),
-                tree.aold_s[safe])
+        _eval_cache[key] = ev
+        return ev
 
+    @functools.partial(jax.jit, static_argnames=("nt",))
+    def _assemble(blk, acc, pot, nia, nt: int):
+        nbp = blk.shape[0]
+        a = jnp.zeros((nbp, G, 3), acc.dtype).at[blk].set(acc)
+        p = jnp.zeros((nbp, G), pot.dtype).at[blk].set(pot)
+        ni = jnp.zeros((nbp, G), nia.dtype).at[blk].set(nia)
+        return (a.reshape(-1, 3)[:nt], p.reshape(-1)[:nt],
+                ni.reshape(-1)[:nt])
+
+    # ------------------------------------------------------------------
     def tree_forces(tree: Octree, tgt_sorted: jnp.ndarray,
                     opening_override: str | None = None) -> WalkResult:
         """Forces on targets given as indices into the tree's sorted order
         (-1 = padding).  Targets should be Morton-contiguous for tight block
         bounds — any subset of ascending sorted indices is.
 
-        Host loop over block batches: the device kernel `walk_blocks` has
-        fixed shapes, so any target count reuses one compilation.
+        Host orchestration: phase T in trav_batch dispatches, one
+        device->host sync for the demand counters, then demand-bucketed
+        phase E dispatches.
         """
+        import time as _t
+        prof = tree_forces.profile
+
+        def mark(key, *sync):
+            if prof is None:
+                return
+            if sync:
+                jax.block_until_ready(sync)
+            now = _t.time()
+            prof[key] = prof.get(key, 0.0) + now - mark.t
+            mark.t = now
+        if prof is not None:
+            mark.t = _t.time()
         rel = rel_default if opening_override is None \
             else jnp.asarray(opening_override == "relative")
-        nt = tgt_sorted.shape[0]
-        chunk = group_size * block_batch
-        pad = (-nt) % chunk
+        nt = int(tgt_sorted.shape[0])
+        bbe = block_batch
+        nb0 = (nt + G - 1) // G
+        nbp = ((nb0 + bbe - 1) // bbe) * bbe
+        pad = nbp * G - nt
         tgt = jnp.concatenate(
-            [tgt_sorted, jnp.full((pad,), -1, jnp.int32)]) if pad else tgt_sorted
-        nb = tgt.shape[0] // group_size
-        prep = _prep(tree, tgt, nb)
+            [tgt_sorted, jnp.full((pad,), -1, jnp.int32)]) if pad \
+            else tgt_sorted
+        prep = _prep(tree, tgt, nbp)
+        tpos_a, tmass_a, tgrav_a, tfsoft_a, tgid_a, taold_a = prep
         gsrc = _gsrc(tree)
-        gwalk = _gwalk(tree)
+        wtab = _gwalk(tree)
+        mark("prep", gsrc, wtab)
 
-        outs = []
-        nbb = nb // block_batch
-        for i in range(nbb):
-            sl = jax.tree.map(
-                lambda a: jax.lax.slice_in_dim(
-                    a, i * block_batch, (i + 1) * block_batch, axis=0), prep)
-            outs.append(walk_blocks(tree, gsrc, gwalk, *sl, rel))
-        acc = jnp.concatenate([o[0] for o in outs]).reshape(-1, 3)[:nt]
-        pot = jnp.concatenate([o[1] for o in outs]).reshape(-1)[:nt]
-        ninter = jnp.concatenate([o[2] for o in outs]).reshape(-1)[:nt]
-        ovf = functools.reduce(jnp.logical_or, [o[3] for o in outs])
-        mx = lambda k: functools.reduce(jnp.maximum, [o[k] for o in outs])
-        return WalkResult(acc, pot, ninter, ovf, mx(4), mx(5), mx(6), mx(7))
+        bbt = min(trav_batch, nbp)
+        touts = []
+        fdem_h = np.zeros(depth + 1, np.int64)
+        edem_h = np.zeros(depth + 1, np.int64)
+        cdem_h = np.zeros(depth + 1, np.int64)
+        stripe_ovf = False
+        for i in range(0, nbp, bbt):
+            end = min(i + bbt, nbp)
+            if end - i < bbt:
+                # pad the final batch with empty blocks
+                padb = bbt - (end - i)
+                slc = lambda a: jnp.concatenate(
+                    [a[i:end], jnp.zeros((padb,) + a.shape[1:], a.dtype)
+                     if a.dtype != jnp.int32 else
+                     jnp.full((padb,) + a.shape[1:], -1, a.dtype)])
+            else:
+                slc = lambda a: jax.lax.slice_in_dim(a, i, end, axis=0)
+            ent_b, chk_b, ne_b, nc_b, ovf_b, fd, ed, cd = traverse_batch(
+                tree, wtab, slc(tpos_a), slc(tgid_a), slc(taold_a), rel)
+            touts.append((ent_b, chk_b, ne_b, nc_b))
+            stripe_ovf = stripe_ovf or ovf_b
+            fdem_h = np.maximum(fdem_h, np.asarray(fd))
+            edem_h = np.maximum(edem_h, np.asarray(ed))
+            cdem_h = np.maximum(cdem_h, np.asarray(cd))
 
+        cat = lambda k: jnp.concatenate([t[k] for t in touts])[:nbp]
+        ent_all, chk_all = cat(0), cat(1)
+        n_ent_d, n_chk_d = cat(2), cat(3)
+
+        mark("traverse", touts)
+        ne, nc = jax.device_get((n_ent_d, n_chk_d))
+        mark("sync")
+        stats = (jnp.asarray(int(ne.max()), jnp.int32),
+                 jnp.asarray(int(nc.max()), jnp.int32),
+                 jnp.asarray(int(fdem_h.max()), jnp.int32),
+                 jnp.asarray(int(ne.max()), jnp.int32),
+                 jnp.asarray(int(nc.max()), jnp.int32),
+                 jnp.asarray(fdem_h, jnp.int32),
+                 jnp.asarray(edem_h, jnp.int32),
+                 jnp.asarray(cdem_h, jnp.int32))
+        if stripe_ovf or int(ne.max()) > ent_cap or int(nc.max()) > chunk_cap:
+            z3 = jnp.zeros((nt, 3), tpos_a.dtype)
+            z1 = jnp.zeros((nt,), tpos_a.dtype)
+            return WalkResult(z3, z1, jnp.zeros((nt,), jnp.int32),
+                              jnp.asarray(True), *stats)
+
+        order = np.argsort(-(ne.astype(np.int64) + 8 * nc.astype(np.int64)),
+                           kind="stable").astype(np.int32)
+        blks, accs, pots, nias = [], [], [], []
+        p4 = lambda x, m: max(m, 1 << (2 * int(math.ceil(
+            math.log(max(int(x), 1), 4)))))
+        for b in range(0, nbp, bbe):
+            blk = order[b:b + bbe]
+            # power-of-4 buckets: fewer eval-shape variants to compile
+            se = min(p4(ne[blk].max(), 1024), ent_cap)
+            sl = min(p4(nc[blk].max(), 256), chunk_cap)
+            ev = _eval_for(se, sl, bbe)
+            a, p, ni = ev(tree, gsrc, ent_all, chk_all, n_chk_d,
+                          tpos_a, tmass_a, tgrav_a, tfsoft_a, tgid_a,
+                          jnp.asarray(blk))
+            blks.append(blk)
+            accs.append(a)
+            pots.append(p)
+            nias.append(ni)
+        mark("eval", accs)
+        blk_cat = jnp.asarray(np.concatenate(blks))
+        acc, pot, nia = _assemble(blk_cat, jnp.concatenate(accs),
+                                  jnp.concatenate(pots),
+                                  jnp.concatenate(nias), nt)
+        mark("assemble", acc)
+        return WalkResult(acc, pot, nia, jnp.asarray(False), *stats)
+
+    def tree_forces_static(tree: Octree, tgt_sorted: jnp.ndarray,
+                           opening_override: str | None = None,
+                           fcap: int = 16384) -> WalkResult:
+        """Fully traceable fixed-shape walk: the same phase-T/phase-E
+        machinery with static frontier widths and full-cap evaluation, no
+        host pacing — usable under an outer `jax.jit` (driver compile
+        checks, per-shard walks inside `shard_map`).  Frontier entries past
+        `fcap` and list entries past the configured caps are dropped, so
+        caps must be sized generously for exactness."""
+        rel = rel_default if opening_override is None \
+            else jnp.asarray(opening_override == "relative")
+        nt = int(tgt_sorted.shape[0])
+        bbe = block_batch
+        nb0 = (nt + G - 1) // G
+        nbp = ((nb0 + bbe - 1) // bbe) * bbe
+        pad = nbp * G - nt
+        tgt = jnp.concatenate(
+            [tgt_sorted, jnp.full((pad,), -1, jnp.int32)]) if pad \
+            else tgt_sorted
+        tpos_a, tmass_a, tgrav_a, tfsoft_a, tgid_a, taold_a = \
+            _prep(tree, tgt, nbp)
+        gsrc = _gsrc(tree)
+        wtab = _gwalk(tree)
+
+        n = tree.pos_s.shape[0]
+        caps_l = level_caps(n, depth)
+        offs_l = np.concatenate([[0], np.cumsum(caps_l)]).astype(np.int32)
+        init_lvl = min(2, depth)
+        n_sh = int(offs_l[init_lvl])
+        n_init = int(offs_l[init_lvl + 1] - offs_l[init_lvl])
+        ent_w = [int(w) for w in ent_stripes]
+        chk_w_all = [n_sh * cpl] + [int(w) for w in chk_stripes[init_lvl:]]
+        e_offs, ent_total = _stripe_offs(ent_w[init_lvl:])
+        c_offs, chk_total = _stripe_offs(chk_w_all)
+
+        bdata, fblk, fnode, chk_sbuf = _t_init(
+            init_lvl, n_sh, n_init, int(offs_l[init_lvl]), chk_total)(
+            tree, wtab, tpos_a, tgid_a, taold_a)
+        cap2, nstart, rows, null_row = _layout(tree)
+        ent_sbuf = jnp.full((nbp, ent_total), null_row, jnp.int32)
+        for k, lvl in enumerate(range(init_lvl, depth + 1)):
+            step = _t_level(lvl, init_lvl, int(e_offs[k]),
+                            ent_w[init_lvl + k],
+                            int(c_offs[k + 1]), chk_w_all[k + 1])
+            (ent_sbuf, chk_sbuf, cand_blk, cand_node, cvalid, _fc,
+             _ed, _cd) = step(tree, wtab, bdata, fblk, fnode,
+                              ent_sbuf, chk_sbuf, rel)
+            if lvl < depth:
+                w_out = _p2(min(nbp * caps_l[lvl + 1] * 8, fcap), 512)
+                fblk, fnode = _t_compact(w_out)(cand_blk, cand_node, cvalid)
+        ent, chk, n_ent, n_chk = _t_finish(tree, ent_sbuf, chk_sbuf)
+
+        ev = _eval_for(ent_cap, chunk_cap, bbe)
+        accs, pots, nias = [], [], []
+        for b in range(0, nbp, bbe):
+            blk = jnp.arange(b, b + bbe, dtype=jnp.int32)
+            a, p, ni = ev(tree, gsrc, ent, chk, n_chk,
+                          tpos_a, tmass_a, tgrav_a, tfsoft_a, tgid_a, blk)
+            accs.append(a)
+            pots.append(p)
+            nias.append(ni)
+        acc, pot, nia = _assemble(
+            jnp.arange(nbp, dtype=jnp.int32), jnp.concatenate(accs),
+            jnp.concatenate(pots), jnp.concatenate(nias), nt)
+        zi = jnp.zeros((depth + 1,), jnp.int32)
+        mx_e = jnp.max(n_ent)
+        mx_c = jnp.max(n_chk)
+        return WalkResult(acc, pot, nia,
+                          (mx_e > ent_cap) | (mx_c > chunk_cap),
+                          mx_e, mx_c, jnp.zeros((), jnp.int32),
+                          mx_e, mx_c, zi, zi, zi)
+
+    tree_forces.profile = None
+    tree_forces.static = tree_forces_static
     return tree_forces

@@ -34,10 +34,10 @@ def _tree_acc(wiring, pos, mass, grav, fsoft, aold, opening="bh",
     tree = build_tree(jnp.asarray(pos), jnp.asarray(mass), jnp.asarray(grav),
                       jnp.asarray(fsoft), jnp.asarray(aold),
                       depth=depth, n_gravs=n_gravs, bucket=bucket)
-    walk = jax.jit(make_tree_forces(
+    walk = make_tree_forces(
         wiring, n_gravs=n_gravs, group_size=128, node_list_cap=2048,
         leaf_list_cap=2048, frontier_cap=2048, bucket=bucket, depth=depth,
-        theta=theta, opening=opening, block_batch=4))
+        theta=theta, opening=opening, block_batch=4)
     res = walk(tree, jnp.arange(n, dtype=jnp.int32))
     assert not bool(res.overflow)
     order = np.asarray(tree.order)
@@ -118,10 +118,10 @@ def test_tree_partial_targets():
     tree = build_tree(jnp.asarray(pos), jnp.asarray(mass), jnp.asarray(grav),
                       jnp.asarray(fsoft), jnp.ones(n, jnp.float32),
                       depth=7, n_gravs=1, bucket=16)
-    walk = jax.jit(make_tree_forces(
+    walk = make_tree_forces(
         wiring, n_gravs=1, group_size=64, node_list_cap=2048,
         leaf_list_cap=2048, frontier_cap=2048, bucket=16, depth=7,
-        theta=0.5, opening="bh", block_batch=2))
+        theta=0.5, opening="bh", block_batch=2)
     sub_idx = jnp.arange(0, n, 3, dtype=jnp.int32)  # every 3rd sorted index
     pad = jnp.concatenate([sub_idx, jnp.full((7,), -1, jnp.int32)])
     sub = walk(tree, pad)
@@ -156,11 +156,10 @@ def test_deep_tree_clustered_core():
                       depth=16, n_gravs=1, bucket=16)
     term = np.asarray(tree.node_terminal)
     assert np.asarray(tree.node_pcount)[term].max() <= 16  # no fat leaves
-    walk = jax.jit(make_tree_forces(
+    walk = make_tree_forces(
         wiring, n_gravs=1, group_size=64, node_list_cap=4096,
         leaf_list_cap=4096, frontier_cap=2048, bucket=16, depth=16,
-        theta=0.5, opening="relative", block_batch=4, use_pallas=False,
-        src_cap=16384))
+        theta=0.5, opening="relative", block_batch=4, use_pallas=False)
     res = walk(tree, jnp.arange(n, dtype=jnp.int32))
     assert not bool(res.overflow)
     acc_t = np.zeros((n, 3), np.float32)
