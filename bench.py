@@ -8,10 +8,13 @@ format, gravtree.c:443-444), so a 64-rank CPU baseline of 6.4e6
 particle-steps/sec is used as the comparison denominator, matching the
 BASELINE.json north-star framing.
 
-The run exercises the production path: BH octree with the relative opening
-criterion, N_GRAVS=2 multi-gravity moments (the stock all-Newton wiring of
-Makefile.reference:51,60), Pallas pairwise kernel, individual power-of-two
-timesteps on the integer timeline.
+The run exercises the production path: the auto direct/tree solver (at 60k
+particles the exact O(N^2) MXU/VPU sweep beats any tree walk; above
+`direct_crossover` the BH octree takes over), N_GRAVS=2 multi-gravity wiring
+(the stock all-Newton config of Makefile.reference:51,60), fused
+drift+force+kick steps, individual power-of-two timesteps on the integer
+timeline.  Unlike the reference's tree forces (~1% errors), the forces here
+are exact to f32 rounding.
 """
 
 import json
@@ -50,7 +53,7 @@ def main():
 
     print(json.dumps({
         "metric": "particle-steps/sec (GalaxyCollision 60k, 2-species "
-                  "BH-tree gravity, relative opening)",
+                  "gravity, exact fused direct solver)",
         "value": round(rate, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(rate / BASELINE_PART_STEPS_PER_SEC, 4),

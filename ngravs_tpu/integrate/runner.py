@@ -185,6 +185,12 @@ class Simulation:
 
         self._active_info = jax.jit(active_info)
 
+        def next_sync_info(p):
+            min_next = jnp.min(p.ti_endstep)
+            return min_next, jnp.sum(p.ti_endstep == min_next)
+
+        self._next_sync_info = jax.jit(next_sync_info)
+
         def gather_active(p, ti_current, size):
             mask = p.ti_endstep == ti_current
             idx = jnp.nonzero(mask, size=size, fill_value=-1)[0].astype(jnp.int32)
@@ -197,6 +203,42 @@ class Simulation:
                                              a3inv)
 
         self._stats = jax.jit(stats_fn)
+
+        # --- fused fast-path step (pure N-body, direct solver) ---------
+        # One device call per step: drift -> gather active -> pairwise
+        # forces (no potential) -> KDK kick -> next-sync reduction.  This
+        # removes the ~6 host<->device round trips of the general step —
+        # the dominant cost once the force sweep itself is ~100ms.
+        from ..ops.direct import direct_forces
+        G = units.G
+        box = cfg.box_size if cfg.periodic else 0.0
+
+        def fused_step_fn(s, p, ti_from, min_glob, time_now, dt_disp):
+            p, _ = drift_fn(p, None, ti_from, min_glob)
+            fsoft = fsoft_by_type[p.ptype]
+            mask = p.ti_endstep == min_glob
+            tgt = jnp.nonzero(mask, size=s, fill_value=-1)[0] \
+                .astype(jnp.int32)
+            acc, _ = direct_forces(
+                wiring, p.pos, p.mass, p.grav, fsoft, tgt_idx=tgt,
+                box=box, chunk=min(1024, s), want_pot=False,
+                lattice_tables=self.solver.lattice_tables)
+            acc = acc * G
+            idx = jnp.where(tgt >= 0, tgt, p.n)
+            new_acc = p.accel.at[idx].set(acc, mode="drop")
+            amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
+            new_old = p.old_acc.at[idx].set(amag, mode="drop")
+            p = p.replace(accel=new_acc, old_acc=new_old)
+            p, _ = kick(cfg, units, p, None, tables, min_glob, dt_disp,
+                        soft_by_type, time_now)
+            min_next = jnp.min(p.ti_endstep)
+            n_active = jnp.sum(mask)
+            n_next = jnp.sum(p.ti_endstep == min_next)
+            return p, jnp.stack([n_active.astype(jnp.int32), min_next,
+                                 n_next.astype(jnp.int32)])
+
+        self._fused_step = jax.jit(fused_step_fn, static_argnums=0)
+        self._fused_info = None  # (min_glob, n_active) from the last call
 
     # ------------------------------------------------------------------
     def _first_output_time(self):
@@ -243,7 +285,8 @@ class Simulation:
             return
         hsml = self.sph.hsml if self.sph is not None else None
         if not self._forces_bootstrapped \
-                and self.cfg.type_of_opening_criterion == 1:
+                and self.cfg.type_of_opening_criterion == 1 \
+                and not self.solver.uses_direct(self.p.n):
             # relative criterion needs OldAcc: bootstrap with the geometric
             # criterion, then recompute (accel.c:48-52)
             self.p, _, _ = self.solver.compute(self.p, self.ti_current,
@@ -354,14 +397,57 @@ class Simulation:
         return s
 
     # ------------------------------------------------------------------
+    def _try_fast_step(self) -> bool:
+        """Fused single-call step for the pure-N-body direct-solver case.
+        Returns True if it handled the step."""
+        cfg = self.cfg
+        if (not self.solver.uses_direct(self.p.n) or cfg.pmgrid
+                or cfg.make_glass or cfg.force_test > 0
+                or (self.sph is not None and self.n_gas > 0)):
+            return False
+        if self._fused_info is None:
+            min_glob, n_act = (int(x) for x in
+                               self._next_sync_info(self.p))
+        else:
+            min_glob, n_act = self._fused_info
+        t_sync = self.time_at(min_glob)
+        if self._next_output <= t_sync + 1e-12:
+            self._fused_info = None
+            return False
+        if cfg.time_bet_statistics > 0 and t_sync >= self._next_stats:
+            self._fused_info = None
+            return False
+        s = min(_bucket(max(n_act, 1)), _bucket(self.p.n))
+        self.p, info = self._fused_step(s, self.p, self.ti_current,
+                                        min_glob, t_sync,
+                                        self.dt_displacement)
+        n_active, min_next, n_next = (int(x) for x in jax.device_get(info))
+        if n_active > s:  # bucket hint was stale: redo via the general path
+            self._fused_info = None
+            raise RuntimeError("fused-step bucket underflow")  # unreachable
+        self.ti_current = min_glob
+        self.flag_fullstep = n_active == self.p.n
+        self.num_force_updates += n_active
+        self.step_count += 1
+        self._fused_info = (min_next, n_next)
+        if "info" in self._logs:
+            self._logs["info"].write(
+                f"Begin Step {self.step_count - 1}, Time: {self.time:.8g}, "
+                f"Active: {n_active}\n")
+        return True
+
     def step(self):
         """One main-loop iteration (run.c:32-132)."""
         cfg = self.cfg
         t_step0 = _time.time()
 
+        if self._try_fast_step():
+            return
+
         # --- find next sync point (run.c:151-236) ---
         n_act, min_glob = self._active_info(self.p, self.ti_current)
         min_glob = int(min_glob)
+        self._fused_info = None
         if cfg.pmgrid and min_glob > self.pm_ti_endstep:
             # a PM step forces a full synchronization (run.c:175-181)
             min_glob = self.pm_ti_endstep
@@ -469,6 +555,7 @@ class Simulation:
     def resume(self, path: str | None = None):
         """Resume from a restart checkpoint (RestartFlag=1)."""
         from ..io.restart import load_restart
+        self._fused_info = None  # cached sync-point hint is stale
         return load_restart(self, path)
 
     def _interrupt_requested(self) -> bool:

@@ -216,12 +216,21 @@ class GravitySolver:
             new_pot = p.potential.at[idx].set(pot, mode="drop")
             amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
             new_old = p.old_acc.at[idx].set(amag, mode="drop")
-            npair = jnp.asarray(s * p.pos.shape[0], jnp.int32)
+            npair = jnp.asarray(min(s * p.pos.shape[0], 2**31 - 1),
+                                jnp.int32)
             return ForceResult(new_acc, new_pot, new_old, p.grav_cost,
                                jnp.zeros((), bool), npair)
 
         self._fns[key] = fn
         return fn
+
+    def uses_direct(self, n: int) -> bool:
+        """Whether compute() will take the exact O(N^2) path for n particles."""
+        return (self.cfg.solver == "direct"
+                or n <= 2 * self.cfg.tree_group_size
+                or (self.cfg.solver == "auto"
+                    and n <= self.cfg.direct_crossover)) \
+            and self.treepm is None
 
     def pm_forces(self, p):
         """Long-range PM accelerations for ALL particles (long_range_force,
@@ -243,10 +252,7 @@ class GravitySolver:
         s = _bucket(min(n_active, p.n) if n_active else p.n)
         s = min(s, _bucket(p.n))
         # under TreePM the direct path would double-count the long range
-        use_direct = (self.cfg.solver == "direct"
-                      or p.n <= 2 * self.cfg.tree_group_size) \
-            and self.treepm is None
-        if use_direct:
+        if self.uses_direct(p.n):
             r = self._direct_fn(s)(p, ti_current)
             p = p.replace(accel=r.acc, potential=r.pot, old_acc=r.old_acc,
                           grav_cost=r.grav_cost)
