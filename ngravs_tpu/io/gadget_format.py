@@ -242,3 +242,212 @@ def write_snapshot(path: str, data: SnapshotData, snap_format: int = 1,
                     _write_record(f, np.ascontiguousarray(arr[:ngas], "<f4").tobytes(), nm, fmt2)
         if with_pot and data.pot is not None:
             _write_record(f, np.ascontiguousarray(data.pot, "<f4").tobytes(), "POT", fmt2)
+
+
+# ----------------------------------------------------------------------
+# Format 3 (HDF5) — the reference's optional HAVE_HDF5 path
+# (io.c:998-1120, read_ic.c:~280-600).  Gadget-2 group/dataset names.
+
+_H5_HEADER_ATTRS = [
+    ("NumPart_ThisFile", "npart", np.int32),
+    ("MassTable", "mass", np.float64),
+    ("Time", "time", float),
+    ("Redshift", "redshift", float),
+    ("Flag_Sfr", "flag_sfr", int),
+    ("Flag_Feedback", "flag_feedback", int),
+    ("NumPart_Total", "npart_total", np.uint32),
+    ("Flag_Cooling", "flag_cooling", int),
+    ("NumFilesPerSnapshot", "num_files", int),
+    ("BoxSize", "box_size", float),
+    ("Omega0", "omega0", float),
+    ("OmegaLambda", "omega_lambda", float),
+    ("HubbleParam", "hubble_param", float),
+]
+
+
+def write_snapshot_hdf5(path: str, data: SnapshotData, with_pot: bool = False):
+    """Format-3 snapshot (HDF5), Gadget-2 dataset names (io.c:998-1120)."""
+    import h5py
+
+    h = data.header
+    npart = h.npart.astype(np.int64)
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with h5py.File(path, "w") as f:
+        hdr = f.create_group("Header")
+        for aname, fname, typ in _H5_HEADER_ATTRS:
+            v = getattr(h, fname)
+            hdr.attrs[aname] = np.asarray(v, typ) if isinstance(
+                v, np.ndarray) else typ(v)
+        off = 0
+        for t in range(N_TYPES):
+            cnt = int(npart[t])
+            if cnt == 0:
+                off += cnt
+                continue
+            grp = f.create_group(f"PartType{t}")
+            sl = slice(off, off + cnt)
+            grp.create_dataset("Coordinates", data=np.asarray(data.pos[sl], "<f4"))
+            grp.create_dataset("Velocities", data=np.asarray(data.vel[sl], "<f4"))
+            grp.create_dataset("ParticleIDs", data=np.asarray(data.pid[sl], "<u4"))
+            if h.mass[t] == 0:
+                grp.create_dataset("Masses", data=np.asarray(data.mass[sl], "<f4"))
+            if t == 0:
+                for nm, arr in (("InternalEnergy", data.u),
+                                ("Density", data.rho),
+                                ("SmoothingLength", data.hsml)):
+                    if arr is not None:
+                        grp.create_dataset(nm, data=np.asarray(arr[:cnt], "<f4"))
+            if with_pot and data.pot is not None:
+                grp.create_dataset("Potential", data=np.asarray(data.pot[sl], "<f4"))
+            off += cnt
+
+
+def read_snapshot_hdf5(path: str) -> SnapshotData:
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        hdr = f["Header"].attrs
+        h = SnapshotHeader()
+        for aname, fname, _ in _H5_HEADER_ATTRS:
+            if aname in hdr:
+                setattr(h, fname, hdr[aname])
+        h.npart = np.asarray(h.npart, np.int32)
+        h.mass = np.asarray(h.mass, np.float64)
+        h.npart_total = np.asarray(h.npart_total, np.uint32)
+        npart = h.npart.astype(np.int64)
+        n = int(npart.sum())
+        ngas = int(npart[0])
+        pos = np.empty((n, 3), np.float32)
+        vel = np.empty((n, 3), np.float32)
+        pid = np.empty(n, np.uint32)
+        mass = np.empty(n, np.float32)
+        pot = np.empty(n, np.float32)
+        have_pot = True
+        u = rho = hsml = None
+        off = 0
+        for t in range(N_TYPES):
+            cnt = int(npart[t])
+            if cnt == 0:
+                continue
+            grp = f[f"PartType{t}"]
+            sl = slice(off, off + cnt)
+            pos[sl] = grp["Coordinates"][...]
+            vel[sl] = grp["Velocities"][...]
+            pid[sl] = grp["ParticleIDs"][...]
+            mass[sl] = grp["Masses"][...] if "Masses" in grp else h.mass[t]
+            if "Potential" in grp:
+                pot[sl] = grp["Potential"][...]
+            else:
+                have_pot = False
+            if t == 0:
+                u = grp["InternalEnergy"][...] if "InternalEnergy" in grp else None
+                rho = grp["Density"][...] if "Density" in grp else None
+                hsml = grp["SmoothingLength"][...] if "SmoothingLength" in grp else None
+            off += cnt
+        ptype = np.repeat(np.arange(N_TYPES, dtype=np.int32), npart)
+        return SnapshotData(header=h, pos=pos, vel=vel, pid=pid, mass=mass,
+                            ptype=ptype, u=u, rho=rho, hsml=hsml,
+                            pot=pot if have_pot else None)
+
+
+# ----------------------------------------------------------------------
+# Multi-file snapshots (read_ic.c:615 find_files; io.c:94-112 distribute)
+
+def find_files(base: str) -> list[str]:
+    """Snapshot file set discovery (read_ic.c:615-686): `base` itself, or
+    `base.0 .. base.(numfiles-1)`, or `base.hdf5` / `base.N.hdf5`."""
+    for cand in (base, base + ".hdf5"):
+        if os.path.exists(cand):
+            return [cand]
+    for first in (base + ".0", base + ".0.hdf5"):
+        if os.path.exists(first):
+            files = [first]
+            i = 1
+            while True:
+                nxt = (f"{base}.{i}.hdf5" if first.endswith(".hdf5")
+                       else f"{base}.{i}")
+                if not os.path.exists(nxt):
+                    break
+                files.append(nxt)
+                i += 1
+            return files
+    raise FileNotFoundError(f"no snapshot files found for base {base!r}")
+
+
+def _read_any(path: str) -> SnapshotData:
+    if path.endswith(".hdf5") or path.endswith(".h5"):
+        return read_snapshot_hdf5(path)
+    return read_snapshot(path)
+
+
+def read_snapshot_set(base: str) -> SnapshotData:
+    """Read a possibly multi-file snapshot, concatenating per type in file
+    order (round-robin group reading analog, read_ic.c:54-103)."""
+    files = find_files(base)
+    parts = [_read_any(p) for p in files]
+    if len(parts) == 1:
+        return parts[0]
+    h = parts[0].header
+    npart = np.sum([p.header.npart for p in parts], axis=0).astype(np.int32)
+    cat = {}
+    for name in ("pos", "vel", "pid", "mass", "ptype"):
+        chunks = []
+        for t in range(N_TYPES):
+            for p in parts:
+                m = p.ptype == t
+                if m.any():
+                    chunks.append(getattr(p, name)[m])
+        cat[name] = np.concatenate(chunks) if chunks else getattr(parts[0], name)
+    gas = {}
+    for name in ("u", "rho", "hsml"):
+        vals = [getattr(p, name) for p in parts if getattr(p, name) is not None]
+        gas[name] = np.concatenate(vals) if vals else None
+    h.npart = npart
+    h.num_files = 1
+    return SnapshotData(header=h, ptype=cat["ptype"], pos=cat["pos"],
+                        vel=cat["vel"], pid=cat["pid"], mass=cat["mass"],
+                        u=gas["u"], rho=gas["rho"], hsml=gas["hsml"])
+
+
+def write_snapshot_multi(base: str, data: SnapshotData, num_files: int,
+                         snap_format: int = 1, with_pot: bool = False,
+                         max_parallel: int | None = None):
+    """Split a snapshot across `num_files` files (`base.0 .. base.N-1`),
+    particles of every type divided contiguously — the sharded-write analog
+    of io.c:94-112 (files written by independent workers, group-throttled to
+    `max_parallel` concurrent writers like NumFilesWrittenInParallel)."""
+    import concurrent.futures as cf
+
+    h = data.header
+    npart = h.npart.astype(np.int64)
+    jobs = []
+    for k in range(num_files):
+        sel = np.zeros(data.n, bool)
+        sub_np = np.zeros(N_TYPES, np.int32)
+        off = 0
+        for t in range(N_TYPES):
+            cnt = int(npart[t])
+            lo = off + (cnt * k) // num_files
+            hi = off + (cnt * (k + 1)) // num_files
+            sel[lo:hi] = True
+            sub_np[t] = hi - lo
+            off += cnt
+        hh = dataclasses.replace(
+            h, npart=sub_np, num_files=num_files,
+            npart_total=h.npart.astype(np.uint32))
+        sub = SnapshotData(
+            header=hh, pos=data.pos[sel], vel=data.vel[sel],
+            pid=data.pid[sel], mass=data.mass[sel], ptype=data.ptype[sel],
+            u=None if data.u is None else data.u[sel[:len(data.u)]],
+            rho=None if data.rho is None else data.rho[sel[:len(data.rho)]],
+            hsml=None if data.hsml is None else data.hsml[sel[:len(data.hsml)]],
+            pot=None if data.pot is None else data.pot[sel])
+        if snap_format == 3:
+            jobs.append((write_snapshot_hdf5, (f"{base}.{k}.hdf5", sub),
+                         dict(with_pot=with_pot)))
+        else:
+            jobs.append((write_snapshot, (f"{base}.{k}", sub),
+                         dict(snap_format=snap_format, with_pot=with_pot)))
+    workers = max_parallel or num_files
+    with cf.ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+        list(ex.map(lambda j: j[0](*j[1], **j[2]), jobs))

@@ -52,6 +52,7 @@ class GravitySolver:
         self.fsoft_by_type = jnp.asarray(fsoft_by_type)
         self.depth = cfg.tree_depth
         self._fat_warned = False
+        self._rel_ready = False
         # cached tree for Gadget-style rebuild cadence: a full rebuild only
         # after TreeDomainUpdateFrequency * N force computations
         # (domain.c:76); between rebuilds moments are refreshed in place
@@ -260,6 +261,16 @@ class GravitySolver:
 
         if self.cfg.type_of_opening_criterion == 0:
             opening = "bh"
+        elif opening == "relative" and not self._rel_ready:
+            # the relative criterion needs a prior acceleration; with
+            # OldAcc == 0 it would open every node (frontier explosion).
+            # The reference bootstraps the first force computation with the
+            # geometric criterion (accel.c:48-52); guard likewise here for
+            # callers that skip the runner's bootstrap.
+            if float(jax.device_get(jnp.max(p.old_acc))) == 0.0:
+                opening = "bh"
+            else:
+                self._rel_ready = True
         from .morton import MAX_DEPTH
         can_refresh = (self._tree_cache is not None
                        and self._forces_since_build

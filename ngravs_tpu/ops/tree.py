@@ -867,8 +867,10 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         chk, n_chk = _compact_rows(chk_sbuf, chk_sbuf != null_chunk,
                                    chunk_cap)
         chk = jnp.where(chk < 0, null_chunk, chk)
-        return ent, chk, jnp.minimum(n_ent, ent_cap), \
-            jnp.minimum(n_chk, chunk_cap)
+        # counts returned UNCLIPPED so overflow retunes see true demand
+        # (phase E clips to its own batch shapes); overflow check compares
+        # these against ent_cap/chunk_cap
+        return ent, chk, n_ent, n_chk
 
     def traverse_batch(tree, wtab, tpos, tgid, taold, rel):
         """Host-paced traversal of one batch of blocks.  Returns
@@ -909,7 +911,11 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
                 or cd > chk_w_all[k + 1]
             if lvl < depth:
                 fdem.append(fc)
-                if fc == 0 or stripe_ovf:
+                # keep traversing on stripe overflow: outputs are discarded
+                # by the caller but the per-level demand counters stay true,
+                # so ONE retune round learns every level's width (stopping
+                # early would reveal only one overflowing level per retry)
+                if fc == 0:
                     break
                 w_out = _p2(fc, 512)
                 fblk, fnode = _t_compact(w_out)(cand_blk, cand_node, cvalid)

@@ -1,0 +1,170 @@
+"""Sharded Barnes-Hut gravity over the device mesh (Phase 5 scale-out).
+
+The TPU-native replacement for the reference's distributed tree machinery
+(domain decomposition + pseudo-particle exchange + export/import bunches,
+domain.c / forcetree.c:345-431,766-819 / gravtree.c:102-285):
+
+  reference mechanism                      -> here
+  -------------------------------------------------------------------
+  Peano-Hilbert domain decomposition       -> global Morton sort; shards own
+  (domain.c:62-165)                           contiguous key ranges
+  pseudo-particle moment exchange          -> one tiled `all_gather` of the
+  (forcetree.c:766-819)                       drifted source set over ICI;
+                                              every shard builds the identical
+                                              octree (replicated-tree design)
+  export/import bunch loop                 -> each shard walks only its own
+  (gravtree.c:102-285)                        contiguous slice of
+                                              Morton-sorted targets
+  MPI_Allreduce(min Ti_endstep, run.c:165) -> lax.pmin inside shard_map
+
+Design note: with the tree replicated, the walk (the dominant cost,
+O(N log N) pair math) parallelizes perfectly over targets — contiguous
+Morton-slice targets also maximize frontier overlap within a shard.  The
+build (cheap segment-sums over a sort) is duplicated per device; the two
+all_gathers move 2 x 32B/particle per step over ICI, negligible against the
+walk at any N that fits HBM (~10^8 on v5e).  This is the same trade the
+reference makes for its *top* tree (replicated on every rank,
+domain.c:933-1165) pushed down to the full tree, which HBM capacity allows
+and which removes every per-particle message round-trip.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..constants import SOFTFAC_SPLINE
+from ..integrate.kdk import kick
+from ..ops.tree import build_tree, make_tree_forces
+from .mesh import AXIS
+
+
+def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
+                           n_local: int,
+                           depth: int | None = None,
+                           group_size: int | None = None,
+                           node_list_cap: int = 4096,
+                           leaf_list_cap: int = 4096,
+                           fcap: int = 65536,
+                           opening: str | None = None):
+    """Build a jitted full simulation step over the mesh with tree forces:
+    drift(all) -> all_gather sources -> replicated tree build -> per-shard
+    static walk of the local target slice -> kick -> pmin sync point.
+
+    `n_local` is the per-shard particle count (static).  Returns
+    step(p, ti_current, ti_next, time_next) -> (p, min_endstep).
+    """
+    box = cfg.box_size if cfg.periodic else 0.0
+    depth = depth if depth is not None else cfg.tree_depth
+    group = group_size if group_size is not None else min(
+        cfg.tree_group_size, max(64, 1 << (n_local - 1).bit_length()))
+    fsoft_by_type = jnp.asarray(
+        np.array(cfg.softening, np.float32) * SOFTFAC_SPLINE)
+    soft_by_type = jnp.asarray(np.array(cfg.softening, np.float32))
+    G = units.G
+    err_tol = cfg.err_tol_force_acc
+    if opening is None:
+        opening = "bh" if cfg.type_of_opening_criterion == 0 else "relative"
+    n_dev = mesh.devices.size
+
+    walk = make_tree_forces(
+        wiring, n_gravs=cfg.n_gravs, group_size=group,
+        node_list_cap=node_list_cap, leaf_list_cap=leaf_list_cap,
+        bucket=cfg.tree_bucket_size, depth=depth,
+        theta=cfg.err_tol_theta, opening=opening, box_size=box,
+        block_batch=max(1, min(8, n_local // group)))
+
+    def _step(p, ti_current, ti_next, time_next):
+        nloc = p.pos.shape[0]
+        my = jax.lax.axis_index(AXIS)
+
+        # drift all local particles to the sync point (predict.c:31)
+        dd = tables.drift_factor(ti_current, ti_next)
+        p = p.replace(pos=p.pos + p.vel * dd)
+        if box > 0:
+            p = p.replace(pos=jnp.mod(p.pos, box))
+
+        fsoft = fsoft_by_type[p.ptype]
+        aold = err_tol * p.old_acc / G      # walk works in G=1 units
+        mass = jnp.where(p.pid >= 0, p.mass, 0.0)  # padding rows are inert
+
+        # source replication over ICI (pseudo-particle exchange analog)
+        gath = lambda a: jax.lax.all_gather(a, AXIS, tiled=True)
+        pos_f, mass_f = gath(p.pos), gath(mass)
+        grav_f, fsoft_f, aold_f = gath(p.grav), gath(fsoft), gath(aold)
+
+        # identical replicated build on every shard (forcetree.c:61)
+        tree = build_tree(pos_f, mass_f, grav_f, fsoft_f, aold_f,
+                          depth=depth, n_gravs=cfg.n_gravs,
+                          bucket=cfg.tree_bucket_size, box_size=box)
+
+        # walk my contiguous slice of the Morton-sorted target list
+        tgt = my * nloc + jnp.arange(nloc, dtype=jnp.int32)
+        res = walk.static(tree, tgt, fcap=fcap)
+
+        # return results to owner shards: gather sorted accelerations,
+        # unsort via tree.order, slice my original-index range
+        acc_sorted = gath(res.acc)                       # [N,3] sorted order
+        pot_sorted = gath(res.pot)
+        n_tot = acc_sorted.shape[0]
+        acc_full = jnp.zeros((n_tot, 3), acc_sorted.dtype) \
+            .at[tree.order].set(acc_sorted)
+        pot_full = jnp.zeros((n_tot,), pot_sorted.dtype) \
+            .at[tree.order].set(pot_sorted)
+        acc = jax.lax.dynamic_slice(acc_full, (my * nloc, 0), (nloc, 3)) * G
+        pot = jax.lax.dynamic_slice(pot_full, (my * nloc,), (nloc,)) * G
+        p = p.replace(accel=acc, potential=pot,
+                      old_acc=jnp.linalg.norm(acc, axis=-1),
+                      grav_cost=p.grav_cost)
+
+        # kick the active set (timestep.c) — purely local, masked
+        p, _ = kick(cfg, units, p, None, tables, ti_next,
+                    cfg.max_size_timestep, soft_by_type, time_next)
+        min_end = jax.lax.pmin(jnp.min(p.ti_endstep), AXIS)
+        return p, min_end
+
+    step = jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(AXIS), P(), P(), P()),
+        out_specs=(P(AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def reshard_by_morton(p, mesh, box: float = 0.0):
+    """Domain decomposition analog (domain.c:62 + peano.c:36): globally sort
+    particles by Morton key and hand each shard a contiguous, equally-sized
+    key range — shards become spatially compact, which maximizes tree-walk
+    frontier sharing within a shard.
+
+    Non-gas only (the runner keeps gas at the head of the arrays); sorts the
+    whole pytree.  Implemented as gather + replicated argsort + local slice:
+    O(N) replicated memory, one collective, deterministic.
+    """
+    from ..ops.morton import morton_keys2, sort_by_keys2
+
+    def _reshard(p):
+        nloc = p.pos.shape[0]
+        my = jax.lax.axis_index(AXIS)
+        gath = lambda a: jax.lax.all_gather(a, AXIS, tiled=True)
+        pf = jax.tree.map(gath, p)
+        if box > 0:
+            corner = jnp.zeros(3, pf.pos.dtype)
+            inv_len = 1.0 / box
+        else:
+            lo = jnp.min(pf.pos, axis=0)
+            hi = jnp.max(pf.pos, axis=0)
+            root_len = jnp.max(hi - lo) * 1.0001 + 1e-30
+            corner = (lo + hi) / 2 - root_len / 2
+            inv_len = 1.0 / root_len
+        khi, klo = morton_keys2(pf.pos, corner, inv_len, 10)
+        order = sort_by_keys2(khi, klo)
+        mine = jax.lax.dynamic_slice(order, (my * nloc,), (nloc,))
+        return jax.tree.map(lambda a: a[mine], pf)
+
+    fn = jax.shard_map(_reshard, mesh=mesh, in_specs=(P(AXIS),),
+                       out_specs=P(AXIS), check_vma=False)
+    return jax.jit(fn)(p)
