@@ -535,7 +535,9 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         pair_kernel = None
 
     periodic = box_size > 0
-    rel_default = jnp.asarray(opening == "relative")
+    rel_true = jnp.asarray(True)
+    rel_false = jnp.asarray(False)
+    rel_default = rel_true if opening == "relative" else rel_false
 
     def min_image(d):
         if not periodic:
@@ -621,6 +623,9 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
 
     @functools.partial(jax.jit, static_argnames=("nb",))
     def _prep(tree: Octree, tgt: jnp.ndarray, nb: int):
+        pad = nb * G - tgt.shape[0]
+        if pad:
+            tgt = jnp.concatenate([tgt, jnp.full((pad,), -1, jnp.int32)])
         tgt_b = tgt.reshape(nb, G)
         safe = jnp.maximum(tgt_b, 0)
         return (tree.pos_s[safe], tree.mass_s[safe], tree.grav_s[safe],
@@ -853,6 +858,69 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
             fnode = jnp.zeros((w_out,), jnp.int32) \
                 .at[idx].set(cand_node, mode="drop")
             return fblk, fnode
+
+        _lvl_cache[key] = fn
+        return fn
+
+    def _t_all(bb: int, fws: tuple, n_static: int):
+        """Fused single-dispatch traversal: all levels in ONE jit with
+        STATIC per-level frontier widths `fws` learned from a prior
+        host-paced walk.  Eliminates the per-level host sync (expensive on
+        remote/tunneled TPUs: ~tens of ms each).  Any width or stripe
+        overflow is detected ON DEVICE and reported; the caller falls back
+        to the host-paced path and re-learns the widths."""
+        key = ("all", bb, fws, n_static)
+        if key in _lvl_cache:
+            return _lvl_cache[key]
+        init_lvl = min(2, depth)
+        caps_l = level_caps(n_static, depth)
+        offs_l = np.concatenate([[0], np.cumsum(caps_l)]).astype(np.int32)
+        n_sh = int(offs_l[init_lvl])
+        n_init = int(offs_l[init_lvl + 1] - offs_l[init_lvl])
+        ent_w = [int(w) for w in ent_stripes]
+        chk_w_all = [n_sh * cpl] + [int(w) for w in chk_stripes[init_lvl:]]
+        e_offs, ent_total = _stripe_offs(ent_w[init_lvl:])
+        c_offs, chk_total = _stripe_offs(chk_w_all)
+
+        @jax.jit
+        def fn(tree, wtab, tpos, tgid, taold, rel):
+            bdata, fblk, fnode, chk_sbuf = _t_init(
+                init_lvl, n_sh, n_init, int(offs_l[init_lvl]), chk_total)(
+                tree, wtab, tpos, tgid, taold)
+            cap2, nstart, rows, null_row = _layout(tree)
+            ent_sbuf = jnp.full((bb, ent_total), null_row, jnp.int32)
+            ovf = jnp.asarray(False)
+            fdml, edml, cdml = [], [], []
+            for k, lvl in enumerate(range(init_lvl, depth + 1)):
+                step = _t_level(lvl, init_lvl, int(e_offs[k]),
+                                ent_w[init_lvl + k],
+                                int(c_offs[k + 1]), chk_w_all[k + 1])
+                (ent_sbuf, chk_sbuf, cand_blk, cand_node, cvalid, fcount,
+                 e_dem, c_dem) = step(tree, wtab, bdata, fblk, fnode,
+                                      ent_sbuf, chk_sbuf, rel)
+                ovf = ovf | (e_dem > ent_w[init_lvl + k]) \
+                    | (c_dem > chk_w_all[k + 1])
+                edml.append(e_dem)
+                cdml.append(c_dem)
+                if lvl < depth:
+                    w_out = int(fws[k]) if k < len(fws) else 512
+                    ovf = ovf | (fcount > w_out)
+                    fdml.append(fcount)
+                    fblk, fnode = _t_compact(w_out)(cand_blk, cand_node,
+                                                    cvalid)
+            ent, chk, n_ent, n_chk = _t_finish(tree, ent_sbuf, chk_sbuf)
+            ovf = ovf | (jnp.max(n_ent) > ent_cap) \
+                | (jnp.max(n_chk) > chunk_cap)
+            z = jnp.zeros((), jnp.int32)
+            # index alignment with the host-paced demand lists:
+            # fdem[l] = frontier count AFTER level l-1 (prefix init_lvl+1),
+            # edem/cdem[l] = stripe demand AT level l (prefix init_lvl)
+            pad_to = lambda L, npre: jnp.stack(
+                ([z] * npre + L + [z] * (depth + 1 - npre - len(L)))
+                [: depth + 1])
+            return (ent, chk, n_ent, n_chk, ovf,
+                    pad_to(fdml, init_lvl + 1), pad_to(edml, init_lvl),
+                    pad_to(cdml, init_lvl))
 
         _lvl_cache[key] = fn
         return fn
@@ -1090,29 +1158,31 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         if prof is not None:
             mark.t = _t.time()
         rel = rel_default if opening_override is None \
-            else jnp.asarray(opening_override == "relative")
+            else (rel_true if opening_override == "relative" else rel_false)
         nt = int(tgt_sorted.shape[0])
         bbe = block_batch
         nb0 = (nt + G - 1) // G
         nbp = ((nb0 + bbe - 1) // bbe) * bbe
-        pad = nbp * G - nt
-        tgt = jnp.concatenate(
-            [tgt_sorted, jnp.full((pad,), -1, jnp.int32)]) if pad \
-            else tgt_sorted
-        prep = _prep(tree, tgt, nbp)
+        prep = _prep(tree, tgt_sorted, nbp)
         tpos_a, tmass_a, tgrav_a, tfsoft_a, tgid_a, taold_a = prep
         gsrc = _gsrc(tree)
         wtab = _gwalk(tree)
         mark("prep", gsrc, wtab)
 
         bbt = min(trav_batch, nbp)
+        nbatch = (nbp + bbt - 1) // bbt
+        init_lvl = min(2, depth)
         touts = []
         fdem_h = np.zeros(depth + 1, np.int64)
         edem_h = np.zeros(depth + 1, np.int64)
         cdem_h = np.zeros(depth + 1, np.int64)
         stripe_ovf = False
-        for i in range(0, nbp, bbt):
+        ne = nc = None
+
+        def batch_slc(i):
             end = min(i + bbt, nbp)
+            if nbatch == 1:
+                return tpos_a, tgid_a, taold_a
             if end - i < bbt:
                 # pad the final batch with empty blocks
                 padb = bbt - (end - i)
@@ -1122,60 +1192,103 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
                      jnp.full((padb,) + a.shape[1:], -1, a.dtype)])
             else:
                 slc = lambda a: jax.lax.slice_in_dim(a, i, end, axis=0)
-            ent_b, chk_b, ne_b, nc_b, ovf_b, fd, ed, cd = traverse_batch(
-                tree, wtab, slc(tpos_a), slc(tgid_a), slc(taold_a), rel)
-            touts.append((ent_b, chk_b, ne_b, nc_b))
-            stripe_ovf = stripe_ovf or ovf_b
-            fdem_h = np.maximum(fdem_h, np.asarray(fd))
-            edem_h = np.maximum(edem_h, np.asarray(ed))
-            cdem_h = np.maximum(cdem_h, np.asarray(cd))
+            return slc(tpos_a), slc(tgid_a), slc(taold_a)
 
-        cat = lambda k: jnp.concatenate([t[k] for t in touts])[:nbp]
-        ent_all, chk_all = cat(0), cat(1)
-        n_ent_d, n_chk_d = cat(2), cat(3)
+        done = False
+        if tree_forces.fwidths is not None:
+            # FAST PATH: fused traversal with the widths learned from a
+            # previous host-paced walk — one dispatch per batch, no
+            # per-level host syncs (each costs a full round trip: ~tens of
+            # ms on tunneled TPUs), then ONE device_get that both
+            # validates the widths and fetches the eval demands
+            fast = _t_all(bbt, tree_forces.fwidths, tree.pos_s.shape[0])
+            fouts = [fast(tree, wtab, *batch_slc(i), rel)
+                     for i in range(0, nbp, bbt)]
+            touts = [o[:4] for o in fouts]
+            ovf_v, fds, eds, cds, ne_l, nc_l = jax.device_get(
+                ([o[4] for o in fouts], [o[5] for o in fouts],
+                 [o[6] for o in fouts], [o[7] for o in fouts],
+                 [o[2] for o in fouts], [o[3] for o in fouts]))
+            if any(bool(v) for v in ovf_v):
+                tree_forces.fwidths = None      # stale widths: re-learn
+                touts = []
+            else:
+                fdem_h = np.max(np.stack(fds), axis=0).astype(np.int64)
+                edem_h = np.max(np.stack(eds), axis=0).astype(np.int64)
+                cdem_h = np.max(np.stack(cds), axis=0).astype(np.int64)
+                ne = np.concatenate(ne_l)[:nbp]
+                nc = np.concatenate(nc_l)[:nbp]
+                done = True
+        if not done:
+            for i in range(0, nbp, bbt):
+                ent_b, chk_b, ne_b, nc_b, ovf_b, fd, ed, cd = traverse_batch(
+                    tree, wtab, *batch_slc(i), rel)
+                touts.append((ent_b, chk_b, ne_b, nc_b))
+                stripe_ovf = stripe_ovf or ovf_b
+                fdem_h = np.maximum(fdem_h, np.asarray(fd))
+                edem_h = np.maximum(edem_h, np.asarray(ed))
+                cdem_h = np.maximum(cdem_h, np.asarray(cd))
+            if not stripe_ovf:
+                # adopt fused-path widths: measured demand + 50% margin
+                tree_forces.fwidths = tuple(
+                    _p2(int(max(fdem_h[init_lvl + 1 + k], 1)) * 3 // 2, 512)
+                    for k in range(depth - init_lvl))
+
+        if nbatch == 1:
+            ent_all, chk_all = touts[0][0], touts[0][1]
+            n_ent_d, n_chk_d = touts[0][2], touts[0][3]
+        else:
+            cat = lambda k: jnp.concatenate([t[k] for t in touts])[:nbp]
+            ent_all, chk_all = cat(0), cat(1)
+            n_ent_d, n_chk_d = cat(2), cat(3)
 
         mark("traverse", touts)
-        ne, nc = jax.device_get((n_ent_d, n_chk_d))
+        if ne is None:
+            ne, nc = jax.device_get((n_ent_d, n_chk_d))
         mark("sync")
-        stats = (jnp.asarray(int(ne.max()), jnp.int32),
-                 jnp.asarray(int(nc.max()), jnp.int32),
-                 jnp.asarray(int(fdem_h.max()), jnp.int32),
-                 jnp.asarray(int(ne.max()), jnp.int32),
-                 jnp.asarray(int(nc.max()), jnp.int32),
-                 jnp.asarray(fdem_h, jnp.int32),
-                 jnp.asarray(edem_h, jnp.int32),
-                 jnp.asarray(cdem_h, jnp.int32))
+        stats = (np.int32(ne.max()), np.int32(nc.max()),
+                 np.int32(fdem_h.max()), np.int32(ne.max()),
+                 np.int32(nc.max()),
+                 fdem_h.astype(np.int32), edem_h.astype(np.int32),
+                 cdem_h.astype(np.int32))
         if stripe_ovf or int(ne.max()) > ent_cap or int(nc.max()) > chunk_cap:
             z3 = jnp.zeros((nt, 3), tpos_a.dtype)
             z1 = jnp.zeros((nt,), tpos_a.dtype)
             return WalkResult(z3, z1, jnp.zeros((nt,), jnp.int32),
-                              jnp.asarray(True), *stats)
+                              np.True_, *stats)
 
         order = np.argsort(-(ne.astype(np.int64) + 8 * nc.astype(np.int64)),
                            kind="stable").astype(np.int32)
-        blks, accs, pots, nias = [], [], [], []
+        blks = [order[b:b + bbe] for b in range(0, nbp, bbe)]
+        blks_d = jax.device_put(blks)     # one transfer for all eval batches
+        accs, pots, nias = [], [], []
         p4 = lambda x, m: max(m, 1 << (2 * int(math.ceil(
             math.log(max(int(x), 1), 4)))))
-        for b in range(0, nbp, bbe):
-            blk = order[b:b + bbe]
+        for blk, blk_d in zip(blks, blks_d):
             # power-of-4 buckets: fewer eval-shape variants to compile
             se = min(p4(ne[blk].max(), 1024), ent_cap)
             sl = min(p4(nc[blk].max(), 256), chunk_cap)
             ev = _eval_for(se, sl, bbe)
             a, p, ni = ev(tree, gsrc, ent_all, chk_all, n_chk_d,
-                          tpos_a, tmass_a, tgrav_a, tfsoft_a, tgid_a,
-                          jnp.asarray(blk))
-            blks.append(blk)
+                          tpos_a, tmass_a, tgrav_a, tfsoft_a, tgid_a, blk_d)
             accs.append(a)
             pots.append(p)
             nias.append(ni)
         mark("eval", accs)
         blk_cat = jnp.asarray(np.concatenate(blks))
-        acc, pot, nia = _assemble(blk_cat, jnp.concatenate(accs),
-                                  jnp.concatenate(pots),
-                                  jnp.concatenate(nias), nt)
+        # concatenate inside ONE jit (eager concats each cost a dispatch
+        # round trip on tunneled TPUs)
+        key = ("asm", len(accs), nt)
+        if key not in _lvl_cache:
+            @jax.jit
+            def _asm(blk, accs, pots, nias):
+                return _assemble(blk, jnp.concatenate(accs),
+                                 jnp.concatenate(pots),
+                                 jnp.concatenate(nias), nt)
+            _lvl_cache[key] = _asm
+        acc, pot, nia = _lvl_cache[key](blk_cat, accs, pots, nias)
         mark("assemble", acc)
-        return WalkResult(acc, pot, nia, jnp.asarray(False), *stats)
+        return WalkResult(acc, pot, nia, np.False_, *stats)
 
     def tree_forces_static(tree: Octree, tgt_sorted: jnp.ndarray,
                            opening_override: str | None = None,
@@ -1187,17 +1300,13 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         `fcap` and list entries past the configured caps are dropped, so
         caps must be sized generously for exactness."""
         rel = rel_default if opening_override is None \
-            else jnp.asarray(opening_override == "relative")
+            else (rel_true if opening_override == "relative" else rel_false)
         nt = int(tgt_sorted.shape[0])
         bbe = block_batch
         nb0 = (nt + G - 1) // G
         nbp = ((nb0 + bbe - 1) // bbe) * bbe
-        pad = nbp * G - nt
-        tgt = jnp.concatenate(
-            [tgt_sorted, jnp.full((pad,), -1, jnp.int32)]) if pad \
-            else tgt_sorted
         tpos_a, tmass_a, tgrav_a, tfsoft_a, tgid_a, taold_a = \
-            _prep(tree, tgt, nbp)
+            _prep(tree, tgt_sorted, nbp)
         gsrc = _gsrc(tree)
         wtab = _gwalk(tree)
 
@@ -1250,5 +1359,6 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
                           mx_e, mx_c, zi, zi, zi)
 
     tree_forces.profile = None
+    tree_forces.fwidths = None
     tree_forces.static = tree_forces_static
     return tree_forces
