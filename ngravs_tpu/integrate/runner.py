@@ -124,7 +124,8 @@ class Simulation:
         soft_by_type = jnp.asarray(self.soft_table)
 
         self.solver = GravitySolver(cfg, wiring, self.force_soft,
-                                    self.soft_table, units.G)
+                                    self.soft_table, units.G,
+                                    hubble=units.hubble)
         self.hydro = HydroSolver(cfg, units) if self.sph is not None else None
         self._forces_bootstrapped = False
         self._entropy_is_u = self.sph is not None and self.n_gas > 0

@@ -45,10 +45,12 @@ class GravitySolver:
     """Compiled gravity kernels for one simulation configuration."""
 
     def __init__(self, cfg: SimulationConfig, wiring: GravityWiring,
-                 fsoft_by_type, soft_by_type, g_const: float):
+                 fsoft_by_type, soft_by_type, g_const: float,
+                 hubble: float = 0.0):
         self.cfg = cfg
         self.wiring = wiring
         self.G = float(g_const)
+        self.hubble = float(hubble)
         self.fsoft_by_type = jnp.asarray(fsoft_by_type)
         self.depth = cfg.tree_depth
         self._fat_warned = False
@@ -88,6 +90,62 @@ class GravitySolver:
         self.chk_stripes = None  # learned per-level leaf-chunk-stripe widths
         self._fns = {}   # (opening, caps-signature, n_targets) -> jitted fn
         self._eval_cache = {}  # phase-E kernels, persistent across re-tunes
+
+        # cosmological correction factors (gravtree.c:302-316,344-358;
+        # potential.c:251-258,310-337).  H = 0 (Newtonian units) disables all.
+        H2 = self.hubble * self.hubble
+        open_box = not cfg.periodic and not cfg.pmgrid
+        # comoving non-periodic: acc += 0.5 H^2 Omega0 pos (pre-G in the
+        # reference, so it feeds OldAcc; post-G here, same value)
+        self.fac_acc_com = (0.5 * H2 * cfg.omega0
+                            if open_box and cfg.comoving_integration else 0.0)
+        # Newtonian coordinates with vacuum energy: acc += OmegaLambda H^2 pos
+        # (added after OldAcc in the reference)
+        self.fac_acc_lam = (cfg.omega_lambda * H2
+                            if open_box and not cfg.comoving_integration
+                            else 0.0)
+        # potential r^2 terms (potential.c:310-337): comoving non-periodic
+        # -0.5 Omega0 H^2 r^2; Newtonian -0.5 OmegaLambda H^2 r^2 (any box)
+        if cfg.comoving_integration:
+            self.fac_pot_r2 = (-0.5 * cfg.omega0 * H2
+                               if not cfg.periodic else 0.0)
+        else:
+            self.fac_pot_r2 = -0.5 * cfg.omega_lambda * H2
+        # comoving periodic: per-gravity Madelung ("LatticeZero") potential
+        # term -G * psi0[g,g] * m^(2/3) * (3 Omega0 H^2 / (8 pi G))^(1/3)
+        # (potential.c:251-258); psi0 is the origin value of the rescaled
+        # lattice potential table
+        self.madelung_by_grav = None
+        if (cfg.comoving_integration and cfg.periodic
+                and self.lattice_tables is not None and H2 > 0):
+            ng = cfg.n_gravs
+            # the table origin holds the Madelung constant rescaled by 1/L
+            # (build_lattice_tables); the reference's LatticeZero is the raw
+            # dimensionless value (ngravs.c:133, used potential.c:256)
+            psi0 = np.asarray(self.lattice_tables).reshape(
+                ng, ng, *self.lattice_tables.shape[1:])[
+                np.arange(ng), np.arange(ng), 0, 0, 0, 3] * cfg.box_size
+            rho_fac = (cfg.omega0 * 3 * H2 / (8 * math.pi * self.G)) ** (1. / 3)
+            self.madelung_by_grav = jnp.asarray(
+                self.G * psi0 * rho_fac, jnp.float32)
+
+    def _apply_corr(self, pos, mass, grav, acc, pot):
+        """Cosmological corrections on G-multiplied (acc, pot) rows.
+
+        Returns (acc, old_acc_magnitude, pot): the comoving Omega0 term is
+        inside OldAcc (reference adds it pre-G, gravtree.c:304-315), the
+        Lambda term is not (added post-OldAcc, gravtree.c:344-358).  Traced
+        code — the factors are static floats so disabled terms vanish."""
+        if self.fac_acc_com:
+            acc = acc + self.fac_acc_com * pos
+        amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
+        if self.fac_acc_lam:
+            acc = acc + self.fac_acc_lam * pos
+        if self.fac_pot_r2:
+            pot = pot + self.fac_pot_r2 * jnp.sum(pos * pos, axis=-1)
+        if self.madelung_by_grav is not None:
+            pot = pot - self.madelung_by_grav[grav] * mass ** (2.0 / 3)
+        return acc, amag, pot
 
     # ------------------------------------------------------------------
     def _walk(self):
@@ -179,11 +237,11 @@ class GravitySolver:
             valid = tgt_sorted >= 0
             # padding rows scatter out of bounds and are dropped
             orig = jnp.where(valid, order[jnp.maximum(tgt_sorted, 0)], p.n)
-            acc = acc * G
-            pot = pot * G
+            safe = jnp.minimum(orig, p.n - 1)
+            acc, amag, pot = self._apply_corr(
+                p.pos[safe], p.mass[safe], p.grav[safe], acc * G, pot * G)
             new_acc = p.accel.at[orig].set(acc, mode="drop")
             new_pot = p.potential.at[orig].set(pot, mode="drop")
-            amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
             new_old = p.old_acc.at[orig].set(amag, mode="drop")
             new_cost = p.grav_cost.at[orig].set(
                 ninteract.astype(p.grav_cost.dtype), mode="drop")
@@ -211,11 +269,12 @@ class GravitySolver:
                                      tgt_idx=tgt, box=box,
                                      chunk=min(1024, s),
                                      lattice_tables=self.lattice_tables)
-            acc, pot = acc * G, pot * G
             idx = jnp.where(tgt >= 0, tgt, p.n)  # padding dropped
+            safe = jnp.minimum(idx, p.n - 1)
+            acc, amag, pot = self._apply_corr(
+                p.pos[safe], p.mass[safe], p.grav[safe], acc * G, pot * G)
             new_acc = p.accel.at[idx].set(acc, mode="drop")
             new_pot = p.potential.at[idx].set(pot, mode="drop")
-            amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
             new_old = p.old_acc.at[idx].set(amag, mode="drop")
             npair = jnp.asarray(min(s * p.pos.shape[0], 2**31 - 1),
                                 jnp.int32)

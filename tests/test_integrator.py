@@ -98,3 +98,79 @@ def test_energy_statistics_values(tmp_path):
     assert np.isclose(float(s.energy_kin), 0.5, rtol=1e-5)
     assert np.isclose(float(s.energy_pot), -1.0, rtol=1e-3)
     assert np.isclose(float(s.momentum[3]), 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Cosmological correction terms (gravtree.c:302-316,344-358;
+# potential.c:310-337)
+# ---------------------------------------------------------------------------
+
+def _solver_for(cfg, hubble):
+    from ngravs_tpu.constants import SOFTFAC_SPLINE
+    from ngravs_tpu.models.wiring import build_wiring
+    from ngravs_tpu.ops.solver import GravitySolver
+    w = build_wiring(cfg)
+    soft = np.array(cfg.softening, np.float32)
+    return GravitySolver(cfg, w, soft * SOFTFAC_SPLINE, soft,
+                         cfg.gravity_constant_internal, hubble=hubble)
+
+
+def _corr_particles(cfg):
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(-1, 1, (32, 3))
+    p = Particles.create(pos, np.zeros((32, 3)), np.full(32, 0.1),
+                         np.arange(32), np.ones(32, np.int32),
+                         cfg.type_to_grav)
+    return p
+
+
+def test_comoving_nonperiodic_acc_correction():
+    """Comoving open box: acc += 0.5 H^2 Omega0 pos (inside OldAcc), and
+    pot += -0.5 Omega0 H^2 r^2 (gravtree.c:304-315, potential.c:310-318)."""
+    base = dict(gravity_constant_internal=1.0, softening=(0.05,) * 6,
+                wiring="newton")
+    H, om0 = 0.7, 0.3
+    cfg0 = SimulationConfig(**base)
+    cfgc = SimulationConfig(comoving_integration=True, omega0=om0,
+                            time_begin=0.02, time_max=1.0, **base)
+    p = _corr_particles(cfg0)
+    p0, _, _ = _solver_for(cfg0, 0.0).compute(p, 0, p.n)
+    pc, _, _ = _solver_for(cfgc, H).compute(p, 0, p.n)
+    pos = np.asarray(p.pos)
+    fac = 0.5 * H * H * om0
+    np.testing.assert_allclose(np.asarray(pc.accel),
+                               np.asarray(p0.accel) + fac * pos,
+                               rtol=1e-5, atol=1e-6)
+    # the Omega0 term feeds the relative-criterion OldAcc
+    np.testing.assert_allclose(
+        np.asarray(pc.old_acc),
+        np.linalg.norm(np.asarray(pc.accel), axis=1), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(pc.potential),
+        np.asarray(p0.potential) - 0.5 * om0 * H * H * (pos ** 2).sum(1),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_newtonian_lambda_acc_correction():
+    """Physical coordinates with vacuum energy: acc += OmegaLambda H^2 pos
+    AFTER OldAcc; pot += -0.5 OmegaLambda H^2 r^2 (gravtree.c:344-358)."""
+    base = dict(gravity_constant_internal=1.0, softening=(0.05,) * 6,
+                wiring="newton")
+    H, oml = 0.7, 0.7
+    cfg0 = SimulationConfig(**base)
+    cfgl = SimulationConfig(omega_lambda=oml, **base)
+    p = _corr_particles(cfg0)
+    p0, _, _ = _solver_for(cfg0, 0.0).compute(p, 0, p.n)
+    pl, _, _ = _solver_for(cfgl, H).compute(p, 0, p.n)
+    pos = np.asarray(p.pos)
+    fac = oml * H * H
+    np.testing.assert_allclose(np.asarray(pl.accel),
+                               np.asarray(p0.accel) + fac * pos,
+                               rtol=1e-5, atol=1e-6)
+    # Lambda term excluded from OldAcc (it is added after, gravtree.c:344)
+    np.testing.assert_allclose(np.asarray(pl.old_acc),
+                               np.asarray(p0.old_acc), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(pl.potential),
+        np.asarray(p0.potential) - 0.5 * oml * H * H * (pos ** 2).sum(1),
+        rtol=1e-5, atol=1e-6)
