@@ -120,6 +120,10 @@ class SimulationConfig:
 
     # --- Integration mode flags (compile-time in the reference) ---
     synchronization: bool = True  # -DSYNCHRONIZATION (default mode)
+    # -DFLEXSTEPS (timestep.c:140-231): spread particles over timestep
+    # phases via an ID-keyed random group so kick load stays flat instead
+    # of spiking at power-of-two sync points; overrides SYNCHRONIZATION
+    flexsteps: bool = False
     make_glass: int = 0           # -DMAKEGLASS=<N>
     force_test: float = 0.0       # -DFORCETEST=<fraction>
 

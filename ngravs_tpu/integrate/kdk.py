@@ -111,11 +111,17 @@ def glass_step(cfg, units, p):
 
 
 def kick(cfg, units, p, sph, tables, ti_current: jnp.ndarray,
-         dt_displacement: float, soft_table, time_now):
+         dt_displacement: float, soft_table, time_now, flex=None):
     """advance_and_find_timesteps (timestep.c:24-408) for the active set.
 
     Returns updated (particles, sph).  `p.accel`/`hydro_accel` must already
     include G / all prefactors applied at force time.
+
+    `flex`: None for SYNCHRONIZATION mode, else a (flex_step_grp[N] int32,
+    present_min_step, present_max_step) triple for FLEXSTEPS
+    (timestep.c:196-199): each particle's step end is phase-shifted by its
+    random group so sync points spread out instead of piling at powers of
+    two.
     """
     cf = cosmo_factors(cfg, units, time_now)
     active = p.ti_endstep == ti_current
@@ -123,13 +129,23 @@ def kick(cfg, units, p, sph, tables, ti_current: jnp.ndarray,
     ti_step = compute_timestep_ticks(cfg, units, p, sph, cf, dt_displacement,
                                      soft_table)
 
-    # SYNCHRONIZATION rule (timestep.c:240-246): a step may only grow if the
-    # new end lands on an aligned tick
-    old_step = p.ti_endstep - p.ti_begstep
-    wants_increase = ti_step > old_step
-    misaligned = ((TIMEBASE - p.ti_endstep) % ti_step) > 0
-    ti_step = jnp.where(wants_increase & misaligned & (old_step > 0),
-                        old_step, ti_step)
+    if flex is not None:
+        # FLEXSTEPS alignment (timestep.c:196-199): steps end on the
+        # particle's group-phase grid of spacing ti_step
+        flex_grp, pmin_step, pmax_step = flex
+        ti_grp = flex_grp % jnp.maximum(pmax_step, 1)
+        ti_grp = (ti_grp // jnp.maximum(pmin_step, 1)) * pmin_step
+        base = p.ti_endstep + ti_grp
+        ti_step = ((base + ti_step) // ti_step) * ti_step - base
+        ti_step = jnp.maximum(ti_step, 1)
+    else:
+        # SYNCHRONIZATION rule (timestep.c:240-246): a step may only grow if
+        # the new end lands on an aligned tick
+        old_step = p.ti_endstep - p.ti_begstep
+        wants_increase = ti_step > old_step
+        misaligned = ((TIMEBASE - p.ti_endstep) % ti_step) > 0
+        ti_step = jnp.where(wants_increase & misaligned & (old_step > 0),
+                            old_step, ti_step)
 
     # end-of-run clamps (timestep.c:249-253)
     ti_step = jnp.where(ti_current == TIMEBASE, 0, ti_step)

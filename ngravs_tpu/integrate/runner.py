@@ -142,6 +142,35 @@ class Simulation:
 
         self._kick = jax.jit(kick_fn)
 
+        if cfg.flexsteps:
+            # FLEXSTEPS state (init.c:123-129): ID-keyed random phase per
+            # particle from a 3000-entry table (get_random_number,
+            # system.c:29-47 — processor-count-independent randomness)
+            rnd = np.random.default_rng(42).random(3000)
+            self.flex_grp = jnp.asarray(
+                (C.TIMEBASE * rnd[np.asarray(self.p.pid) % 3000])
+                .astype(np.int64).astype(np.int32))
+            self.present_min_step = C.TIMEBASE
+            self.present_max_step = C.TIMEBASE
+
+            def flex_kick_fn(p, sph, ti_current, time_now, dt_disp,
+                             flex_grp, pmin_step, pmax_step):
+                return kick(cfg, units, p, sph, tables, ti_current, dt_disp,
+                            soft_by_type, time_now,
+                            flex=(flex_grp, pmin_step, pmax_step))
+
+            self._flex_kick = jax.jit(flex_kick_fn)
+
+            def flex_min_fn(p, sph, ti_current, time_now, dt_disp):
+                from .kdk import compute_timestep_ticks, cosmo_factors
+                cf = cosmo_factors(cfg, units, time_now)
+                ti_step = compute_timestep_ticks(cfg, units, p, sph, cf,
+                                                 dt_disp, soft_by_type)
+                active = p.ti_endstep == ti_current
+                return jnp.min(jnp.where(active, ti_step, C.TIMEBASE))
+
+            self._flex_min = jax.jit(flex_min_fn)
+
         def pm_kick_fn(p, tstart, tend):
             """Long-range kick of ALL particles over the PM midpoint window
             (timestep.c:350-408)."""
@@ -519,8 +548,31 @@ class Simulation:
 
         # --- kick + new timesteps ---
         t0 = _time.time()
-        self.p, self.sph = self._kick(self.p, self.sph, self.ti_current,
-                                      self.time, self.dt_displacement)
+        if cfg.flexsteps:
+            # PresentMinStep doubling schedule + refresh from the active
+            # set's smallest step (timestep.c:140-162)
+            if (self.ti_current % (4 * self.present_min_step)) == 0 \
+                    and self.present_min_step < C.TIMEBASE:
+                self.present_min_step *= 2
+            mn = int(self._flex_min(self.p, self.sph, self.ti_current,
+                                    self.time, self.dt_displacement))
+            self.present_min_step = min(self.present_min_step, mn)
+            # PresentMaxStep from the displacement constraint
+            # (timestep.c:164-175)
+            from .timeline import pow2_floor_i32
+            mx = max(1, min(int(min(self.dt_displacement,
+                                    cfg.max_size_timestep) / self.tbi),
+                            C.TIMEBASE))
+            self.present_max_step = int(pow2_floor_i32(
+                jnp.asarray(mx, jnp.int32)))
+            self.p, self.sph = self._flex_kick(
+                self.p, self.sph, self.ti_current, self.time,
+                self.dt_displacement, self.flex_grp,
+                jnp.asarray(self.present_min_step, jnp.int32),
+                jnp.asarray(self.present_max_step, jnp.int32))
+        else:
+            self.p, self.sph = self._kick(self.p, self.sph, self.ti_current,
+                                          self.time, self.dt_displacement)
         # PM long-range kick over the PM midpoint window (timestep.c:350-408)
         if cfg.pmgrid and self.ti_current == self.pm_ti_endstep:
             from ..integrate.timeline import pow2_floor_i32

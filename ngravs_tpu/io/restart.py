@@ -51,6 +51,11 @@ def save_restart(sim, path: str | None = None) -> str:
     state["num_force_updates"] = np.int64(sim.num_force_updates)
     state["next_output"] = np.float64(sim._next_output)
     state["next_stats"] = np.float64(sim._next_stats)
+    if cfg.flexsteps:
+        # FLEXSTEPS globals (allvars.h:407-409); flex_step_grp itself is
+        # deterministic from the particle IDs and regenerated at init
+        state["present_min_step"] = np.int64(sim.present_min_step)
+        state["present_max_step"] = np.int64(sim.present_max_step)
     np.savez_compressed(path + ".tmp.npz", **state)
     os.replace(path + ".tmp.npz", path)
     return path
@@ -81,6 +86,9 @@ def load_restart(sim, path: str | None = None):
     sim.num_force_updates = int(z["num_force_updates"])
     sim._next_output = float(z["next_output"])
     sim._next_stats = float(z["next_stats"])
+    if cfg.flexsteps and "present_min_step" in z.files:
+        sim.present_min_step = int(z["present_min_step"])
+        sim.present_max_step = int(z["present_max_step"])
     sim._forces_bootstrapped = True
     sim._entropy_is_u = False
     return sim

@@ -174,3 +174,27 @@ def test_newtonian_lambda_acc_correction():
         np.asarray(pl.potential),
         np.asarray(p0.potential) - 0.5 * oml * H * H * (pos ** 2).sum(1),
         rtol=1e-5, atol=1e-6)
+
+
+def test_flexsteps_mode(tmp_path):
+    """FLEXSTEPS (timestep.c:140-231): the run integrates correctly with
+    phase-shifted individual steps and spreads sync points out."""
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=2.0, gravity_constant_internal=1.0,
+        softening=(0.05,) * 6, max_size_timestep=0.02,
+        err_tol_int_accuracy=0.0025, flexsteps=True,
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0, wiring="newton")
+    rng = np.random.default_rng(7)
+    n = 64
+    pos = rng.normal(0, 1, (n, 3))
+    vel = rng.normal(0, 0.1, (n, 3))
+    p = Particles.create(pos, vel, np.full(n, 1.0 / n), np.arange(n),
+                         np.ones(n, np.int32), cfg.type_to_grav)
+    sim = Simulation(cfg, particles=p, log_dir="")
+    while sim.time < 0.5 and sim.step_count < 400:
+        sim.step()
+    assert sim.time >= 0.5
+    assert np.isfinite(np.asarray(sim.p.pos)).all()
+    # the present-min/max bookkeeping stayed sane
+    assert 1 <= sim.present_min_step <= sim.present_max_step
