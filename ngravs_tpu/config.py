@@ -126,6 +126,12 @@ class SimulationConfig:
     flexsteps: bool = False
     make_glass: int = 0           # -DMAKEGLASS=<N>
     force_test: float = 0.0       # -DFORCETEST=<fraction>
+    # When a run is resumed with a larger TimeMax, the integer timeline is
+    # rescaled by power-of-two halvings (readjust_timebase, begrun.c:821-864)
+    # and afterwards covers [time_begin, timeline_time_max] >= time_max; the
+    # run still terminates at time_max.  0 = timeline ends exactly at
+    # time_max (the normal case).
+    timeline_time_max: float = 0.0
 
     # --- TPU execution controls (new; no reference analog) ---
     dtype: str = "float32"        # compute dtype for particle state

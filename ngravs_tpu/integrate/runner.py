@@ -635,6 +635,11 @@ class Simulation:
         self._wall_start = getattr(self, "_wall_start", _time.time())
         last_restart = _time.time()
         while self.ti_current < C.TIMEBASE:
+            # after a TimeMax-extending resume the timeline covers more than
+            # TimeMax; stop on Time > TimeMax like the reference (run.c:32)
+            if self.cfg.timeline_time_max \
+                    and self.time > self.cfg.time_max * (1 + 1e-12):
+                break
             self.step()
             steps += 1
             if max_steps is not None and steps >= max_steps:

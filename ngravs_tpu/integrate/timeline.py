@@ -14,9 +14,12 @@ from ..constants import TIMEBASE
 
 
 def timebase_interval(cfg) -> float:
+    # timeline_time_max > time_max after a resume-with-extended-TimeMax
+    # rescale (readjust_timebase, begrun.c:821-864)
+    tmax = getattr(cfg, "timeline_time_max", 0.0) or cfg.time_max
     if cfg.comoving_integration:
-        return (math.log(cfg.time_max) - math.log(cfg.time_begin)) / TIMEBASE
-    return (cfg.time_max - cfg.time_begin) / TIMEBASE
+        return (math.log(tmax) - math.log(cfg.time_begin)) / TIMEBASE
+    return (tmax - cfg.time_begin) / TIMEBASE
 
 
 def ti_to_time(cfg, ti):

@@ -13,6 +13,7 @@ all of which round-trip losslessly through the file.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -51,6 +52,11 @@ def save_restart(sim, path: str | None = None) -> str:
     state["num_force_updates"] = np.int64(sim.num_force_updates)
     state["next_output"] = np.float64(sim._next_output)
     state["next_stats"] = np.float64(sim._next_stats)
+    # timeline span, so a resume with larger TimeMax can rescale the integer
+    # ticks (readjust_timebase, begrun.c:821-864)
+    state["time_begin"] = np.float64(cfg.time_begin)
+    state["timeline_time_max"] = np.float64(cfg.timeline_time_max
+                                            or cfg.time_max)
     if cfg.flexsteps:
         # FLEXSTEPS globals (allvars.h:407-409); flex_step_grp itself is
         # deterministic from the particle IDs and regenerated at init
@@ -62,24 +68,71 @@ def save_restart(sim, path: str | None = None) -> str:
 
 
 def load_restart(sim, path: str | None = None):
-    """Resume `sim` from a restart file (restart(1)); sim must be built with
-    the same configuration (the reference likewise forbids changing the
-    run's shape on resume, begrun.c:81-128)."""
+    """Resume `sim` from a restart file (restart(1)).
+
+    Shape-defining configuration (particle counts, n_gravs, pmgrid, wiring)
+    must match the checkpoint; run-control parameters may change on resume
+    exactly like the reference's allowed subset (begrun.c:81-128).  A LARGER
+    TimeMax is handled by rescaling the integer timeline with power-of-two
+    halvings (readjust_timebase, begrun.c:821-864): each halving doubles the
+    tick interval, so old ticks map to new ticks exactly by a right shift;
+    the timeline then covers [time_begin, timeline_time_max] >= time_max and
+    `run()` terminates on Time > TimeMax (run.c:32)."""
     from ..particles import Particles, SphState
 
     cfg = sim.cfg
     if path is None:
         path = os.path.join(sim.log_dir or ".", f"{cfg.restart_file}.npz")
     z = np.load(path)
+
+    shift = 0
+    if "timeline_time_max" in z.files:
+        old_tmax = float(z["timeline_time_max"])
+        old_tb = float(z["time_begin"])
+        if abs(old_tb - cfg.time_begin) > 1e-12 * max(1.0, abs(old_tb)):
+            raise ValueError(
+                f"TimeBegin may not change on resume: checkpoint "
+                f"{old_tb} vs config {cfg.time_begin}")
+        if cfg.time_max < old_tmax * (1 - 1e-12):
+            pass  # shrinking TimeMax: timeline still covers it; run() stops early
+        if cfg.time_max > old_tmax * (1 + 1e-12):
+            # readjust_timebase (begrun.c:821-864)
+            if cfg.comoving_integration:
+                old_span = math.log(old_tmax) - math.log(old_tb)
+                new_span = math.log(cfg.time_max) - math.log(old_tb)
+            else:
+                old_span = old_tmax - old_tb
+                new_span = cfg.time_max - old_tb
+            while old_span * (1 << shift) < new_span * (1 - 1e-12):
+                shift += 1
+        if shift or cfg.time_max < old_tmax * (1 - 1e-12):
+            tl_tmax = old_tmax
+            if shift:
+                if cfg.comoving_integration:
+                    tl_tmax = old_tb * math.exp(
+                        (math.log(old_tmax / old_tb)) * (1 << shift))
+                else:
+                    tl_tmax = old_tb + (old_tmax - old_tb) * (1 << shift)
+            sim.cfg = cfg = cfg.replace(timeline_time_max=tl_tmax)
+            from ..cosmology import make_tables
+            from ..integrate.timeline import timebase_interval
+            sim.tbi = timebase_interval(cfg)
+            sim.tables = make_tables(cfg, sim.units)
+            # the jitted drift/kick kernels close over cfg's tick interval
+            sim._build_kernels()
+
     pk = {k[2:]: jnp.asarray(z[k]) for k in z.files if k.startswith("p_")}
     sim.p = Particles(**pk)
+    if shift:
+        sim.p = sim.p.replace(ti_begstep=sim.p.ti_begstep >> shift,
+                              ti_endstep=sim.p.ti_endstep >> shift)
     if sim.sph is not None:
         sk = {k[4:]: jnp.asarray(z[k]) for k in z.files
               if k.startswith("sph_")}
         sim.sph = SphState(**sk)
-    sim.ti_current = int(z["ti_current"])
-    sim.pm_ti_begstep = int(z["pm_ti_begstep"])
-    sim.pm_ti_endstep = int(z["pm_ti_endstep"])
+    sim.ti_current = int(z["ti_current"]) >> shift
+    sim.pm_ti_begstep = int(z["pm_ti_begstep"]) >> shift
+    sim.pm_ti_endstep = int(z["pm_ti_endstep"]) >> shift
     sim.dt_displacement = float(z["dt_displacement"])
     sim.step_count = int(z["step_count"])
     sim.snapshot_count = int(z["snapshot_count"])

@@ -16,13 +16,15 @@ from ngravs_tpu.particles import Particles
 
 def _small_sim(tmp_path=None, n=1200, **kw):
     rng = np.random.default_rng(5)
-    cfg = SimulationConfig(
+    base = dict(
         time_begin=0.0, time_max=0.5, gravity_constant_internal=1.0,
         softening=(0.05,) * 6, max_size_timestep=0.005,
         tree_depth=7, tree_bucket_size=16, tree_group_size=64,
         tree_block_batch=4,
         time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
-        time_bet_statistics=0.0, wiring="newton", **kw)
+        time_bet_statistics=0.0, wiring="newton")
+    base.update(kw)
+    cfg = SimulationConfig(**base)
     pos = np.concatenate([rng.normal(0, 1.0, (n // 2, 3)),
                           rng.normal(4, 0.5, (n - n // 2, 3))]).astype(np.float32)
     vel = rng.normal(0, 0.05, (n, 3)).astype(np.float32)
@@ -73,3 +75,49 @@ def test_stop_file_interrupt(tmp_path):
     assert sim.step_count <= 2
     assert os.path.exists(os.path.join(str(tmp_path),
                                        sim.cfg.restart_file + ".npz"))
+
+
+def test_restart_timemax_extension(tmp_path):
+    """Resume with a larger TimeMax rescales the integer timeline by
+    power-of-two halvings (readjust_timebase, begrun.c:821-864) and the run
+    continues to the new end time."""
+    sim = _small_sim(tmp_path)
+    sim.run(max_steps=3)
+    path = sim.save_restart()
+    t_at_ckpt = sim.time
+    ti_old = sim.ti_current
+
+    # resume into a run with TimeMax tripled (old span 0.5 -> new span 1.5,
+    # needs 2 halvings: timeline then covers 0.5 * 4 = 2.0)
+    sim2 = _small_sim(tmp_path, time_max=1.5)
+    sim2.resume(path)
+    assert sim2.cfg.timeline_time_max == pytest.approx(2.0)
+    assert sim2.ti_current == ti_old >> 2
+    # tick rescale preserves physical time
+    assert sim2.time == pytest.approx(t_at_ckpt, rel=1e-9, abs=1e-12)
+    np.testing.assert_array_equal(np.asarray(sim2.p.ti_endstep),
+                                  np.asarray(sim.p.ti_endstep) >> 2)
+
+    # and the run terminates at the REQUESTED TimeMax, not the timeline end
+    sim2.cfg = sim2.cfg.replace(max_size_timestep=0.2)
+    sim2._build_kernels()
+    sim2.run()
+    # the loop-top Time>TimeMax check (run.c:32) permits at most one step of
+    # overshoot past the requested TimeMax
+    assert sim2.time <= 1.5 + 0.2
+    assert sim2.time > 1.4
+
+
+def test_restart_timemax_shrink(tmp_path):
+    """Resume with a smaller TimeMax keeps the old timeline and stops
+    early on Time > TimeMax (run.c:32)."""
+    sim = _small_sim(tmp_path)
+    sim.run(max_steps=3)
+    path = sim.save_restart()
+    sim2 = _small_sim(tmp_path, time_max=0.25, max_size_timestep=0.05)
+    sim2.resume(path)
+    assert sim2.cfg.timeline_time_max == pytest.approx(0.5)
+    assert sim2.ti_current == sim.ti_current  # no rescale
+    sim2.run()
+    # at most one step of overshoot past TimeMax (loop-top check, run.c:32)
+    assert sim2.time <= 0.25 + 0.05
