@@ -80,14 +80,11 @@ class GravitySolver:
             sr_ftab, sr_ptab = shortrange_tables(wiring, ntab=cfg.ntab)
             self.treepm = dict(sr_ftab=sr_ftab, sr_ptab=sr_ptab,
                                asmth=self.pm.asmth, rcut=self.pm.rcut)
-        self.caps = dict(node=cfg.tree_node_list_cap,
-                         leaf=cfg.tree_leaf_list_cap,
-                         frontier=cfg.tree_frontier_cap,
-                         ent=_bucket(cfg.tree_node_list_cap * cfg.n_gravs, 256),
-                         chunk=_bucket(cfg.tree_leaf_list_cap, 256))
+        self.caps = dict(
+            ent=_bucket(cfg.tree_node_list_cap * cfg.n_gravs, 256),
+            chunk=_bucket(cfg.tree_leaf_list_cap, 256),
+            frontier=cfg.tree_frontier_cap)
         self.leaf_factor = 2.0  # leaf-chunk table rows per particle
-        self.ent_stripes = None  # learned per-level accept-stripe widths
-        self.chk_stripes = None  # learned per-level leaf-chunk-stripe widths
         self._fns = {}   # (opening, caps-signature, n_targets) -> jitted fn
         self._eval_cache = {}  # phase-E kernels, persistent across re-tunes
 
@@ -151,22 +148,16 @@ class GravitySolver:
     def _walk(self):
         """The demand-adaptive two-phase walk (cached per caps)."""
         cfg = self.cfg
-        tup = lambda x: tuple(x) if x is not None else None
-        key = ("walk", self.depth, self.leaf_factor,
-               tup(self.ent_stripes), tup(self.chk_stripes)) \
+        key = ("walk", self.depth, self.leaf_factor) \
             + tuple(sorted(self.caps.items()))
         if key in self._fns:
             return self._fns[key]
         walk = make_tree_forces(
             self.wiring, n_gravs=cfg.n_gravs,
             group_size=cfg.tree_group_size,
-            node_list_cap=self.caps["node"],
-            leaf_list_cap=self.caps["leaf"],
             frontier_cap=self.caps["frontier"],
             ent_cap=self.caps["ent"],
             chunk_cap=self.caps["chunk"],
-            ent_stripes=tup(self.ent_stripes),
-            chk_stripes=tup(self.chk_stripes),
             bucket=cfg.tree_bucket_size,
             depth=self.depth,
             theta=cfg.err_tol_theta,
@@ -362,38 +353,17 @@ class GravitySolver:
             self.depth = min(self.depth + 3, MAX_DEPTH)
         for _ in range(6):
             res = self._walk()(tree, tgt_sorted, opening_override=opening)
-            edem = np.asarray(res.ent_stripe_demand)
-            cdem = np.asarray(res.chk_stripe_demand)
             if not bool(res.overflow):
-                if self.ent_stripes is None:
-                    # adopt demand-sized per-level stripe widths (2x margin,
-                    # grown monotonically on later overflows): stripe width
-                    # bounds the walk's scatter targets and the eval's
-                    # padded source width
-                    self.ent_stripes = [max(8, _bucket(int(d) * 2, 8))
-                                        for d in edem]
-                    self.chk_stripes = [max(8, _bucket(int(d) * 2, 8))
-                                        for d in cdem]
                 break
-            # grow only the overflowing levels (monotone: no ping-pong);
-            # if stripes were never adopted, initialize from the (possibly
-            # truncated) demand so the next try fits
-            grow_lvl = lambda cur, d: [max(c, _bucket(int(x) * 2, 8))
-                                       for c, x in zip(cur, d)]
-            if self.ent_stripes is None:
-                self.ent_stripes = [8] * len(edem)
-                self.chk_stripes = [8] * len(cdem)
-            self.ent_stripes = grow_lvl(self.ent_stripes, edem)
-            self.chk_stripes = grow_lvl(self.chk_stripes, cdem)
             # resize each cap to the measured peak demand (+25% margin,
-            # rounded to a power of two) and recompile once
+            # rounded to a power of two) and recompile once.  Frontier
+            # demand may itself be truncated when it overflows, so that cap
+            # at least doubles per round.
             grow = lambda cur, mx: max(cur, _bucket(int(mx) * 5 // 4, 64))
-            self.caps["node"] = grow(self.caps["node"], res.max_nodes)
-            self.caps["leaf"] = grow(self.caps["leaf"], res.max_leaves)
-            self.caps["frontier"] = grow(self.caps["frontier"],
-                                         res.max_frontier)
             self.caps["ent"] = grow(self.caps["ent"], res.max_ent)
             self.caps["chunk"] = grow(self.caps["chunk"], res.max_chunk)
+            self.caps["frontier"] = grow(self.caps["frontier"] * 2,
+                                         res.max_frontier)
         else:
             raise RuntimeError(
                 f"tree walk caps still overflowing at {self.caps}")

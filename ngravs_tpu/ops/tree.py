@@ -374,14 +374,9 @@ class WalkResult(NamedTuple):
     pot: jnp.ndarray        # [Nt]
     ninteract: jnp.ndarray  # [Nt] interaction count (grav_cost/timings)
     overflow: jnp.ndarray   # scalar bool — any list/frontier cap exceeded
-    max_nodes: jnp.ndarray      # scalar int32 — peak node-list demand
-    max_leaves: jnp.ndarray     # scalar int32 — peak leaf-list demand
-    max_frontier: jnp.ndarray   # scalar int32 — peak frontier demand
-    max_ent: jnp.ndarray        # scalar int32 — peak node-entry demand
-    max_chunk: jnp.ndarray      # scalar int32 — peak leaf-chunk demand
-    frontier_demand: jnp.ndarray  # [depth+1] int32 per-level frontier peak
-    ent_stripe_demand: jnp.ndarray  # [depth+1] per-level per-block ent peak
-    chk_stripe_demand: jnp.ndarray  # [depth+1] per-level per-block chk peak
+    max_ent: jnp.ndarray    # scalar int32 — peak node-entry demand
+    max_chunk: jnp.ndarray  # scalar int32 — peak leaf-chunk demand
+    max_frontier: jnp.ndarray  # scalar int32 — per-block frontier demand
 
 
 def _pair_force(wiring: GravityWiring, tgrav, tmass, tfsoft,
@@ -458,9 +453,6 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
                      want_pot: bool = True,
                      ent_cap: int | None = None,
                      chunk_cap: int | None = None,
-                     fcaps: tuple | None = None,
-                     ent_stripes: tuple | None = None,
-                     chk_stripes: tuple | None = None,
                      leaf_factor: float = 2.0,
                      use_pallas: bool | None = None,
                      s_chunk: int = 1024,
@@ -470,10 +462,12 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
     """Build the two-phase demand-adaptive walk.
 
     Phase T (traverse): level-synchronous frontier traversal for batches of
-    target blocks, producing per-block interaction lists at *node-entry /
-    leaf-chunk* granularity (no per-particle expansion): node entries are
-    (node, gravity) monopole rows, leaf chunks are aligned 8-particle runs of
-    the packed source table.  One jitted dispatch covers trav_batch blocks.
+    target blocks — ONE fused device program per trav_batch of blocks (all
+    levels in an on-device fori_loop over a flat block-major frontier of
+    static width `frontier_cap * batch_blocks`) — producing per-block
+    interaction lists at *node-entry / leaf-chunk* granularity (no
+    per-particle expansion): node entries are (node, gravity) monopole rows,
+    leaf chunks are aligned 8-particle runs of the packed source table.
 
     Phase E (evaluate): blocks are sorted by measured demand and evaluated in
     batches of block_batch with source shapes sized to each batch's actual
@@ -491,18 +485,6 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
     NG = n_gravs
     cpl = (bucket + 7) // 8          # max chunks per leaf
     assert cpl <= 7, "bucket must be <= 56 (chunk count packed in 3 bits)"
-    del fcaps, frontier_cap  # frontier widths are host-paced per level
-    # per-level per-block column-stripe widths for the accept/leaf lists
-    if ent_stripes is None:
-        ent_stripes = [min(8**l * NG, 1024) for l in range(depth + 1)]
-    else:
-        ent_stripes = [int(ent_stripes[l]) if l < len(ent_stripes)
-                       else 1024 for l in range(depth + 1)]
-    if chk_stripes is None:
-        chk_stripes = [min(8**l * cpl, 2048) for l in range(depth + 1)]
-    else:
-        chk_stripes = [int(chk_stripes[l]) if l < len(chk_stripes)
-                       else 2048 for l in range(depth + 1)]
     if ent_cap is None:
         ent_cap = _p2(node_list_cap * NG, 256)
     if chunk_cap is None:
@@ -633,26 +615,20 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
                 tree.aold_s[safe])
 
     # ------------------------------------------------------------------
-    # Phase T: host-paced per-level traversal over a FLAT work queue.
+    # Phase T: single-dispatch level-synchronous traversal.
     #
-    # The frontier is a single list of (block, node) pairs compacted across
-    # all blocks, so every tensor is sized to the batch's *total* demand.
-    # Each level is its own (small, fast-to-compile) jitted step whose
-    # frontier width the HOST picks from the previous level's measured
-    # count — tensors track true demand with no learned caps and no
-    # worst-case padding.  The primitive mix is chosen from measured TPU
-    # costs: cumsum/cummax scans and elementwise chains fuse for free;
-    # segment_sum is avoided entirely (per-block ranks come from cummax
-    # scans over the block-major queue); accepted entries land in per-level
-    # column stripes of per-block rows, compacted once at the end.
+    # The frontier is ONE flat block-major list of (block, node) pairs with
+    # a static width F; every level is one iteration of an on-device
+    # fori_loop, so the whole traversal is a single compiled program with
+    # no per-level host syncs (each costs a full round trip on tunneled
+    # TPUs) and no learned per-level widths that go stale as the particle
+    # distribution drifts.  Accepted (node, gravity) entries and leaf
+    # chunks scatter straight into dense per-block lists through running
+    # cursors — no post-hoc compaction pass.  Overflow of any cap is
+    # detected on device from the true (unclipped) demand counters; the
+    # caller grows the cap and recompiles (the TPU analog of Gadget
+    # growing TreeAllocFactor on "too many nodes", forcetree.c:3176).
     _lvl_cache = {}
-
-    def _ghost_filter(lvl, init_lvl):
-        return lvl == init_lvl and init_lvl > 0
-
-    def _stripe_offs(widths):
-        offs = np.concatenate([[0], np.cumsum(widths)]).astype(np.int32)
-        return offs, int(offs[-1])
 
     def blk_rank(blk, valid):
         """Rank among valid entries of the same block, for a block-major
@@ -675,201 +651,17 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
             g = jnp.minimum(g, jnp.minimum(gp, gm))
         return g
 
-    def _t_init(init_lvl: int, n_sh: int, n_init: int, off0: int,
-                chk_total: int):
-        """Jitted batch init: block bbox rows, init frontier over all
-        level-`init_lvl` slots, and the shallow real-leaf pre-pass (leaves
-        above the init level go straight to exact summation — always at
-        least as accurate as any opening decision)."""
-        key = ("init", init_lvl, n_sh, n_init, off0, chk_total)
-        if key in _lvl_cache:
-            return _lvl_cache[key]
+    def _t_queue(bb: int, n_static: int, F: int):
+        """One jitted traversal for a batch of `bb` blocks over a tree of
+        `n_static` particles with frontier width `F`.
 
-        @jax.jit
-        def fn(tree, wtab, tpos, tgid, taold):
-            bb = tpos.shape[0]
-            cap2, nstart, rows, null_row = _layout(tree)
-            null_chunk = null_row // 8
-            tvalid = tgid >= 0
-            blk_ok = jnp.any(tvalid, axis=1)
-            big = jnp.asarray(1e30, tpos.dtype)
-            lo_b = jnp.min(jnp.where(tvalid[..., None], tpos, big), axis=1)
-            hi_b = jnp.max(jnp.where(tvalid[..., None], tpos, -big), axis=1)
-            aold_b = jnp.min(jnp.where(tvalid, taold, big), axis=1)
-            bdata = jnp.concatenate(
-                [lo_b, hi_b, aold_b[:, None],
-                 jnp.zeros((bb, 1), tpos.dtype)], axis=1)
-            biota = jnp.arange(bb, dtype=jnp.int32)
-            fblk = jnp.repeat(jnp.where(blk_ok, biota, -1), n_init)
-            fnode = jnp.tile(off0 + jnp.arange(n_init, dtype=jnp.int32), bb)
-            chk_sbuf = jnp.full((bb, chk_total), null_chunk, jnp.int32)
-            if n_sh:
-                s_blk0 = jnp.repeat(jnp.where(blk_ok, biota, -1), n_sh)
-                s_node = jnp.tile(jnp.arange(n_sh, dtype=jnp.int32), bb)
-                swn = wtab[s_node]
-                s_ch0 = jax.lax.bitcast_convert_type(swn[:, 6], jnp.int32)
-                s_nch = jax.lax.bitcast_convert_type(swn[:, 7], jnp.int32)
-                jc0 = jnp.arange(cpl, dtype=jnp.int32)
-                sc_blk = jnp.broadcast_to(
-                    s_blk0[:, None], (bb * n_sh, cpl)).reshape(-1)
-                sc_val = (s_ch0[:, None] + jc0).reshape(-1)
-                sc_ok = ((s_blk0 >= 0)[:, None]
-                         & (jc0 < s_nch[:, None])).reshape(-1)
-                sc_blk = jnp.where(sc_ok, sc_blk, -1)
-                sc_rank = blk_rank(sc_blk, sc_ok)
-                sc_pos = jnp.where(sc_ok, sc_rank, chk_total)
-                chk_sbuf = chk_sbuf.at[
-                    jnp.maximum(sc_blk, 0), sc_pos].set(sc_val, mode="drop")
-            return bdata, fblk, fnode, chk_sbuf
-
-        _lvl_cache[key] = fn
-        return fn
-
-    def _t_level(lvl: int, init_lvl: int, e_off: int, e_w: int,
-                 c_off: int, c_w: int):
-        """Jitted one-level step: criteria for the current flat frontier,
-        scatter accepted entries / leaf chunks into their column stripes,
-        emit expansion candidates + the count the host uses to size the
-        next level."""
-        key = ("lvl", lvl, init_lvl, e_off, e_w, c_off, c_w)
-        if key in _lvl_cache:
-            return _lvl_cache[key]
-        last = lvl >= depth
-
-        @jax.jit
-        def fn(tree, wtab, bdata, fblk, fnode, ent_sbuf, chk_sbuf, rel_open):
-            F = fblk.shape[0]
-            big = jnp.asarray(1e30, bdata.dtype)
-            garange = jnp.arange(NG, dtype=jnp.int32)
-            jc = jnp.arange(cpl, dtype=jnp.int32)
-            valid = fblk >= 0
-            wn = wtab[jnp.maximum(fnode, 0)]      # [F, 8+4NG] one gather
-            bd = bdata[jnp.maximum(fblk, 0)]      # [F, 8] one gather
-            lo = bd[:, 0:3]
-            hi = bd[:, 3:6]
-            aold_min = bd[:, 6]
-            center = wn[:, 0:3]
-            flags = jax.lax.bitcast_convert_type(wn[:, 3], jnp.int32)
-            terminal = (flags & 1) > 0
-            nch = jax.lax.bitcast_convert_type(wn[:, 7], jnp.int32)
-            if _ghost_filter(lvl, init_lvl):
-                # drop descendants of shallow real leaves (terminal, but
-                # their particles live in the ancestor's chunks, emitted by
-                # the shallow pre-pass in _t_init)
-                valid = valid & ~(terminal & (nch == 0))
-            cg = wn[:, 8:8 + 4 * NG].reshape(F, NG, 4)
-            cm = cg[..., 0:3]
-            m_g = cg[..., 3]
-            cell_len = tree.root_len / (1 << lvl)
-
-            # min distance^2 from block bbox to each per-gravity CM
-            # (conservative analog of forcetree.c:1364-1392's r2min);
-            # periodic images handled inside _bbox_gap
-            d = jnp.maximum(_bbox_gap(cm, lo[:, None, :], hi[:, None, :]),
-                            0.0)
-            r2g = jnp.sum(d * d, axis=-1)                     # [F,NG]
-            r2min = jnp.min(jnp.where(m_g > 0, r2g, big), axis=-1)  # [F]
-            mtot = jnp.sum(m_g, axis=-1)
-
-            open_bh = cell_len * cell_len > r2min * (theta * theta)
-            # M l^2 > r^4 aold  (forcetree.c:1447)
-            open_rel = (mtot * cell_len * cell_len
-                        > r2min * r2min * aold_min)
-            must_open = jnp.where(rel_open, open_rel, open_bh)
-            # block bbox within 0.6*len of the node center => always open
-            # (covers forcetree.c:1453-1464's inside-node checks, made
-            # conservative for the whole block)
-            gap = _bbox_gap(center, lo, hi)
-            intersects = jnp.all(gap < 0.6 * cell_len, axis=-1)
-            must_open = must_open | intersects
-
-            if rcut > 0:
-                # TreePM short-range walk: discard nodes whose cell lies
-                # entirely beyond Rcut from the block (the per-axis
-                # box-discard of forcetree.c:1828-1862)
-                beyond = jnp.any(gap - 0.5 * cell_len > rcut, axis=-1)
-                valid = valid & ~beyond
-
-            accept = valid & ~must_open
-            rest = valid & must_open
-            leaf_here = rest & terminal
-            expand = rest & ~terminal
-
-            cap2, nstart, rows, null_row = _layout(tree)
-            # accepted (node, gravity) entries -> this level's ent stripe
-            e_blk = jnp.broadcast_to(
-                jnp.where(accept, fblk, -1)[:, None], (F, NG)).reshape(-1)
-            e_val = (nstart + fnode[:, None] * NG + garange).reshape(-1)
-            e_ok = (accept[:, None]
-                    & (((flags[:, None] >> (1 + garange)) & 1) > 0)
-                    ).reshape(-1)
-            e_blk = jnp.where(e_ok, e_blk, -1)
-            e_rank = blk_rank(e_blk, e_ok)
-            e_dem = jnp.max(jnp.where(e_ok, e_rank, -1)) + 1
-            e_pos = jnp.where(e_ok & (e_rank < e_w), e_off + e_rank,
-                              ent_sbuf.shape[1])
-            ent_sbuf = ent_sbuf.at[jnp.maximum(e_blk, 0), e_pos].set(
-                e_val, mode="drop")
-
-            # leaf chunks -> this level's chunk stripe
-            ch0 = jax.lax.bitcast_convert_type(wn[:, 6], jnp.int32)
-            c_blk = jnp.broadcast_to(
-                jnp.where(leaf_here, fblk, -1)[:, None],
-                (F, cpl)).reshape(-1)
-            c_val = (ch0[:, None] + jc).reshape(-1)
-            c_ok = (leaf_here[:, None] & (jc < nch[:, None])).reshape(-1)
-            c_blk = jnp.where(c_ok, c_blk, -1)
-            c_rank = blk_rank(c_blk, c_ok)
-            c_dem = jnp.max(jnp.where(c_ok, c_rank, -1)) + 1
-            c_pos = jnp.where(c_ok & (c_rank < c_w), c_off + c_rank,
-                              chk_sbuf.shape[1])
-            chk_sbuf = chk_sbuf.at[jnp.maximum(c_blk, 0), c_pos].set(
-                c_val, mode="drop")
-
-            if last:
-                z = jnp.zeros((1,), jnp.int32)
-                return (ent_sbuf, chk_sbuf, z, z, z > 0,
-                        jnp.zeros((), jnp.int32), e_dem, c_dem)
-            c0 = jax.lax.bitcast_convert_type(wn[:, 4], jnp.int32)
-            ncc = jax.lax.bitcast_convert_type(wn[:, 5], jnp.int32)
-            j8 = jnp.arange(8, dtype=jnp.int32)
-            cand_node = (c0[:, None] + j8).reshape(F * 8)
-            cand_blk = jnp.broadcast_to(fblk[:, None], (F, 8)).reshape(F * 8)
-            cvalid = (expand[:, None] & (j8 < ncc[:, None])).reshape(F * 8)
-            fcount = jnp.sum(cvalid).astype(jnp.int32)
-            return (ent_sbuf, chk_sbuf, cand_blk, cand_node, cvalid,
-                    fcount, e_dem, c_dem)
-
-        _lvl_cache[key] = fn
-        return fn
-
-    def _t_compact(w_out: int):
-        """Jitted frontier compaction to the host-chosen width."""
-        key = ("compact", w_out)
-        if key in _lvl_cache:
-            return _lvl_cache[key]
-
-        @jax.jit
-        def fn(cand_blk, cand_node, cvalid):
-            pos = jnp.cumsum(cvalid) - 1
-            idx = jnp.where(cvalid, pos, w_out).astype(jnp.int32)
-            fblk = jnp.full((w_out,), -1, jnp.int32) \
-                .at[idx].set(cand_blk, mode="drop")
-            fnode = jnp.zeros((w_out,), jnp.int32) \
-                .at[idx].set(cand_node, mode="drop")
-            return fblk, fnode
-
-        _lvl_cache[key] = fn
-        return fn
-
-    def _t_all(bb: int, fws: tuple, n_static: int):
-        """Fused single-dispatch traversal: all levels in ONE jit with
-        STATIC per-level frontier widths `fws` learned from a prior
-        host-paced walk.  Eliminates the per-level host sync (expensive on
-        remote/tunneled TPUs: ~tens of ms each).  Any width or stripe
-        overflow is detected ON DEVICE and reported; the caller falls back
-        to the host-paced path and re-learns the widths."""
-        key = ("all", bb, fws, n_static)
+        Returns fn(tree, wtab, tpos, tgid, taold, rel) ->
+        (ent [bb, ent_cap], chk [bb, chunk_cap], n_ent [bb], n_chk [bb],
+        overflow bool, fmax int32).  n_ent/n_chk are TRUE demands (they may
+        exceed the caps — that flags overflow); list rows are left-packed
+        and padded with the null source row / null chunk.
+        """
+        key = ("queue", bb, n_static, F)
         if key in _lvl_cache:
             return _lvl_cache[key]
         init_lvl = min(2, depth)
@@ -877,124 +669,206 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         offs_l = np.concatenate([[0], np.cumsum(caps_l)]).astype(np.int32)
         n_sh = int(offs_l[init_lvl])
         n_init = int(offs_l[init_lvl + 1] - offs_l[init_lvl])
-        ent_w = [int(w) for w in ent_stripes]
-        chk_w_all = [n_sh * cpl] + [int(w) for w in chk_stripes[init_lvl:]]
-        e_offs, ent_total = _stripe_offs(ent_w[init_lvl:])
-        c_offs, chk_total = _stripe_offs(chk_w_all)
+        off0 = int(offs_l[init_lvl])
+        assert bb * n_init <= F, (bb, n_init, F)
+        n_lvls = depth + 1 - init_lvl
 
         @jax.jit
         def fn(tree, wtab, tpos, tgid, taold, rel):
-            bdata, fblk, fnode, chk_sbuf = _t_init(
-                init_lvl, n_sh, n_init, int(offs_l[init_lvl]), chk_total)(
-                tree, wtab, tpos, tgid, taold)
             cap2, nstart, rows, null_row = _layout(tree)
-            ent_sbuf = jnp.full((bb, ent_total), null_row, jnp.int32)
-            ovf = jnp.asarray(False)
-            fdml, edml, cdml = [], [], []
-            for k, lvl in enumerate(range(init_lvl, depth + 1)):
-                step = _t_level(lvl, init_lvl, int(e_offs[k]),
-                                ent_w[init_lvl + k],
-                                int(c_offs[k + 1]), chk_w_all[k + 1])
-                (ent_sbuf, chk_sbuf, cand_blk, cand_node, cvalid, fcount,
-                 e_dem, c_dem) = step(tree, wtab, bdata, fblk, fnode,
-                                      ent_sbuf, chk_sbuf, rel)
-                ovf = ovf | (e_dem > ent_w[init_lvl + k]) \
-                    | (c_dem > chk_w_all[k + 1])
-                edml.append(e_dem)
-                cdml.append(c_dem)
-                if lvl < depth:
-                    w_out = int(fws[k]) if k < len(fws) else 512
-                    ovf = ovf | (fcount > w_out)
-                    fdml.append(fcount)
-                    fblk, fnode = _t_compact(w_out)(cand_blk, cand_node,
-                                                    cvalid)
-            ent, chk, n_ent, n_chk = _t_finish(tree, ent_sbuf, chk_sbuf)
-            ovf = ovf | (jnp.max(n_ent) > ent_cap) \
-                | (jnp.max(n_chk) > chunk_cap)
-            z = jnp.zeros((), jnp.int32)
-            # index alignment with the host-paced demand lists:
-            # fdem[l] = frontier count AFTER level l-1 (prefix init_lvl+1),
-            # edem/cdem[l] = stripe demand AT level l (prefix init_lvl)
-            pad_to = lambda L, npre: jnp.stack(
-                ([z] * npre + L + [z] * (depth + 1 - npre - len(L)))
-                [: depth + 1])
-            return (ent, chk, n_ent, n_chk, ovf,
-                    pad_to(fdml, init_lvl + 1), pad_to(edml, init_lvl),
-                    pad_to(cdml, init_lvl))
+            null_chunk = null_row // 8
+            # leaf-chunk table layout overflow: chunk ids past cap2//8 would
+            # gather node-entry rows as phantom sources (the particles
+            # themselves were routed to the junk zone by _gsrc); flag it so
+            # the caller regrows leaf_factor, and clamp the ids to the null
+            # chunk meanwhile (undercount, never double-count)
+            ovf0 = tree.n_chunk_rows > cap2
+            max_chunk_id = cap2 // 8
+            clamp_chk = lambda c: jnp.where(c < max_chunk_id, c, null_chunk)
+            bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+            garange = jnp.arange(NG, dtype=jnp.int32)
+            jc = jnp.arange(cpl, dtype=jnp.int32)
+            j8 = jnp.arange(8, dtype=jnp.int32)
+            biota = jnp.arange(bb, dtype=jnp.int32)
+            big = jnp.asarray(1e30, tpos.dtype)
+
+            tvalid = tgid >= 0
+            blk_ok = jnp.any(tvalid, axis=1)
+            lo_b = jnp.min(jnp.where(tvalid[..., None], tpos, big), axis=1)
+            hi_b = jnp.max(jnp.where(tvalid[..., None], tpos, -big), axis=1)
+            aold_b = jnp.min(jnp.where(tvalid, taold, big), axis=1)
+
+            # init frontier: every level-`init_lvl` slot per live block
+            fblk0 = jnp.full((F,), -1, jnp.int32).at[:bb * n_init].set(
+                jnp.repeat(jnp.where(blk_ok, biota, -1), n_init))
+            fnode0 = jnp.zeros((F,), jnp.int32).at[:bb * n_init].set(
+                jnp.tile(off0 + jnp.arange(n_init, dtype=jnp.int32), bb))
+
+            ent_buf = jnp.full((bb, ent_cap), null_row, jnp.int32)
+            chk_buf = jnp.full((bb, chunk_cap), null_chunk, jnp.int32)
+            ent_n = jnp.zeros((bb,), jnp.int32)
+            chk_n = jnp.zeros((bb,), jnp.int32)
+
+            if n_sh:
+                # shallow real-leaf pre-pass: leaves above the init level
+                # go straight to exact summation (always at least as
+                # accurate as any opening decision)
+                s_blk = jnp.repeat(jnp.where(blk_ok, biota, -1), n_sh)
+                s_node = jnp.tile(jnp.arange(n_sh, dtype=jnp.int32), bb)
+                swn = wtab[s_node]
+                s_ch0 = bc(swn[:, 6])
+                s_nch = bc(swn[:, 7])
+                sc_blk = jnp.broadcast_to(
+                    s_blk[:, None], (bb * n_sh, cpl)).reshape(-1)
+                sc_val = (s_ch0[:, None] + jc).reshape(-1)
+                sc_ok = ((s_blk >= 0)[:, None]
+                         & (jc < s_nch[:, None])).reshape(-1)
+                sc_blk = jnp.where(sc_ok, sc_blk, -1)
+                sc_pos = jnp.where(sc_ok, blk_rank(sc_blk, sc_ok),
+                                   chunk_cap)
+                chk_buf = chk_buf.at[jnp.maximum(sc_blk, 0), sc_pos].set(
+                    jnp.where(sc_val < max_chunk_id, sc_val, null_chunk),
+                    mode="drop")
+                chk_n = jax.ops.segment_sum(sc_ok.astype(jnp.int32),
+                                            jnp.maximum(sc_blk, 0), bb)
+
+            fcnt0 = jnp.asarray(bb * n_init, jnp.int32)
+            carry0 = (fblk0, fnode0, ent_buf, ent_n, chk_buf, chk_n,
+                      ovf0, jnp.zeros((), jnp.int32), fcnt0)
+
+            def body(k, carry):
+                def live(c):
+                    (fblk, fnode, ent_buf, ent_n, chk_buf, chk_n, ovf,
+                     fmax, fcnt) = c
+                    lvl = init_lvl + k
+                    cell_len = tree.root_len * jnp.exp2(
+                        -lvl.astype(tpos.dtype))
+                    valid = fblk >= 0
+                    wn = wtab[jnp.maximum(fnode, 0)]  # [F,8+4NG] one gather
+                    fb = jnp.maximum(fblk, 0)
+                    lo = lo_b[fb]
+                    hi = hi_b[fb]
+                    aold_min = aold_b[fb]
+                    center = wn[:, 0:3]
+                    flags = bc(wn[:, 3])
+                    # padding node slots decode to corner-centred phantom
+                    # cells; the intersects rule could expand them into whole
+                    # padding child ranges.  flags==0 <=> no mass in any
+                    # gravity and not terminal: nothing to contribute.
+                    valid = valid & (flags != 0)
+                    terminal = (flags & 1) > 0
+                    nch = bc(wn[:, 7])                # leaf-chunk count
+                    if init_lvl > 0:
+                        # at the init level, drop descendants of shallow
+                        # real leaves (their particles were emitted by the
+                        # pre-pass through the ancestor's chunks)
+                        valid = valid & ~(terminal & (nch == 0) & (k == 0))
+                    cg = wn[:, 8:8 + 4 * NG].reshape(F, NG, 4)
+                    cm = cg[..., 0:3]
+                    m_g = cg[..., 3]
+
+                    # min distance^2 from block bbox to each per-gravity CM
+                    # (conservative analog of forcetree.c:1364-1392);
+                    # periodic images handled inside _bbox_gap
+                    d = jnp.maximum(
+                        _bbox_gap(cm, lo[:, None, :], hi[:, None, :]), 0.0)
+                    r2g = jnp.sum(d * d, axis=-1)
+                    r2min = jnp.min(jnp.where(m_g > 0, r2g, big), axis=-1)
+                    mtot = jnp.sum(m_g, axis=-1)
+
+                    open_bh = cell_len * cell_len > r2min * (theta * theta)
+                    # M l^2 > r^4 aold  (forcetree.c:1447)
+                    open_rel = (mtot * cell_len * cell_len
+                                > r2min * r2min * aold_min)
+                    must_open = jnp.where(rel, open_rel, open_bh)
+                    # block bbox within 0.6*len of the node center => open
+                    # (forcetree.c:1453-1464, conservative for the block)
+                    gap = _bbox_gap(center, lo, hi)
+                    intersects = jnp.all(gap < 0.6 * cell_len, axis=-1)
+                    must_open = must_open | intersects
+
+                    if rcut > 0:
+                        # TreePM short-range walk: discard cells entirely
+                        # beyond Rcut (forcetree.c:1828-1862)
+                        beyond = jnp.any(gap - 0.5 * cell_len > rcut,
+                                         axis=-1)
+                        valid = valid & ~beyond
+
+                    accept = valid & ~must_open
+                    rest = valid & must_open
+                    leaf_here = rest & terminal
+                    expand = rest & ~terminal
+
+                    # Per-block WEIGHTED exclusive prefixes: every scan in
+                    # the body is F-length (never F*8/F*NG) — the per-slot
+                    # offsets inside a node's run are closed-form.  The
+                    # frontier is block-major, so block starts come from a
+                    # cummax over boundaries.
+                    blk_ff = jax.lax.cummax(fblk)
+                    bnd = jnp.concatenate(
+                        [jnp.ones((1,), bool), blk_ff[1:] != blk_ff[:-1]])
+
+                    def wrank(w):
+                        tot = jnp.cumsum(w) - w
+                        start = jax.lax.cummax(jnp.where(bnd, tot, -1))
+                        return tot - start
+
+                    # accepted (node, gravity) entries -> cursor scatter
+                    gbits = jnp.where(
+                        accept[:, None],
+                        (flags[:, None] >> (1 + garange)) & 1, 0)   # [F,NG]
+                    e_w = jnp.sum(gbits, axis=1)                    # [F]
+                    e_base = ent_n[fb] + wrank(e_w)
+                    goff = jnp.cumsum(gbits, axis=1) - gbits        # [F,NG]
+                    e_ok = gbits > 0
+                    e_pos = jnp.where(e_ok, e_base[:, None] + goff,
+                                      ent_cap)
+                    e_val = nstart + fnode[:, None] * NG + garange
+                    ent_buf = ent_buf.at[
+                        jnp.broadcast_to(fb[:, None], (F, NG)),
+                        e_pos].set(e_val, mode="drop")
+                    ent_n = ent_n + jax.ops.segment_sum(e_w, fb, bb)
+
+                    # leaf chunks -> cursor scatter (contiguous chunk runs)
+                    ch0 = bc(wn[:, 6])
+                    c_w = jnp.where(leaf_here, nch, 0)
+                    c_base = chk_n[fb] + wrank(c_w)
+                    c_ok = leaf_here[:, None] & (jc < nch[:, None])
+                    c_pos = jnp.where(c_ok, c_base[:, None] + jc,
+                                      chunk_cap)
+                    chk_buf = chk_buf.at[
+                        jnp.broadcast_to(fb[:, None], (F, cpl)),
+                        c_pos].set(clamp_chk(ch0[:, None] + jc), mode="drop")
+                    chk_n = chk_n + jax.ops.segment_sum(c_w, fb, bb)
+
+                    # expansion -> next frontier (contiguous child runs;
+                    # stable compaction keeps the queue block-major)
+                    c0 = bc(wn[:, 4])
+                    ncc = bc(wn[:, 5])
+                    x_w = jnp.where(expand, ncc, 0)
+                    x_base = jnp.cumsum(x_w) - x_w
+                    fcount = (x_base[-1] + x_w[-1]).astype(jnp.int32)
+                    x_ok = expand[:, None] & (j8 < ncc[:, None])
+                    x_pos = jnp.where(x_ok, x_base[:, None] + j8, F)
+                    nfblk = jnp.full((F,), -1, jnp.int32).at[x_pos].set(
+                        jnp.broadcast_to(fblk[:, None], (F, 8)),
+                        mode="drop")
+                    nfnode = jnp.zeros((F,), jnp.int32).at[x_pos].set(
+                        c0[:, None] + j8, mode="drop")
+                    return (nfblk, nfnode, ent_buf, ent_n, chk_buf, chk_n,
+                            ovf | (fcount > F),
+                            jnp.maximum(fmax, fcount), fcount)
+
+                return jax.lax.cond(carry[-1] > 0, live, lambda c: c, carry)
+
+            carry = jax.lax.fori_loop(0, n_lvls, body, carry0)
+            (_, _, ent_buf, ent_n, chk_buf, chk_n, ovf, fmax, _) = carry
+            ovf = ovf | jnp.any(ent_n > ent_cap) \
+                | jnp.any(chk_n > chunk_cap)
+            return ent_buf, chk_buf, ent_n, chk_n, ovf, fmax
 
         _lvl_cache[key] = fn
         return fn
-
-    @jax.jit
-    def _t_finish(tree, ent_sbuf, chk_sbuf):
-        """Compact the striped per-block rows into dense lists for eval."""
-        cap2, nstart, rows, null_row = _layout(tree)
-        null_chunk = null_row // 8
-        ent, n_ent = _compact_rows(ent_sbuf, ent_sbuf != null_row, ent_cap)
-        ent = jnp.where(ent < 0, null_row, ent)
-        chk, n_chk = _compact_rows(chk_sbuf, chk_sbuf != null_chunk,
-                                   chunk_cap)
-        chk = jnp.where(chk < 0, null_chunk, chk)
-        # counts returned UNCLIPPED so overflow retunes see true demand
-        # (phase E clips to its own batch shapes); overflow check compares
-        # these against ent_cap/chunk_cap
-        return ent, chk, n_ent, n_chk
-
-    def traverse_batch(tree, wtab, tpos, tgid, taold, rel):
-        """Host-paced traversal of one batch of blocks.  Returns
-        (ent, chk, n_ent, n_chk, stripe_overflow, fdem list,
-        edem list, cdem list) — n_ent/n_chk still on device."""
-        bb = tpos.shape[0]
-        caps_l = level_caps(tree.pos_s.shape[0], depth)
-        offs_l = np.concatenate([[0], np.cumsum(caps_l)]).astype(np.int32)
-        init_lvl = min(2, depth)
-        n_sh = int(offs_l[init_lvl])
-        n_init = int(offs_l[init_lvl + 1] - offs_l[init_lvl])
-
-        ent_w = [int(w) for w in ent_stripes]
-        chk_w_all = [n_sh * cpl] + [int(w) for w in chk_stripes[init_lvl:]]
-        e_offs, ent_total = _stripe_offs(ent_w[init_lvl:])
-        c_offs, chk_total = _stripe_offs(chk_w_all)
-
-        bdata, fblk, fnode, chk_sbuf = _t_init(
-            init_lvl, n_sh, n_init, int(offs_l[init_lvl]), chk_total)(
-            tree, wtab, tpos, tgid, taold)
-        cap2, nstart, rows, null_row = _layout(tree)
-        ent_sbuf = jnp.full((bb, ent_total), null_row, jnp.int32)
-
-        fdem, edem, cdem = [1] * (init_lvl + 1), [0] * init_lvl, [0] * init_lvl
-        stripe_ovf = False
-        for k, lvl in enumerate(range(init_lvl, depth + 1)):
-            step = _t_level(lvl, init_lvl, int(e_offs[k]),
-                            ent_w[init_lvl + k],
-                            int(c_offs[k + 1]), chk_w_all[k + 1])
-            (ent_sbuf, chk_sbuf, cand_blk, cand_node, cvalid, fcount,
-             e_dem, c_dem) = step(tree, wtab, bdata, fblk, fnode,
-                                  ent_sbuf, chk_sbuf, rel)
-            fc, ed, cd = (int(x) for x in
-                          jax.device_get((fcount, e_dem, c_dem)))
-            edem.append(ed)
-            cdem.append(cd)
-            stripe_ovf = stripe_ovf or ed > ent_w[init_lvl + k] \
-                or cd > chk_w_all[k + 1]
-            if lvl < depth:
-                fdem.append(fc)
-                # keep traversing on stripe overflow: outputs are discarded
-                # by the caller but the per-level demand counters stay true,
-                # so ONE retune round learns every level's width (stopping
-                # early would reveal only one overflowing level per retry)
-                if fc == 0:
-                    break
-                w_out = _p2(fc, 512)
-                fblk, fnode = _t_compact(w_out)(cand_blk, cand_node, cvalid)
-        ent, chk, n_ent, n_chk = _t_finish(tree, ent_sbuf, chk_sbuf)
-        while len(fdem) < depth + 1:
-            fdem.append(0)
-        while len(edem) < depth + 1:
-            edem.append(0)
-        while len(cdem) < depth + 1:
-            cdem.append(0)
-        return ent, chk, n_ent, n_chk, stripe_ovf, fdem, edem, cdem
 
     # ------------------------------------------------------------------
     # the eval cache may outlive this walk instance (the solver passes a
@@ -1140,9 +1014,9 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         (-1 = padding).  Targets should be Morton-contiguous for tight block
         bounds — any subset of ascending sorted indices is.
 
-        Host orchestration: phase T in trav_batch dispatches, one
-        device->host sync for the demand counters, then demand-bucketed
-        phase E dispatches.
+        Host orchestration: ONE traversal dispatch per trav_batch of blocks
+        (all levels fused on device), one device->host sync for the demand
+        counters, then demand-bucketed phase-E dispatches.
         """
         import time as _t
         prof = tree_forces.profile
@@ -1171,13 +1045,14 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
 
         bbt = min(trav_batch, nbp)
         nbatch = (nbp + bbt - 1) // bbt
-        init_lvl = min(2, depth)
-        touts = []
-        fdem_h = np.zeros(depth + 1, np.int64)
-        edem_h = np.zeros(depth + 1, np.int64)
-        cdem_h = np.zeros(depth + 1, np.int64)
-        stripe_ovf = False
-        ne = nc = None
+        n = tree.pos_s.shape[0]
+        n_init = level_caps(n, depth)[min(2, depth)]
+        f_floor = _p2(n_init * bbt, 4096)
+        # frontier width adapts to measured demand (x1.5 margin); stale
+        # widths cost ONE cheap re-traversal, not a walk failure
+        F = tree_forces.f_learned.get(bbt)
+        if F is None:
+            F = _p2(max(frontier_cap * bbt, f_floor), 4096)
 
         def batch_slc(i):
             end = min(i + bbt, nbp)
@@ -1194,64 +1069,42 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
                 slc = lambda a: jax.lax.slice_in_dim(a, i, end, axis=0)
             return slc(tpos_a), slc(tgid_a), slc(taold_a)
 
-        done = False
-        if tree_forces.fwidths is not None:
-            # FAST PATH: fused traversal with the widths learned from a
-            # previous host-paced walk — one dispatch per batch, no
-            # per-level host syncs (each costs a full round trip: ~tens of
-            # ms on tunneled TPUs), then ONE device_get that both
-            # validates the widths and fetches the eval demands
-            fast = _t_all(bbt, tree_forces.fwidths, tree.pos_s.shape[0])
-            fouts = [fast(tree, wtab, *batch_slc(i), rel)
+        for _retry in range(8):
+            q = _t_queue(bbt, n, F)
+            touts = [q(tree, wtab, *batch_slc(i), rel)
                      for i in range(0, nbp, bbt)]
-            touts = [o[:4] for o in fouts]
-            ovf_v, fds, eds, cds, ne_l, nc_l = jax.device_get(
-                ([o[4] for o in fouts], [o[5] for o in fouts],
-                 [o[6] for o in fouts], [o[7] for o in fouts],
-                 [o[2] for o in fouts], [o[3] for o in fouts]))
-            if any(bool(v) for v in ovf_v):
-                tree_forces.fwidths = None      # stale widths: re-learn
-                touts = []
+            if nbatch == 1:
+                ent_all, chk_all, n_ent_d, n_chk_d, ovf_d, fmax_d = touts[0]
             else:
-                fdem_h = np.max(np.stack(fds), axis=0).astype(np.int64)
-                edem_h = np.max(np.stack(eds), axis=0).astype(np.int64)
-                cdem_h = np.max(np.stack(cds), axis=0).astype(np.int64)
-                ne = np.concatenate(ne_l)[:nbp]
-                nc = np.concatenate(nc_l)[:nbp]
-                done = True
-        if not done:
-            for i in range(0, nbp, bbt):
-                ent_b, chk_b, ne_b, nc_b, ovf_b, fd, ed, cd = traverse_batch(
-                    tree, wtab, *batch_slc(i), rel)
-                touts.append((ent_b, chk_b, ne_b, nc_b))
-                stripe_ovf = stripe_ovf or ovf_b
-                fdem_h = np.maximum(fdem_h, np.asarray(fd))
-                edem_h = np.maximum(edem_h, np.asarray(ed))
-                cdem_h = np.maximum(cdem_h, np.asarray(cd))
-            if not stripe_ovf:
-                # adopt fused-path widths: measured demand + 50% margin
-                tree_forces.fwidths = tuple(
-                    _p2(int(max(fdem_h[init_lvl + 1 + k], 1)) * 3 // 2, 512)
-                    for k in range(depth - init_lvl))
-
-        if nbatch == 1:
-            ent_all, chk_all = touts[0][0], touts[0][1]
-            n_ent_d, n_chk_d = touts[0][2], touts[0][3]
-        else:
-            cat = lambda k: jnp.concatenate([t[k] for t in touts])[:nbp]
-            ent_all, chk_all = cat(0), cat(1)
-            n_ent_d, n_chk_d = cat(2), cat(3)
-
-        mark("traverse", touts)
-        if ne is None:
-            ne, nc = jax.device_get((n_ent_d, n_chk_d))
-        mark("sync")
-        stats = (np.int32(ne.max()), np.int32(nc.max()),
-                 np.int32(fdem_h.max()), np.int32(ne.max()),
-                 np.int32(nc.max()),
-                 fdem_h.astype(np.int32), edem_h.astype(np.int32),
-                 cdem_h.astype(np.int32))
-        if stripe_ovf or int(ne.max()) > ent_cap or int(nc.max()) > chunk_cap:
+                cat = lambda k: jnp.concatenate(
+                    [t[k] for t in touts])[:nbp]
+                ent_all, chk_all = cat(0), cat(1)
+                n_ent_d, n_chk_d = cat(2), cat(3)
+                ovf_d = functools.reduce(jnp.logical_or,
+                                         [t[4] for t in touts])
+                fmax_d = functools.reduce(jnp.maximum,
+                                          [t[5] for t in touts])
+            mark("traverse", touts)
+            ne, nc, ovf_v, fmax_v = jax.device_get(
+                (n_ent_d, n_chk_d, ovf_d, fmax_d))
+            mark("sync")
+            need = _p2(max(int(fmax_v) * 3 // 2, f_floor), 4096)
+            if int(fmax_v) > F:
+                F = need                  # truncated frontier: re-traverse
+                tree_forces.f_learned[bbt] = F
+                continue
+            if need < F:
+                # adopt the tighter width for NEXT calls (no re-traverse)
+                tree_forces.f_learned[bbt] = need
+            break
+        if tree_forces.debug:
+            tree_forces.debug_lists = jax.device_get(
+                (ent_all, chk_all, n_ent_d, n_chk_d))
+        # per-block average frontier demand (what the solver's cap means)
+        fr_dem = (int(fmax_v) + bbt - 1) // bbt
+        stats = (np.int32(ne.max()), np.int32(nc.max()), np.int32(fr_dem))
+        if bool(ovf_v) or int(ne.max()) > ent_cap \
+                or int(nc.max()) > chunk_cap:
             z3 = jnp.zeros((nt, 3), tpos_a.dtype)
             z1 = jnp.zeros((nt,), tpos_a.dtype)
             return WalkResult(z3, z1, jnp.zeros((nt,), jnp.int32),
@@ -1292,13 +1145,14 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
 
     def tree_forces_static(tree: Octree, tgt_sorted: jnp.ndarray,
                            opening_override: str | None = None,
-                           fcap: int = 16384) -> WalkResult:
+                           fcap: int = 65536) -> WalkResult:
         """Fully traceable fixed-shape walk: the same phase-T/phase-E
-        machinery with static frontier widths and full-cap evaluation, no
-        host pacing — usable under an outer `jax.jit` (driver compile
-        checks, per-shard walks inside `shard_map`).  Frontier entries past
-        `fcap` and list entries past the configured caps are dropped, so
-        caps must be sized generously for exactness."""
+        machinery with a static total frontier width `fcap` and full-cap
+        evaluation, no host pacing — usable under an outer `jax.jit`
+        (driver compile checks, per-shard walks inside `shard_map`).
+        Frontier entries past `fcap` and list entries past the configured
+        caps are dropped (flagged in .overflow), so caps must be sized
+        generously for exactness."""
         rel = rel_default if opening_override is None \
             else (rel_true if opening_override == "relative" else rel_false)
         nt = int(tgt_sorted.shape[0])
@@ -1311,32 +1165,10 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         wtab = _gwalk(tree)
 
         n = tree.pos_s.shape[0]
-        caps_l = level_caps(n, depth)
-        offs_l = np.concatenate([[0], np.cumsum(caps_l)]).astype(np.int32)
-        init_lvl = min(2, depth)
-        n_sh = int(offs_l[init_lvl])
-        n_init = int(offs_l[init_lvl + 1] - offs_l[init_lvl])
-        ent_w = [int(w) for w in ent_stripes]
-        chk_w_all = [n_sh * cpl] + [int(w) for w in chk_stripes[init_lvl:]]
-        e_offs, ent_total = _stripe_offs(ent_w[init_lvl:])
-        c_offs, chk_total = _stripe_offs(chk_w_all)
-
-        bdata, fblk, fnode, chk_sbuf = _t_init(
-            init_lvl, n_sh, n_init, int(offs_l[init_lvl]), chk_total)(
-            tree, wtab, tpos_a, tgid_a, taold_a)
-        cap2, nstart, rows, null_row = _layout(tree)
-        ent_sbuf = jnp.full((nbp, ent_total), null_row, jnp.int32)
-        for k, lvl in enumerate(range(init_lvl, depth + 1)):
-            step = _t_level(lvl, init_lvl, int(e_offs[k]),
-                            ent_w[init_lvl + k],
-                            int(c_offs[k + 1]), chk_w_all[k + 1])
-            (ent_sbuf, chk_sbuf, cand_blk, cand_node, cvalid, _fc,
-             _ed, _cd) = step(tree, wtab, bdata, fblk, fnode,
-                              ent_sbuf, chk_sbuf, rel)
-            if lvl < depth:
-                w_out = _p2(min(nbp * caps_l[lvl + 1] * 8, fcap), 512)
-                fblk, fnode = _t_compact(w_out)(cand_blk, cand_node, cvalid)
-        ent, chk, n_ent, n_chk = _t_finish(tree, ent_sbuf, chk_sbuf)
+        n_init = level_caps(n, depth)[min(2, depth)]
+        F = _p2(max(fcap, n_init * nbp), 4096)
+        ent, chk, n_ent, n_chk, ovf, fmax = _t_queue(nbp, n, F)(
+            tree, wtab, tpos_a, tgid_a, taold_a, rel)
 
         ev = _eval_for(ent_cap, chunk_cap, bbe)
         accs, pots, nias = [], [], []
@@ -1350,15 +1182,12 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         acc, pot, nia = _assemble(
             jnp.arange(nbp, dtype=jnp.int32), jnp.concatenate(accs),
             jnp.concatenate(pots), jnp.concatenate(nias), nt)
-        zi = jnp.zeros((depth + 1,), jnp.int32)
         mx_e = jnp.max(n_ent)
         mx_c = jnp.max(n_chk)
-        return WalkResult(acc, pot, nia,
-                          (mx_e > ent_cap) | (mx_c > chunk_cap),
-                          mx_e, mx_c, jnp.zeros((), jnp.int32),
-                          mx_e, mx_c, zi, zi, zi)
+        return WalkResult(acc, pot, nia, ovf, mx_e, mx_c, fmax)
 
     tree_forces.profile = None
-    tree_forces.fwidths = None
+    tree_forces.debug = False
+    tree_forces.f_learned = {}
     tree_forces.static = tree_forces_static
     return tree_forces

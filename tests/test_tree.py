@@ -167,3 +167,72 @@ def test_deep_tree_clustered_core():
     rel = np.linalg.norm(acc_t - acc_d, axis=1) \
         / np.maximum(np.linalg.norm(acc_d, axis=1), 1e-12)
     assert np.sqrt((rel ** 2).mean()) < 1e-3
+
+def test_walk_overflow_reports_true_demand():
+    """Undersized list caps must flag overflow and report demands that, once
+    adopted (with the solver's margin), make the walk succeed — the regrow
+    contract of GravitySolver.compute (solver.py)."""
+    pos, mass, grav, fsoft = _system(1200)
+    wiring = GravityWiring([[L.Newtonian()]])
+    n = len(pos)
+    tree = build_tree(jnp.asarray(pos), jnp.asarray(mass), jnp.asarray(grav),
+                      jnp.asarray(fsoft), jnp.ones(n, jnp.float32),
+                      depth=7, n_gravs=1, bucket=16)
+    tgt = jnp.arange(n, dtype=jnp.int32)
+    # leaf-chunk table sized to the tree's actual demand (what the solver's
+    # pre-walk n_chunk_rows check guarantees, solver.py)
+    lf = float(tree.n_chunk_rows) * 1.1 / n
+    tiny = make_tree_forces(
+        wiring, n_gravs=1, group_size=128, ent_cap=64, chunk_cap=64,
+        frontier_cap=2048, bucket=16, depth=7, theta=0.5, opening="bh",
+        block_batch=4, use_pallas=False, leaf_factor=lf)
+    res = tiny(tree, tgt)
+    assert bool(res.overflow)
+    # an undersized leaf table must be flagged too (silent phantom-source
+    # corruption regression: chunk ids past the leaf region)
+    small_layout = make_tree_forces(
+        wiring, n_gravs=1, group_size=128, ent_cap=8192, chunk_cap=8192,
+        frontier_cap=2048, bucket=16, depth=7, theta=0.5, opening="bh",
+        block_batch=4, use_pallas=False,
+        leaf_factor=float(tree.n_chunk_rows) * 0.8 / n)
+    assert bool(small_layout(tree, tgt).overflow)
+    # regrow to the reported demand (power-of-two margin like the solver)
+    import math as _m
+    p2 = lambda x: 1 << _m.ceil(_m.log2(max(int(x), 64)))
+    good = make_tree_forces(
+        wiring, n_gravs=1, group_size=128, ent_cap=p2(res.max_ent),
+        chunk_cap=p2(res.max_chunk), frontier_cap=2048, bucket=16,
+        depth=7, theta=0.5, opening="bh", block_batch=4, use_pallas=False,
+        leaf_factor=lf)
+    res2 = good(tree, tgt)
+    assert not bool(res2.overflow)
+    acc_d, _ = direct_forces(wiring, jnp.asarray(pos), jnp.asarray(mass),
+                             jnp.asarray(grav), jnp.asarray(fsoft))
+    acc_d = np.asarray(acc_d)
+    acc_t = np.zeros((n, 3), np.float32)
+    acc_t[np.asarray(tree.order)] = np.asarray(res2.acc)
+    rel = np.linalg.norm(acc_t - acc_d, axis=1) \
+        / np.maximum(np.linalg.norm(acc_d, axis=1), 1e-12)
+    assert np.sqrt((rel ** 2).mean()) < 5e-3
+
+
+def test_walk_static_matches_adaptive():
+    """tree_forces_static (fixed shapes, usable under outer jit) must agree
+    with the host-paced adaptive walk to f32 roundoff."""
+    pos, mass, grav, fsoft = _system(900)
+    wiring = GravityWiring([[L.Newtonian()]])
+    n = len(pos)
+    tree = build_tree(jnp.asarray(pos), jnp.asarray(mass), jnp.asarray(grav),
+                      jnp.asarray(fsoft), jnp.ones(n, jnp.float32),
+                      depth=7, n_gravs=1, bucket=16)
+    walk = make_tree_forces(
+        wiring, n_gravs=1, group_size=64, ent_cap=4096, chunk_cap=4096,
+        frontier_cap=2048, bucket=16, depth=7, theta=0.5, opening="bh",
+        block_batch=4, use_pallas=False,
+        leaf_factor=float(tree.n_chunk_rows) * 1.1 / n)
+    tgt = jnp.arange(n, dtype=jnp.int32)
+    res_a = walk(tree, tgt)
+    res_s = walk.static(tree, tgt, fcap=65536)
+    assert not bool(res_a.overflow) and not bool(res_s.overflow)
+    np.testing.assert_allclose(np.asarray(res_s.acc), np.asarray(res_a.acc),
+                               rtol=2e-4, atol=1e-6)
