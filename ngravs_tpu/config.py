@@ -126,6 +126,10 @@ class SimulationConfig:
     flexsteps: bool = False
     make_glass: int = 0           # -DMAKEGLASS=<N>
     force_test: float = 0.0       # -DFORCETEST=<fraction>
+    # -DCOMPUTE_POTENTIAL_ENERGY: refresh the potential of ALL particles
+    # right before each energy_statistics() (run.c:52-59) so energy.txt's
+    # potential columns are synchronous rather than per-particle stale
+    compute_potential_energy: bool = False
     # When a run is resumed with a larger TimeMax, the integer timeline is
     # rescaled by power-of-two halvings (readjust_timebase, begrun.c:821-864)
     # and afterwards covers [time_begin, timeline_time_max] >= time_max; the
@@ -197,6 +201,8 @@ _TAG_MAP = {
     "ResubmitOn": ("resubmit_on", _I),
     "ResubmitCommand": ("resubmit_command", _S),
     "CpuTimeBetRestartFile": ("cpu_time_bet_restart_file", _F),
+    # compile-time define in the reference; runtime flag here
+    "ComputePotentialEnergy": ("compute_potential_energy", _B),
     "ICFormat": ("ic_format", _I),
     "SnapFormat": ("snap_format", _I),
     "ComovingIntegrationOn": ("comoving_integration", _B),
@@ -289,3 +295,20 @@ def read_parameter_file(path: str, **overrides) -> SimulationConfig:
         kv.setdefault("n_gravs", max(type_to_grav) + 1)
     kv.update(overrides)
     return SimulationConfig(**kv)
+
+
+def write_usedvalues(cfg: SimulationConfig, path: str):
+    """Echo every effective parameter to `<paramfile>-usedvalues`
+    (begrun.c:619: the reference writes the parsed tag/value pairs back out
+    so a run's configuration is self-documenting)."""
+    with open(path, "w") as f:
+        for tag, (field, _conv) in _TAG_MAP.items():
+            v = getattr(cfg, field)
+            if isinstance(v, bool):
+                v = int(v)
+            f.write(f"{tag:<35s} {v}\n")
+        for i, tname in enumerate(TYPE_NAMES):
+            f.write(f"{'Softening' + tname:<35s} {cfg.softening[i]}\n")
+            f.write(f"{'Softening' + tname + 'MaxPhys':<35s} "
+                    f"{cfg.softening_max_phys[i]}\n")
+            f.write(f"{'Gravity' + tname:<35s} {cfg.type_to_grav[i]}\n")

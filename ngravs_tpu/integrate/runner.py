@@ -418,7 +418,28 @@ class Simulation:
         self.cpu_timers["snapshot"] += _time.time() - t0
         return path
 
+    def update_full_potential(self):
+        """Refresh p.potential for ALL particles (compute_potential,
+        potential.c:22: a dedicated all-particle pass; accelerations and
+        OldAcc of inactive particles are left untouched)."""
+        import jax.numpy as _jnp
+        p_all = self.p.replace(ti_endstep=_jnp.full_like(
+            self.p.ti_endstep, self.ti_current))
+        hsml = self.sph.hsml if self.sph is not None else None
+        p2, _, _ = self.solver.compute(p_all, self.ti_current, self.p.n,
+                                       hsml=hsml)
+        pot = p2.potential
+        if self.cfg.pmgrid:
+            # long-range PM potential (potential.c:268-306)
+            pot = pot + self.solver.pm.potential(self.p.pos, self.p.mass,
+                                                 self.p.grav)
+        self.p = self.p.replace(potential=pot)
+
     def energy_statistics(self):
+        if self.cfg.compute_potential_energy:
+            t0 = _time.time()
+            self.update_full_potential()
+            self.cpu_timers["potential"] += _time.time() - t0
         s = self._stats(self.p, self.sph, self.ti_current,
                         1.0 / self.time ** 3 if self.cfg.comoving_integration else 1.0)
         if "energy" in self._logs:

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import sys
 
-from .config import read_parameter_file
+from .config import read_parameter_file, write_usedvalues
 from .integrate.runner import Simulation
 
 
@@ -21,6 +21,11 @@ def main(argv=None):
     paramfile = argv[0]
     restartflag = int(argv[1]) if len(argv) > 1 else 0
     cfg = read_parameter_file(paramfile)
+    try:
+        # parameter echo (begrun.c:619): <paramfile>-usedvalues
+        write_usedvalues(cfg, paramfile + "-usedvalues")
+    except OSError:
+        pass  # read-only parameterfile location
     if restartflag == 1:
         # resume from restart files (main.c:47-50, restart.c:35)
         sim = Simulation(cfg)

@@ -198,3 +198,37 @@ def test_flexsteps_mode(tmp_path):
     assert np.isfinite(np.asarray(sim.p.pos)).all()
     # the present-min/max bookkeeping stayed sane
     assert 1 <= sim.present_min_step <= sim.present_max_step
+
+
+def test_compute_potential_energy_refreshes_all(tmp_path):
+    """With ComputePotentialEnergy on, energy_statistics refreshes the
+    potential of ALL particles first (run.c:52-59 + compute_potential,
+    potential.c:22), so stale per-particle potentials can't leak into
+    energy.txt."""
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=1.0, gravity_constant_internal=1.0,
+        softening=(0.01,) * 6, max_size_timestep=0.02,
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0, wiring="newton",
+        compute_potential_energy=True)
+    rng = np.random.default_rng(5)
+    n = 48
+    pos = rng.normal(0, 1, (n, 3))
+    vel = rng.normal(0, 0.3, (n, 3))
+    p = Particles.create(pos, vel, np.full(n, 0.1), np.arange(n), np.ones(n),
+                         cfg.type_to_grav)
+    sim = Simulation(cfg, particles=p, log_dir="")
+    sim.run(max_steps=12)
+    # corrupt the stored potentials; stats must not see the stale values
+    sim.p = sim.p.replace(potential=jnp.zeros_like(sim.p.potential))
+    s = sim.energy_statistics()
+    # exact pairwise potential energy at the current positions
+    pp = np.asarray(sim.p.pos)
+    mm = np.asarray(sim.p.mass)
+    eps = 0.0
+    epot = 0.0
+    for i in range(n):
+        r = np.linalg.norm(pp[i] - pp, axis=1)
+        r[i] = np.inf
+        epot += -0.5 * mm[i] * np.sum(mm / r)
+    assert np.isclose(float(s.energy_pot), epot, rtol=2e-3)
