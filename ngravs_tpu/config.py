@@ -130,6 +130,9 @@ class SimulationConfig:
     # right before each energy_statistics() (run.c:52-59) so energy.txt's
     # potential columns are synchronous rather than per-particle stale
     compute_potential_energy: bool = False
+    # -DOUTPUTPOTENTIAL: write the POT block into snapshots, refreshing all
+    # potentials first (savepositions, io.c:41-49)
+    output_potential: bool = False
     # When a run is resumed with a larger TimeMax, the integer timeline is
     # rescaled by power-of-two halvings (readjust_timebase, begrun.c:821-864)
     # and afterwards covers [time_begin, timeline_time_max] >= time_max; the
@@ -201,8 +204,9 @@ _TAG_MAP = {
     "ResubmitOn": ("resubmit_on", _I),
     "ResubmitCommand": ("resubmit_command", _S),
     "CpuTimeBetRestartFile": ("cpu_time_bet_restart_file", _F),
-    # compile-time define in the reference; runtime flag here
+    # compile-time defines in the reference; runtime flags here
     "ComputePotentialEnergy": ("compute_potential_energy", _B),
+    "OutputPotential": ("output_potential", _B),
     "ICFormat": ("ic_format", _I),
     "SnapFormat": ("snap_format", _I),
     "ComovingIntegrationOn": ("comoving_integration", _B),

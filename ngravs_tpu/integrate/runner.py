@@ -70,9 +70,26 @@ class Simulation:
             ngas = int(snap.header.npart[0])
             if ngas > 0 and sph is None:
                 sph = SphState.zeros(particles.n)
-                if snap.u is not None:
-                    u = jnp.zeros(particles.n).at[:ngas].set(jnp.asarray(snap.u))
-                    sph = sph.replace(entropy=u)  # converted to entropy later
+                u_ic = np.zeros(ngas, np.float32) if snap.u is None \
+                    else np.asarray(snap.u, np.float32).copy()
+                if cfg.init_gas_temp > 0:
+                    # read_ic.c:114-143: gas with u == 0 starts at
+                    # InitGasTemp; mean molecular weight assumes full
+                    # ionization above 1e4 K, neutral below
+                    yhe = (1 - C.HYDROGEN_MASSFRAC) / (4 * C.HYDROGEN_MASSFRAC)
+                    if cfg.init_gas_temp > 1e4:
+                        mu = (1 + 4 * yhe) / (1 + 3 * yhe + 1)
+                    else:
+                        mu = (1 + 4 * yhe) / (1 + yhe)
+                    u0 = (1 / (C.GAMMA_MINUS1) * (C.BOLTZMANN / C.PROTONMASS)
+                          * cfg.init_gas_temp / mu
+                          / self.units.unit_energy_in_cgs
+                          * self.units.unit_mass_in_g)
+                    u_ic = np.where(u_ic == 0, np.float32(u0), u_ic)
+                # entropy floor (read_ic.c:145-146)
+                u_ic = np.maximum(u_ic, self.units.min_egy_spec)
+                u = jnp.zeros(particles.n).at[:ngas].set(jnp.asarray(u_ic))
+                sph = sph.replace(entropy=u)  # converted to entropy later
         self.p = particles
         self.sph = sph
         self.n_gas = int(np.asarray(self.p.ptype == 0).sum()) if sph is not None else 0
@@ -89,6 +106,21 @@ class Simulation:
                   / (4 * math.pi * max(self.n_gas, 1))) ** (1.0 / 3)
             hs = jnp.where(jnp.asarray(gas), jnp.float32(h0), 0.0)
             self.sph = self.sph.replace(hsml=hs)
+
+        if cfg.comoving_integration and cfg.periodic and cfg.box_size > 0:
+            # check_omega (init.c:181-208): total box mass must match the
+            # cosmology; a mismatch means ICs and parameterfile disagree
+            mtot = float(jnp.sum(self.p.mass))
+            G = self.units.G
+            hub = self.units.hubble
+            omega = mtot / cfg.box_size ** 3 \
+                / (3 * hub * hub / (8 * math.pi * G))
+            if abs(omega - cfg.omega0) > 1e-2 * max(cfg.omega0, 1e-10):
+                import warnings
+                warnings.warn(
+                    f"IC mass implies Omega0={omega:.4g} but the "
+                    f"parameterfile says {cfg.omega0:.4g} (check_omega, "
+                    "init.c:181-208)")
 
         self.ti_current = 0
         self.flag_fullstep = True
@@ -382,6 +414,10 @@ class Simulation:
         t0 = _time.time()
         from ..diagnostics.energy import predicted_velocities
         cfg = self.cfg
+        if cfg.output_potential:
+            # OUTPUTPOTENTIAL: fresh all-particle potential for the POT
+            # block (savepositions, io.c:41-49)
+            self.update_full_potential()
         vel = predicted_velocities(self.p, self.tables, self.ti_current)
         p_np = jax.device_get((self.p.pos, vel, self.p.mass, self.p.pid,
                                self.p.ptype, self.p.potential))
@@ -406,14 +442,16 @@ class Simulation:
         h.mass = mass_tab
         masked_mass = mass.copy()
         data = SnapshotData(header=h, pos=pos, vel=vel, pid=pid.astype(np.uint32),
-                            mass=masked_mass, ptype=ptype)
+                            mass=masked_mass, ptype=ptype,
+                            pot=pot if cfg.output_potential else None)
         if self.sph is not None and self.n_gas:
             s = jax.device_get((self.sph.entropy, self.sph.density, self.sph.hsml))
             data.u, data.rho, data.hsml = [np.asarray(x)[:self.n_gas] for x in s]
         if path is None:
             path = os.path.join(self.log_dir or ".",
                                 f"{cfg.snapshot_file_base}_{self.snapshot_count:03d}")
-        write_snapshot(path, data, snap_format=cfg.snap_format)
+        write_snapshot(path, data, snap_format=cfg.snap_format,
+                       with_pot=cfg.output_potential)
         self.snapshot_count += 1
         self.cpu_timers["snapshot"] += _time.time() - t0
         return path

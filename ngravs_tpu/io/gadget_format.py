@@ -154,6 +154,9 @@ def read_snapshot(path: str, expect_format: int | None = None) -> SnapshotData:
             order1.append("MASS")
         if ngas > 0:
             order1 += ["U", "RHO", "HSML"]
+        # OUTPUTPOTENTIAL appends a POT block (io.c block order); in format 1
+        # it is identified positionally, the size check in _opt guards it
+        order1.append("POT")
 
         named = {}
         if fmt == 2:

@@ -129,3 +129,35 @@ def test_multifile_round_trip(tmp_path):
     write_snapshot_multi(base2, d, 2, snap_format=3)
     r2 = read_snapshot_set(base2)
     assert sorted(r2.pid.tolist()) == sorted(d.pid.tolist())
+
+
+def test_init_gas_temp_applied(tmp_path):
+    """Gas read with u == 0 starts at InitGasTemp (read_ic.c:114-143)."""
+    import jax.numpy as jnp
+    from ngravs_tpu.config import SimulationConfig
+    from ngravs_tpu.integrate.runner import Simulation
+    from ngravs_tpu.io.gadget_format import (SnapshotData, SnapshotHeader,
+                                             write_snapshot)
+    n = 32
+    rng = np.random.default_rng(0)
+    h = SnapshotHeader()
+    h.npart = np.array([n, 0, 0, 0, 0, 0], np.int32)
+    h.npart_total = h.npart.astype(np.uint32)
+    data = SnapshotData(
+        header=h, pos=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        vel=np.zeros((n, 3), np.float32), pid=np.arange(n, dtype=np.uint32),
+        mass=np.full(n, 0.1, np.float32),
+        ptype=np.zeros(n, np.int32), u=np.zeros(n, np.float32))
+    path = str(tmp_path / "ic_gas")
+    write_snapshot(path, data)
+    cfg = SimulationConfig(
+        init_cond_file=path, time_begin=0.0, time_max=1.0,
+        gravity_constant_internal=1.0, softening=(0.05,) * 6,
+        init_gas_temp=1000.0, time_bet_snapshot=0.0,
+        time_of_first_snapshot=1e30, time_bet_statistics=0.0,
+        wiring="newton")
+    sim = Simulation(cfg, log_dir="")
+    u0 = np.asarray(sim.sph.entropy[:n])
+    assert (u0 > 0).all()
+    # kB T / ((gamma-1) mu mp) in internal units (UnitVelocity=1e5 cm/s)
+    assert 1e-3 < u0[0] < 1e3
