@@ -133,6 +133,13 @@ class SimulationConfig:
     # -DOUTPUTPOTENTIAL: write the POT block into snapshots, refreshing all
     # potentials first (savepositions, io.c:41-49)
     output_potential: bool = False
+    # -DOUTPUTACCELERATION / -DOUTPUTCHANGEOFENTROPY / -DOUTPUTTIMESTEP:
+    # extra snapshot blocks ACCE / ENDT / TSTP (io.c:311-353)
+    output_acceleration: bool = False
+    output_change_of_entropy: bool = False
+    output_timestep: bool = False
+    # -DLONGIDS: 64-bit particle IDs in snapshot ID blocks (io.c:131-135)
+    longids: bool = False
     # When a run is resumed with a larger TimeMax, the integer timeline is
     # rescaled by power-of-two halvings (readjust_timebase, begrun.c:821-864)
     # and afterwards covers [time_begin, timeline_time_max] >= time_max; the
@@ -207,6 +214,10 @@ _TAG_MAP = {
     # compile-time defines in the reference; runtime flags here
     "ComputePotentialEnergy": ("compute_potential_energy", _B),
     "OutputPotential": ("output_potential", _B),
+    "OutputAcceleration": ("output_acceleration", _B),
+    "OutputChangeOfEntropy": ("output_change_of_entropy", _B),
+    "OutputTimestep": ("output_timestep", _B),
+    "LongIds": ("longids", _B),
     "ICFormat": ("ic_format", _I),
     "SnapFormat": ("snap_format", _I),
     "ComovingIntegrationOn": ("comoving_integration", _B),

@@ -444,14 +444,62 @@ class Simulation:
         data = SnapshotData(header=h, pos=pos, vel=vel, pid=pid.astype(np.uint32),
                             mass=masked_mass, ptype=ptype,
                             pot=pot if cfg.output_potential else None)
+        a3inv = fac1 = fac2 = 1.0
+        if cfg.comoving_integration:
+            # comoving->physical factors for output (io.c:149-156)
+            a3inv = 1.0 / self.time ** 3
+            fac1 = 1.0 / self.time ** 2
+            fac2 = 1.0 / self.time ** (3 * C.GAMMA - 2)
         if self.sph is not None and self.n_gas:
-            s = jax.device_get((self.sph.entropy, self.sph.density, self.sph.hsml))
-            data.u, data.rho, data.hsml = [np.asarray(x)[:self.n_gas] for x in s]
+            s = jax.device_get((self.sph.entropy, self.sph.density,
+                                self.sph.hsml, self.sph.dt_entropy))
+            ent, rho, hs, dent = [np.asarray(x)[:self.n_gas] for x in s]
+            if self._entropy_is_u:
+                # density has not run yet: the entropy field still holds u
+                data.u = ent
+            else:
+                # entropy -> specific internal energy (io.c:266-279)
+                data.u = np.maximum(
+                    self.units.min_egy_spec,
+                    ent / C.GAMMA_MINUS1
+                    * np.maximum(rho * a3inv, 1e-37) ** C.GAMMA_MINUS1
+                ).astype(np.float32)
+            data.rho, data.hsml = rho, hs
+            if cfg.output_change_of_entropy:
+                data.dtentr = dent
+        if cfg.output_acceleration:
+            # physical acceleration: fac1*(tree+PM) + fac2*hydro for gas
+            # (io.c:311-330)
+            acc = np.asarray(jax.device_get(self.p.accel + self.p.accel_pm))
+            acc = fac1 * acc
+            if self.sph is not None and self.n_gas:
+                hacc = np.asarray(jax.device_get(
+                    self.sph.hydro_accel))[:self.n_gas]
+                acc[:self.n_gas] += fac2 * hacc
+            data.accel = acc.astype(np.float32)
+        if cfg.output_timestep:
+            # (Ti_endstep - Ti_begstep) * Timebase_interval (io.c:343-351)
+            tbeg, tend = jax.device_get((self.p.ti_begstep, self.p.ti_endstep))
+            data.tstp = ((np.asarray(tend) - np.asarray(tbeg))
+                         * float(self.tbi)).astype(np.float32)
         if path is None:
             path = os.path.join(self.log_dir or ".",
                                 f"{cfg.snapshot_file_base}_{self.snapshot_count:03d}")
-        write_snapshot(path, data, snap_format=cfg.snap_format,
-                       with_pot=cfg.output_potential)
+        if cfg.num_files_per_snapshot > 1:
+            from ..io.gadget_format import write_snapshot_multi
+            write_snapshot_multi(
+                path, data, cfg.num_files_per_snapshot,
+                snap_format=cfg.snap_format, with_pot=cfg.output_potential,
+                longids=cfg.longids,
+                max_parallel=cfg.num_files_written_in_parallel or None)
+        elif cfg.snap_format == 3:
+            from ..io.gadget_format import write_snapshot_hdf5
+            write_snapshot_hdf5(path + ".hdf5", data,
+                                with_pot=cfg.output_potential,
+                                longids=cfg.longids)
+        else:
+            write_snapshot(path, data, snap_format=cfg.snap_format,
+                           with_pot=cfg.output_potential, longids=cfg.longids)
         self.snapshot_count += 1
         self.cpu_timers["snapshot"] += _time.time() - t0
         return path

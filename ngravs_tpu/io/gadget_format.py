@@ -6,12 +6,18 @@ snapshot writing (io.c:33-1150).  Little-endian only, like the reference
 4-character block-name header before each block.
 
 Block order (reference `enum iofields`, allvars.h:714-727):
-  HEAD(256B), POS(f32 3N), VEL(f32 3N), ID(u32 N), MASS(f32, only for types
-  with header mass 0 and npart>0), then gas blocks U(f32 Ngas), RHO, HSML
-  (RHO/HSML present in snapshots, absent in ICs), optional POT/ACCE/ENDT/TSTP.
+  HEAD(256B), POS(f32 3N), VEL(f32 3N), ID(u32 N; u64 under LONGIDS), MASS
+  (f32, only for types with header mass 0 and npart>0), then gas blocks
+  U(f32 Ngas), RHO, HSML (RHO/HSML present in snapshots, absent in ICs),
+  optional POT(f32 N) / ACCE(f32 3N) / ENDT(f32 Ngas) / TSTP(f32 N)
+  (OUTPUTPOTENTIAL / OUTPUTACCELERATION / OUTPUTCHANGEOFENTROPY /
+  OUTPUTTIMESTEP, io.c:300-353).
 
 Output is always float32 regardless of internal precision, matching
-Makefile.reference:284-287.
+Makefile.reference:284-287.  LONGIDS (u64 ID blocks) is auto-detected on
+read by record size; format-1 trailing optional blocks are identified
+positionally with size-based skipping (the reference's own format-1 reader
+never reads them back at all, read_ic.c).
 """
 
 from __future__ import annotations
@@ -83,7 +89,10 @@ class SnapshotData:
     u: np.ndarray | None = None       # [Ngas] internal energy
     rho: np.ndarray | None = None
     hsml: np.ndarray | None = None
-    pot: np.ndarray | None = None
+    pot: np.ndarray | None = None     # [N]   OUTPUTPOTENTIAL
+    accel: np.ndarray | None = None   # [N,3] OUTPUTACCELERATION
+    dtentr: np.ndarray | None = None  # [Ngas] OUTPUTCHANGEOFENTROPY
+    tstp: np.ndarray | None = None    # [N]   OUTPUTTIMESTEP
 
     @property
     def n(self) -> int:
@@ -146,30 +155,45 @@ def read_snapshot(path: str, expect_format: int | None = None) -> SnapshotData:
                 break
             blocks.append(blk)
 
-        # sequential block semantics for format 1 (names implied by order)
-        order1 = ["POS", "VEL", "ID"]
+        # sequential block semantics for format 1 (names implied by order);
+        # each expected entry carries its byte size so optional blocks that
+        # are absent are skipped instead of mislabeling what follows
         # MASS present only if some type has header-mass 0 with particles
-        wants_mass = any(npart[t] > 0 and header.mass[t] == 0 for t in range(N_TYPES))
-        if wants_mass:
-            order1.append("MASS")
+        n_massblock = sum(int(npart[t]) for t in range(N_TYPES)
+                          if npart[t] > 0 and header.mass[t] == 0)
+        expected = [("POS", (12 * n,)), ("VEL", (12 * n,)),
+                    ("ID", (4 * n, 8 * n))]
+        if n_massblock:
+            expected.append(("MASS", (4 * n_massblock,)))
         if ngas > 0:
-            order1 += ["U", "RHO", "HSML"]
-        # OUTPUTPOTENTIAL appends a POT block (io.c block order); in format 1
-        # it is identified positionally, the size check in _opt guards it
-        order1.append("POT")
+            expected += [("U", (4 * ngas,)), ("RHO", (4 * ngas,)),
+                         ("HSML", (4 * ngas,))]
+        expected += [("POT", (4 * n,)), ("ACCE", (12 * n,))]
+        if ngas > 0:
+            expected.append(("ENDT", (4 * ngas,)))
+        expected.append(("TSTP", (4 * n,)))
 
         named = {}
         if fmt == 2:
             for bname, data in blocks:
                 named[bname] = data
         else:
-            for i, (_, data) in enumerate(blocks):
-                if i < len(order1):
-                    named[order1[i]] = data
+            e = 0
+            for _, data in blocks:
+                while e < len(expected) and len(data) not in expected[e][1]:
+                    e += 1
+                if e >= len(expected):
+                    break
+                named[expected[e][0]] = data
+                e += 1
 
         pos = np.frombuffer(named["POS"], "<f4").reshape(n, 3)
         vel = np.frombuffer(named["VEL"], "<f4").reshape(n, 3)
-        pid = np.frombuffer(named["ID"], "<u4")
+        # LONGIDS: a 64-bit ID block is detected by its record size
+        if len(named["ID"]) == 8 * n:
+            pid = np.frombuffer(named["ID"], "<u8")
+        else:
+            pid = np.frombuffer(named["ID"], "<u4")
 
         ptype = np.repeat(np.arange(N_TYPES, dtype=np.int32), npart)
 
@@ -196,10 +220,13 @@ def read_snapshot(path: str, expect_format: int | None = None) -> SnapshotData:
                 return np.frombuffer(named[nm], "<f4")
             return None
 
+        accel = _opt("ACCE", 3 * n)
         return SnapshotData(
             header=header, pos=pos, vel=vel, pid=pid, mass=mass, ptype=ptype,
             u=_opt("U", ngas), rho=_opt("RHO", ngas), hsml=_opt("HSML", ngas),
             pot=_opt("POT", n),
+            accel=None if accel is None else accel.reshape(n, 3),
+            dtentr=_opt("ENDT", ngas), tstp=_opt("TSTP", n),
         )
 
 
@@ -213,11 +240,14 @@ def _write_record(f, payload: bytes, name: str | None, format2: bool):
 
 
 def write_snapshot(path: str, data: SnapshotData, snap_format: int = 1,
-                   with_pot: bool = False):
+                   with_pot: bool | None = None, longids: bool = False):
     """Write a snapshot; arrays must already be type-sorted (gas first).
 
     Mass entries equal to the header MassTable entry are elided into the
-    header, matching io.c's block-presence rules (io.c:366-533).
+    header, matching io.c's block-presence rules (io.c:366-533).  Optional
+    blocks (POT/ACCE/ENDT/TSTP) are written whenever the corresponding
+    SnapshotData field is set; `with_pot=False` suppresses POT for
+    back-compatibility.  `longids` writes 64-bit ID blocks (-DLONGIDS).
     """
     h = data.header
     npart = h.npart.astype(np.int64)
@@ -228,7 +258,10 @@ def write_snapshot(path: str, data: SnapshotData, snap_format: int = 1,
         _write_record(f, h.pack(), "HEAD", fmt2)
         _write_record(f, np.ascontiguousarray(data.pos, "<f4").tobytes(), "POS", fmt2)
         _write_record(f, np.ascontiguousarray(data.vel, "<f4").tobytes(), "VEL", fmt2)
-        _write_record(f, np.ascontiguousarray(data.pid, "<u4").tobytes(), "ID", fmt2)
+        id_dtype = "<u8" if (longids or data.pid.dtype.itemsize == 8) else "<u4"
+        _write_record(f, np.ascontiguousarray(
+            data.pid.astype(np.uint64) if id_dtype == "<u8" else data.pid,
+            id_dtype).tobytes(), "ID", fmt2)
         # variable-mass block
         chunks = []
         off = 0
@@ -243,8 +276,14 @@ def write_snapshot(path: str, data: SnapshotData, snap_format: int = 1,
             for nm, arr in (("U", data.u), ("RHO", data.rho), ("HSML", data.hsml)):
                 if arr is not None:
                     _write_record(f, np.ascontiguousarray(arr[:ngas], "<f4").tobytes(), nm, fmt2)
-        if with_pot and data.pot is not None:
+        if data.pot is not None and with_pot is not False:
             _write_record(f, np.ascontiguousarray(data.pot, "<f4").tobytes(), "POT", fmt2)
+        if data.accel is not None:
+            _write_record(f, np.ascontiguousarray(data.accel, "<f4").tobytes(), "ACCE", fmt2)
+        if ngas > 0 and data.dtentr is not None:
+            _write_record(f, np.ascontiguousarray(data.dtentr[:ngas], "<f4").tobytes(), "ENDT", fmt2)
+        if data.tstp is not None:
+            _write_record(f, np.ascontiguousarray(data.tstp, "<f4").tobytes(), "TSTP", fmt2)
 
 
 # ----------------------------------------------------------------------
@@ -268,12 +307,15 @@ _H5_HEADER_ATTRS = [
 ]
 
 
-def write_snapshot_hdf5(path: str, data: SnapshotData, with_pot: bool = False):
-    """Format-3 snapshot (HDF5), Gadget-2 dataset names (io.c:998-1120)."""
+def write_snapshot_hdf5(path: str, data: SnapshotData,
+                        with_pot: bool | None = None, longids: bool = False):
+    """Format-3 snapshot (HDF5), Gadget-2 dataset names
+    (io.c:613-653,998-1120)."""
     import h5py
 
     h = data.header
     npart = h.npart.astype(np.int64)
+    id_dtype = "<u8" if (longids or data.pid.dtype.itemsize == 8) else "<u4"
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     with h5py.File(path, "w") as f:
         hdr = f.create_group("Header")
@@ -291,17 +333,26 @@ def write_snapshot_hdf5(path: str, data: SnapshotData, with_pot: bool = False):
             sl = slice(off, off + cnt)
             grp.create_dataset("Coordinates", data=np.asarray(data.pos[sl], "<f4"))
             grp.create_dataset("Velocities", data=np.asarray(data.vel[sl], "<f4"))
-            grp.create_dataset("ParticleIDs", data=np.asarray(data.pid[sl], "<u4"))
+            grp.create_dataset("ParticleIDs", data=np.asarray(
+                data.pid[sl].astype(np.uint64) if id_dtype == "<u8"
+                else data.pid[sl], id_dtype))
             if h.mass[t] == 0:
                 grp.create_dataset("Masses", data=np.asarray(data.mass[sl], "<f4"))
             if t == 0:
                 for nm, arr in (("InternalEnergy", data.u),
                                 ("Density", data.rho),
-                                ("SmoothingLength", data.hsml)):
+                                ("SmoothingLength", data.hsml),
+                                ("RateOfChangeOfEntropy", data.dtentr)):
                     if arr is not None:
                         grp.create_dataset(nm, data=np.asarray(arr[:cnt], "<f4"))
-            if with_pot and data.pot is not None:
+            if data.pot is not None and with_pot is not False:
                 grp.create_dataset("Potential", data=np.asarray(data.pot[sl], "<f4"))
+            if data.accel is not None:
+                grp.create_dataset("Acceleration",
+                                   data=np.asarray(data.accel[sl], "<f4"))
+            if data.tstp is not None:
+                grp.create_dataset("TimeStep",
+                                   data=np.asarray(data.tstp[sl], "<f4"))
             off += cnt
 
 
@@ -322,11 +373,14 @@ def read_snapshot_hdf5(path: str) -> SnapshotData:
         ngas = int(npart[0])
         pos = np.empty((n, 3), np.float32)
         vel = np.empty((n, 3), np.float32)
-        pid = np.empty(n, np.uint32)
+        pid = np.empty(n, np.uint64)
+        longids = False
         mass = np.empty(n, np.float32)
         pot = np.empty(n, np.float32)
-        have_pot = True
-        u = rho = hsml = None
+        accel = np.empty((n, 3), np.float32)
+        tstp = np.empty(n, np.float32)
+        have_pot = have_accel = have_tstp = True
+        u = rho = hsml = dtentr = None
         off = 0
         for t in range(N_TYPES):
             cnt = int(npart[t])
@@ -336,21 +390,36 @@ def read_snapshot_hdf5(path: str) -> SnapshotData:
             sl = slice(off, off + cnt)
             pos[sl] = grp["Coordinates"][...]
             vel[sl] = grp["Velocities"][...]
-            pid[sl] = grp["ParticleIDs"][...]
+            ids = grp["ParticleIDs"][...]
+            longids = longids or ids.dtype.itemsize == 8
+            pid[sl] = ids
             mass[sl] = grp["Masses"][...] if "Masses" in grp else h.mass[t]
             if "Potential" in grp:
                 pot[sl] = grp["Potential"][...]
             else:
                 have_pot = False
+            if "Acceleration" in grp:
+                accel[sl] = grp["Acceleration"][...]
+            else:
+                have_accel = False
+            if "TimeStep" in grp:
+                tstp[sl] = grp["TimeStep"][...]
+            else:
+                have_tstp = False
             if t == 0:
                 u = grp["InternalEnergy"][...] if "InternalEnergy" in grp else None
                 rho = grp["Density"][...] if "Density" in grp else None
                 hsml = grp["SmoothingLength"][...] if "SmoothingLength" in grp else None
+                dtentr = grp["RateOfChangeOfEntropy"][...] \
+                    if "RateOfChangeOfEntropy" in grp else None
             off += cnt
         ptype = np.repeat(np.arange(N_TYPES, dtype=np.int32), npart)
-        return SnapshotData(header=h, pos=pos, vel=vel, pid=pid, mass=mass,
-                            ptype=ptype, u=u, rho=rho, hsml=hsml,
-                            pot=pot if have_pot else None)
+        return SnapshotData(header=h, pos=pos, vel=vel,
+                            pid=pid if longids else pid.astype(np.uint32),
+                            mass=mass, ptype=ptype, u=u, rho=rho, hsml=hsml,
+                            pot=pot if have_pot else None,
+                            accel=accel if have_accel else None,
+                            dtentr=dtentr, tstp=tstp if have_tstp else None)
 
 
 # ----------------------------------------------------------------------
@@ -393,7 +462,11 @@ def read_snapshot_set(base: str) -> SnapshotData:
     h = parts[0].header
     npart = np.sum([p.header.npart for p in parts], axis=0).astype(np.int32)
     cat = {}
-    for name in ("pos", "vel", "pid", "mass", "ptype"):
+    for name in ("pos", "vel", "pid", "mass", "ptype", "pot", "accel", "tstp"):
+        if name in ("pot", "accel", "tstp") and \
+                any(getattr(p, name) is None for p in parts):
+            cat[name] = None
+            continue
         chunks = []
         for t in range(N_TYPES):
             for p in parts:
@@ -402,18 +475,21 @@ def read_snapshot_set(base: str) -> SnapshotData:
                     chunks.append(getattr(p, name)[m])
         cat[name] = np.concatenate(chunks) if chunks else getattr(parts[0], name)
     gas = {}
-    for name in ("u", "rho", "hsml"):
+    for name in ("u", "rho", "hsml", "dtentr"):
         vals = [getattr(p, name) for p in parts if getattr(p, name) is not None]
         gas[name] = np.concatenate(vals) if vals else None
     h.npart = npart
     h.num_files = 1
     return SnapshotData(header=h, ptype=cat["ptype"], pos=cat["pos"],
                         vel=cat["vel"], pid=cat["pid"], mass=cat["mass"],
-                        u=gas["u"], rho=gas["rho"], hsml=gas["hsml"])
+                        u=gas["u"], rho=gas["rho"], hsml=gas["hsml"],
+                        pot=cat["pot"], accel=cat["accel"],
+                        dtentr=gas["dtentr"], tstp=cat["tstp"])
 
 
 def write_snapshot_multi(base: str, data: SnapshotData, num_files: int,
-                         snap_format: int = 1, with_pot: bool = False,
+                         snap_format: int = 1, with_pot: bool | None = None,
+                         longids: bool = False,
                          max_parallel: int | None = None):
     """Split a snapshot across `num_files` files (`base.0 .. base.N-1`),
     particles of every type divided contiguously — the sharded-write analog
@@ -444,13 +520,18 @@ def write_snapshot_multi(base: str, data: SnapshotData, num_files: int,
             u=None if data.u is None else data.u[sel[:len(data.u)]],
             rho=None if data.rho is None else data.rho[sel[:len(data.rho)]],
             hsml=None if data.hsml is None else data.hsml[sel[:len(data.hsml)]],
-            pot=None if data.pot is None else data.pot[sel])
+            pot=None if data.pot is None else data.pot[sel],
+            accel=None if data.accel is None else data.accel[sel],
+            dtentr=None if data.dtentr is None
+            else data.dtentr[sel[:len(data.dtentr)]],
+            tstp=None if data.tstp is None else data.tstp[sel])
         if snap_format == 3:
             jobs.append((write_snapshot_hdf5, (f"{base}.{k}.hdf5", sub),
-                         dict(with_pot=with_pot)))
+                         dict(with_pot=with_pot, longids=longids)))
         else:
             jobs.append((write_snapshot, (f"{base}.{k}", sub),
-                         dict(snap_format=snap_format, with_pot=with_pot)))
+                         dict(snap_format=snap_format, with_pot=with_pot,
+                              longids=longids)))
     workers = max_parallel or num_files
     with cf.ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
         list(ex.map(lambda j: j[0](*j[1], **j[2]), jobs))

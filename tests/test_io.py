@@ -161,3 +161,112 @@ def test_init_gas_temp_applied(tmp_path):
     assert (u0 > 0).all()
     # kB T / ((gamma-1) mu mp) in internal units (UnitVelocity=1e5 cm/s)
     assert 1e-3 < u0[0] < 1e3
+
+
+def test_optional_blocks_round_trip(tmp_path):
+    """POT/ACCE/ENDT/TSTP blocks (OUTPUTPOTENTIAL/OUTPUTACCELERATION/
+    OUTPUTCHANGEOFENTROPY/OUTPUTTIMESTEP, io.c:300-353) in formats 1-3."""
+    rng = np.random.default_rng(3)
+    d = _random_snapshot(rng, [4, 8, 0, 0, 0, 0])
+    n, ngas = d.n, 4
+    d.pot = rng.normal(-5, 1, n).astype(np.float32)
+    d.accel = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d.dtentr = rng.normal(0, 0.1, ngas).astype(np.float32)
+    d.tstp = rng.uniform(0, 0.01, n).astype(np.float32)
+    for fmt in (1, 2):
+        p = str(tmp_path / f"snap_f{fmt}")
+        write_snapshot(p, d, snap_format=fmt)
+        r = read_snapshot(p)
+        np.testing.assert_array_equal(r.pot, d.pot)
+        np.testing.assert_array_equal(r.accel, d.accel)
+        np.testing.assert_array_equal(r.dtentr, d.dtentr)
+        np.testing.assert_array_equal(r.tstp, d.tstp)
+    from ngravs_tpu.io.gadget_format import (read_snapshot_hdf5,
+                                             write_snapshot_hdf5)
+    p3 = str(tmp_path / "snap_f3.hdf5")
+    write_snapshot_hdf5(p3, d)
+    r = read_snapshot_hdf5(p3)
+    np.testing.assert_array_equal(r.pot, d.pot)
+    np.testing.assert_array_equal(r.accel, d.accel)
+    np.testing.assert_array_equal(r.dtentr, d.dtentr)
+    np.testing.assert_array_equal(r.tstp, d.tstp)
+
+
+def test_optional_blocks_skip_absent(tmp_path):
+    """A format-1 file with ACCE but no POT must not mislabel ACCE as POT
+    (size-based skipping of absent optional blocks)."""
+    rng = np.random.default_rng(4)
+    d = _random_snapshot(rng, [0, 6, 0, 0, 0, 0])
+    d.accel = rng.normal(0, 1, (d.n, 3)).astype(np.float32)
+    d.tstp = rng.uniform(0, 0.01, d.n).astype(np.float32)
+    p = str(tmp_path / "snap_noPot")
+    write_snapshot(p, d)
+    r = read_snapshot(p)
+    assert r.pot is None
+    np.testing.assert_array_equal(r.accel, d.accel)
+    np.testing.assert_array_equal(r.tstp, d.tstp)
+
+
+def test_longids_round_trip(tmp_path):
+    """-DLONGIDS: 64-bit ID blocks, auto-detected on read by record size."""
+    rng = np.random.default_rng(5)
+    d = _random_snapshot(rng, [0, 5, 0, 0, 0, 0])
+    d.pid = (np.arange(5, dtype=np.uint64) + (1 << 40))
+    for fmt in (1, 2):
+        p = str(tmp_path / f"snap_long_f{fmt}")
+        write_snapshot(p, d, snap_format=fmt, longids=True)
+        r = read_snapshot(p)
+        assert r.pid.dtype == np.uint64
+        np.testing.assert_array_equal(r.pid, d.pid)
+    from ngravs_tpu.io.gadget_format import (read_snapshot_hdf5,
+                                             write_snapshot_hdf5)
+    p3 = str(tmp_path / "snap_long.hdf5")
+    write_snapshot_hdf5(p3, d, longids=True)
+    r = read_snapshot_hdf5(p3)
+    assert r.pid.dtype == np.uint64
+    np.testing.assert_array_equal(r.pid, d.pid)
+
+
+def test_runner_output_blocks(tmp_path):
+    """End to end: OutputAcceleration/OutputTimestep/OutputChangeOfEntropy
+    produce snapshot blocks, and the U block holds internal energy converted
+    back from entropy (io.c:266-279), not the raw entropy variable."""
+    from ngravs_tpu.config import SimulationConfig
+    from ngravs_tpu.constants import GAMMA_MINUS1
+    from ngravs_tpu.integrate.runner import Simulation
+    n = 32
+    rng = np.random.default_rng(7)
+    h = SnapshotHeader()
+    h.npart = np.array([n, 0, 0, 0, 0, 0], np.int32)
+    h.npart_total = h.npart.astype(np.uint32)
+    data = SnapshotData(
+        header=h, pos=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        vel=np.zeros((n, 3), np.float32), pid=np.arange(n, dtype=np.uint32),
+        mass=np.full(n, 0.1, np.float32),
+        ptype=np.zeros(n, np.int32),
+        u=np.full(n, 2.0, np.float32))
+    ic = str(tmp_path / "ic_blocks")
+    write_snapshot(ic, data)
+    cfg = SimulationConfig(
+        init_cond_file=ic, time_begin=0.0, time_max=1.0,
+        gravity_constant_internal=1.0, softening=(0.05,) * 6,
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0, max_size_timestep=0.01,
+        output_acceleration=True, output_timestep=True,
+        output_change_of_entropy=True, wiring="newton")
+    sim = Simulation(cfg, log_dir="")
+    sim.run(max_steps=3)
+    out = str(tmp_path / "snap_out")
+    sim.write_snapshot_now(out)
+    r = read_snapshot(out)
+    assert r.accel is not None and np.isfinite(r.accel).all()
+    assert (np.abs(r.accel) > 0).any()
+    assert r.tstp is not None and (r.tstp > 0).all()
+    assert r.dtentr is not None
+    # U must equal S/(gamma-1)*rho^(gamma-1), not S itself
+    import jax
+    ent, rho = [np.asarray(x)[:n] for x in
+                jax.device_get((sim.sph.entropy, sim.sph.density))]
+    expect_u = ent / GAMMA_MINUS1 * np.maximum(rho, 1e-37) ** GAMMA_MINUS1
+    np.testing.assert_allclose(r.u, np.maximum(
+        expect_u, sim.units.min_egy_spec), rtol=2e-5)
