@@ -140,6 +140,10 @@ class SimulationConfig:
     output_timestep: bool = False
     # -DLONGIDS: 64-bit particle IDs in snapshot ID blocks (io.c:131-135)
     longids: bool = False
+    # -DISOTHERM_EQS: gas behaves isothermally — GAMMA=1, the entropy
+    # variable holds u (= c_s^2) and never changes (allvars.h:49-53,
+    # read_ic.c:121-132, init.c:170-176, begrun.c:187-192)
+    isotherm_eqs: bool = False
     # When a run is resumed with a larger TimeMax, the integer timeline is
     # rescaled by power-of-two halvings (readjust_timebase, begrun.c:821-864)
     # and afterwards covers [time_begin, timeline_time_max] >= time_max; the
@@ -186,6 +190,17 @@ class SimulationConfig:
     def replace(self, **kw) -> "SimulationConfig":
         return dataclasses.replace(self, **kw)
 
+    # adiabatic index (reference allvars.h:49-53): 5/3, or 1 under
+    # -DISOTHERM_EQS; every gamma-dependent formula reads these so the
+    # isothermal mode is a pure config switch
+    @property
+    def gamma(self) -> float:
+        return 1.0 if self.isotherm_eqs else 5.0 / 3.0
+
+    @property
+    def gamma_minus1(self) -> float:
+        return self.gamma - 1.0
+
 
 # --------------------------------------------------------------------------
 # Parameterfile parsing (reference begrun.c:283-780)
@@ -218,6 +233,7 @@ _TAG_MAP = {
     "OutputChangeOfEntropy": ("output_change_of_entropy", _B),
     "OutputTimestep": ("output_timestep", _B),
     "LongIds": ("longids", _B),
+    "IsothermEqs": ("isotherm_eqs", _B),
     "ICFormat": ("ic_format", _I),
     "SnapFormat": ("snap_format", _I),
     "ComovingIntegrationOn": ("comoving_integration", _B),

@@ -35,7 +35,8 @@ class DriftKickTables:
 
     def __init__(self, time_begin: float, time_max: float,
                  omega0: float, omega_lambda: float, hubble: float,
-                 length: int = DRIFT_TABLE_LENGTH, oversample: int = 64):
+                 length: int = DRIFT_TABLE_LENGTH, oversample: int = 64,
+                 gamma_minus1: float = GAMMA_MINUS1):
         self.log_begin = np.log(time_begin)
         self.log_max = np.log(time_max)
         self.length = length
@@ -48,7 +49,7 @@ class DriftKickTables:
         # d(integral)/d(loga) = integrand(a) * a
         drift_d = a / (h * a**3)
         grav_d = a / (h * a**2)
-        hydro_d = a / (h * a**(3 * GAMMA_MINUS1) * a)
+        hydro_d = a / (h * a**(3 * gamma_minus1) * a)
 
         def cumulative(deriv):
             # composite trapezoid on the fine grid (error ~ (1/n_fine)^2,
@@ -105,6 +106,7 @@ def make_tables(cfg, units):
     """Factory: comoving -> DriftKickTables, else LinearTables."""
     if cfg.comoving_integration:
         return DriftKickTables(cfg.time_begin, cfg.time_max,
-                               cfg.omega0, cfg.omega_lambda, units.hubble)
+                               cfg.omega0, cfg.omega_lambda, units.hubble,
+                               gamma_minus1=cfg.gamma_minus1)
     tbi = (cfg.time_max - cfg.time_begin) / TIMEBASE
     return LinearTables(tbi)

@@ -13,7 +13,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..constants import GAMMA_MINUS1, N_TYPES
+from ..constants import N_TYPES
 
 
 class SysState(NamedTuple):
@@ -57,8 +57,13 @@ def compute_global_quantities(cfg, p, sph, tables, ti_current,
     epot_comp = onehot.T @ epot_i
 
     if sph is not None:
-        egyspec = sph.entropy / GAMMA_MINUS1 \
-            * jnp.maximum(sph.density * a3inv, 1e-30) ** GAMMA_MINUS1
+        if cfg.isotherm_eqs:
+            # ISOTHERM_EQS: the entropy variable IS u (global.c:95-99)
+            egyspec = sph.entropy
+        else:
+            gm1 = cfg.gamma_minus1
+            egyspec = sph.entropy / gm1 \
+                * jnp.maximum(sph.density * a3inv, 1e-30) ** gm1
         eint_i = jnp.where(p.ptype == 0, m * egyspec, 0.0)
     else:
         eint_i = jnp.zeros_like(m)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import GAMMA, TIMEBASE
+from ..constants import TIMEBASE
 from .timeline import pow2_floor_i32, timebase_interval
 
 
@@ -40,10 +40,11 @@ def cosmo_factors(cfg, units, time_now) -> CosmoFactors:
         h2 = (cfg.omega0 / (a * a * a)
               + (1 - cfg.omega0 - cfg.omega_lambda) / (a * a)
               + cfg.omega_lambda)
+        g = cfg.gamma  # 5/3, or 1 under IsothermEqs (allvars.h:49-53)
         return CosmoFactors(
             fac1=1.0 / (a * a),
-            fac2=1.0 / a ** (3 * GAMMA - 2),
-            fac3=a ** (3 * (1 - GAMMA) / 2.0),
+            fac2=1.0 / a ** (3 * g - 2),
+            fac3=a ** (3 * (1 - g) / 2.0),
             hubble_a=units.hubble * jnp.sqrt(h2),
             a3inv=1.0 / (a * a * a),
             atime=a,
@@ -178,9 +179,9 @@ def kick(cfg, units, p, sph, tables, ti_current: jnp.ndarray,
         entropy = jnp.where(d_ent > -0.5 * sph.entropy,
                             sph.entropy + d_ent, sph.entropy * 0.5)
         if units.min_egy_spec > 0:
-            from ..constants import GAMMA_MINUS1
-            min_entropy = units.min_egy_spec * GAMMA_MINUS1 \
-                / jnp.maximum(sph.density * cf.a3inv, 1e-30) ** GAMMA_MINUS1
+            gm1 = cfg.gamma_minus1
+            min_entropy = units.min_egy_spec * gm1 \
+                / jnp.maximum(sph.density * cf.a3inv, 1e-30) ** gm1
             floor_hit = entropy < min_entropy
             entropy = jnp.where(floor_hit, min_entropy, entropy)
             dt_entropy = jnp.where(floor_hit & is_act_gas, 0.0, sph.dt_entropy)
@@ -214,7 +215,8 @@ def drift(cfg, p, sph, tables, ti0, ti1):
         # particle's own step start to the new current time
         dt_entr = (jnp.asarray(ti1, jnp.float32)
                    - p.ti_begstep.astype(jnp.float32)) * timebase_interval(cfg)
-        pressure = (sph.entropy + sph.dt_entropy * dt_entr) * density ** GAMMA
+        pressure = (sph.entropy + sph.dt_entropy * dt_entr) \
+            * density ** cfg.gamma
         sph = sph.replace(vel_pred=vel_pred, density=density, hsml=hsml,
                           pressure=pressure)
     return p, sph

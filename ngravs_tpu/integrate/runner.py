@@ -75,16 +75,20 @@ class Simulation:
                 if cfg.init_gas_temp > 0:
                     # read_ic.c:114-143: gas with u == 0 starts at
                     # InitGasTemp; mean molecular weight assumes full
-                    # ionization above 1e4 K, neutral below
-                    yhe = (1 - C.HYDROGEN_MASSFRAC) / (4 * C.HYDROGEN_MASSFRAC)
-                    if cfg.init_gas_temp > 1e4:
-                        mu = (1 + 4 * yhe) / (1 + 3 * yhe + 1)
-                    else:
-                        mu = (1 + 4 * yhe) / (1 + yhe)
-                    u0 = (1 / (C.GAMMA_MINUS1) * (C.BOLTZMANN / C.PROTONMASS)
-                          * cfg.init_gas_temp / mu
+                    # ionization above 1e4 K, neutral below.  Under
+                    # IsothermEqs u = kT/mp with no 1/(gamma-1) or mu
+                    # (read_ic.c:121-132)
+                    u0 = ((C.BOLTZMANN / C.PROTONMASS) * cfg.init_gas_temp
                           / self.units.unit_energy_in_cgs
                           * self.units.unit_mass_in_g)
+                    if not cfg.isotherm_eqs:
+                        yhe = (1 - C.HYDROGEN_MASSFRAC) \
+                            / (4 * C.HYDROGEN_MASSFRAC)
+                        if cfg.init_gas_temp > 1e4:
+                            mu = (1 + 4 * yhe) / (1 + 3 * yhe + 1)
+                        else:
+                            mu = (1 + 4 * yhe) / (1 + yhe)
+                        u0 = u0 / (cfg.gamma_minus1 * mu)
                     u_ic = np.where(u_ic == 0, np.float32(u0), u_ic)
                 # entropy floor (read_ic.c:145-146)
                 u_ic = np.maximum(u_ic, self.units.min_egy_spec)
@@ -384,20 +388,24 @@ class Simulation:
                     self.solver.depth, float(self.tbi))
                 if self._entropy_is_u:
                     # the IC carried internal energy u: convert to entropy
-                    # A = (gamma-1) u / rho^(gamma-1) (init.c:170-174)
-                    from ..constants import GAMMA_MINUS1
+                    # A = (gamma-1) u / rho^(gamma-1) (init.c:170-174).
+                    # Under IsothermEqs there is no conversion: the entropy
+                    # variable stays u and P = u*rho (init.c:170 #ifndef)
+                    gm1 = self.cfg.gamma_minus1
                     a3inv = 1.0 / self.time ** 3 \
                         if self.cfg.comoving_integration else 1.0
                     rho = jnp.maximum(self.sph.density * a3inv, 1e-37)
-                    ent = GAMMA_MINUS1 * self.sph.entropy \
-                        / rho ** GAMMA_MINUS1
+                    if self.cfg.isotherm_eqs:
+                        ent = self.sph.entropy
+                    else:
+                        ent = gm1 * self.sph.entropy / rho ** gm1
                     gasm = self.p.ptype == 0
                     self.sph = self.sph.replace(
                         entropy=jnp.where(gasm, ent, self.sph.entropy),
                         pressure=jnp.where(
                             gasm, jnp.where(gasm, ent, 0.0)
                             * jnp.maximum(self.sph.density, 1e-37)
-                            ** (GAMMA_MINUS1 + 1), self.sph.pressure))
+                            ** self.cfg.gamma, self.sph.pressure))
                     self._entropy_is_u = False
                 self.sph = self.hydro.hydro(
                     tree, self.p, self.sph, self.ti_current, n_gas_act,
@@ -449,20 +457,21 @@ class Simulation:
             # comoving->physical factors for output (io.c:149-156)
             a3inv = 1.0 / self.time ** 3
             fac1 = 1.0 / self.time ** 2
-            fac2 = 1.0 / self.time ** (3 * C.GAMMA - 2)
+            fac2 = 1.0 / self.time ** (3 * cfg.gamma - 2)
         if self.sph is not None and self.n_gas:
             s = jax.device_get((self.sph.entropy, self.sph.density,
                                 self.sph.hsml, self.sph.dt_entropy))
             ent, rho, hs, dent = [np.asarray(x)[:self.n_gas] for x in s]
-            if self._entropy_is_u:
-                # density has not run yet: the entropy field still holds u
+            if self._entropy_is_u or cfg.isotherm_eqs:
+                # density has not run yet, or IsothermEqs: the entropy
+                # field holds u directly (io.c:270-271)
                 data.u = ent
             else:
                 # entropy -> specific internal energy (io.c:266-279)
                 data.u = np.maximum(
                     self.units.min_egy_spec,
-                    ent / C.GAMMA_MINUS1
-                    * np.maximum(rho * a3inv, 1e-37) ** C.GAMMA_MINUS1
+                    ent / cfg.gamma_minus1
+                    * np.maximum(rho * a3inv, 1e-37) ** cfg.gamma_minus1
                 ).astype(np.float32)
             data.rho, data.hsml = rho, hs
             if cfg.output_change_of_entropy:

@@ -35,9 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import (GAMMA, GAMMA_MINUS1, KERNEL_COEFF_1, KERNEL_COEFF_2,
-                         KERNEL_COEFF_3, KERNEL_COEFF_4, KERNEL_COEFF_5,
-                         KERNEL_COEFF_6)
+from ..constants import (KERNEL_COEFF_1, KERNEL_COEFF_2, KERNEL_COEFF_3,
+                         KERNEL_COEFF_4, KERNEL_COEFF_5, KERNEL_COEFF_6)
 from .tree import Octree, _compact_rows
 
 NORM_COEFF = 4.0 / 3 * math.pi   # allvars.h NORM_COEFF (volume of unit ball)
@@ -436,7 +435,8 @@ class HydroSolver:
             * tbi
         ent = sph.entropy[orig.clip(0, p.n - 1)]
         dent = sph.dt_entropy[orig.clip(0, p.n - 1)]
-        pressure = (ent + dent * dt_entr) * jnp.maximum(rho, 1e-37) ** GAMMA
+        pressure = (ent + dent * dt_entr) \
+            * jnp.maximum(rho, 1e-37) ** cfg.gamma
 
         def scat(dst, val):
             return dst.at[orig.reshape(-1)].set(val.reshape(-1), mode="drop")
@@ -456,6 +456,7 @@ class HydroSolver:
         """Hydro force pass for active gas (hydro_force, hydra.c:50)."""
         cfg, units = self.cfg, self.units
         box = cfg.box_size if cfg.periodic else 0.0
+        gm1 = cfg.gamma_minus1
         if cfg.comoving_integration:
             a = time_now
             h2 = (cfg.omega0 / a ** 3
@@ -463,9 +464,9 @@ class HydroSolver:
                   + cfg.omega_lambda)
             hubble_a = units.hubble * math.sqrt(h2)
             hubble_a2 = a * a * hubble_a
-            fac_mu = a ** (3 * GAMMA_MINUS1 / 2) / a
-            fac_egy = a ** (3 * GAMMA_MINUS1)
-            fac_vsic_fix = hubble_a * a ** (3 * GAMMA_MINUS1)
+            fac_mu = a ** (3 * gm1 / 2) / a
+            fac_egy = a ** (3 * gm1)
+            fac_vsic_fix = hubble_a * a ** (3 * gm1)
         else:
             hubble_a2 = fac_mu = fac_egy = fac_vsic_fix = 1.0
 
@@ -480,7 +481,7 @@ class HydroSolver:
         pres_all = sph.pressure[order]
         f_all = sph.dhsml_density_factor[order]
         vel_all = sph.vel_pred[order]
-        csnd_all = jnp.sqrt(GAMMA * pres_all / rho_all)
+        csnd_all = jnp.sqrt(cfg.gamma * pres_all / rho_all)
         divv_all = sph.div_vel[order]
         curl_all = sph.curl_vel[order]
         dt_all = (p.ti_endstep[order] - p.ti_begstep[order]) \
@@ -500,8 +501,9 @@ class HydroSolver:
             box_size=box)
         # finalize (hydra.c:317-320)
         rho_t = rho_all[safe]
-        dtent = dtent * GAMMA_MINUS1 / (hubble_a2 * fac_egy
-                                        * rho_t ** GAMMA_MINUS1)
+        # under IsothermEqs gamma-1 = 0: DtEntropy stays 0 and the
+        # entropy variable (= u = c_s^2) never changes (hydra.c:317-320)
+        dtent = dtent * gm1 / (hubble_a2 * fac_egy * rho_t ** gm1)
 
         flat = orig.reshape(-1)
         sph = sph.replace(

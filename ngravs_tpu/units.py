@@ -40,10 +40,14 @@ def set_units(cfg: SimulationConfig) -> Units:
     u_energy = um * ul**2 / ut**2
     hubble = C.HUBBLE_CGS * ut
 
-    meanweight = 4.0 / (1 + 3 * C.HYDROGEN_MASSFRAC)  # neutral gas
-    min_egy = (1.0 / meanweight) * (1.0 / C.GAMMA_MINUS1) * (C.BOLTZMANN / C.PROTONMASS) \
-        * cfg.min_gas_temp
-    min_egy *= um / u_energy
+    if cfg.isotherm_eqs:
+        # ISOTHERM_EQS: no energy floor (begrun.c:187-188)
+        min_egy = 0.0
+    else:
+        meanweight = 4.0 / (1 + 3 * C.HYDROGEN_MASSFRAC)  # neutral gas
+        min_egy = (1.0 / meanweight) * (1.0 / C.GAMMA_MINUS1) \
+            * (C.BOLTZMANN / C.PROTONMASS) * cfg.min_gas_temp
+        min_egy *= um / u_energy
 
     return Units(
         unit_length_in_cm=ul,

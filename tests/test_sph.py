@@ -105,3 +105,46 @@ def test_sph_simulation_steps():
     assert np.isfinite(np.asarray(sim.p.pos)).all()
     assert np.isfinite(np.asarray(sim.sph.entropy)).all()
     assert (np.asarray(sim.sph.density) > 0).all()
+
+
+def test_isotherm_eqs(tmp_path):
+    """-DISOTHERM_EQS (allvars.h:49-53): gamma=1, the entropy variable holds
+    u and never changes (DtEntropy finalization multiplies by gamma-1 = 0),
+    and pressure = u * rho."""
+    import numpy as np
+    from ngravs_tpu.config import SimulationConfig
+    from ngravs_tpu.integrate.runner import Simulation
+    from ngravs_tpu.io.gadget_format import (SnapshotData, SnapshotHeader,
+                                             write_snapshot)
+    n = 64
+    rng = np.random.default_rng(11)
+    h = SnapshotHeader()
+    h.npart = np.array([n, 0, 0, 0, 0, 0], np.int32)
+    h.npart_total = h.npart.astype(np.uint32)
+    d = SnapshotData(
+        header=h, pos=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        vel=rng.normal(0, 0.1, (n, 3)).astype(np.float32),
+        pid=np.arange(n, dtype=np.uint32), mass=np.full(n, 0.1, np.float32),
+        ptype=np.zeros(n, np.int32), u=np.full(n, 2.5, np.float32))
+    ic = str(tmp_path / "ic_iso")
+    write_snapshot(ic, d)
+    cfg = SimulationConfig(
+        init_cond_file=ic, time_begin=0.0, time_max=1.0,
+        gravity_constant_internal=1.0, softening=(0.05,) * 6,
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0, max_size_timestep=0.005,
+        isotherm_eqs=True, wiring="newton")
+    assert cfg.gamma == 1.0 and cfg.gamma_minus1 == 0.0
+    sim = Simulation(cfg, log_dir="")
+    sim.run(max_steps=4)
+    u = np.asarray(sim.sph.entropy)[:n]
+    np.testing.assert_allclose(u, 2.5, rtol=1e-6)   # u frozen
+    assert np.allclose(np.asarray(sim.sph.dt_entropy)[:n], 0.0)
+    rho = np.asarray(sim.sph.density)[:n]
+    pres = np.asarray(sim.sph.pressure)[:n]
+    good = rho > 0
+    np.testing.assert_allclose(pres[good], (u * rho)[good], rtol=1e-4)
+    # energy statistics: Eint = sum(m*u) directly (global.c:95-99)
+    s = sim.energy_statistics()
+    np.testing.assert_allclose(float(s.energy_int), float((0.1 * u).sum()),
+                               rtol=1e-5)
