@@ -144,6 +144,26 @@ class SimulationConfig:
     # variable holds u (= c_s^2) and never changes (allvars.h:49-53,
     # read_ic.c:121-132, init.c:170-176, begrun.c:187-192)
     isotherm_eqs: bool = False
+    # -DNOGRAVITY: gravity off entirely; active particles get zero
+    # GravAccel (gravtree.c:368-374, longrange.c:69, potential.c:26)
+    no_gravity: bool = False
+    # -DSELECTIVE_NO_GRAVITY=<mask>: particle types whose bit is set in the
+    # mask are excluded as tree-force targets (they remain sources;
+    # gravtree.c:86-90,360-364)
+    selective_no_gravity: int = 0
+    # -DSPH_BND_PARTICLES: particles with ID == 0 are fixed boundary/wall
+    # particles — hydro acceleration and entropy change forced to zero
+    # (hydra.c:321-328)
+    sph_bnd_particles: bool = False
+    # -DNOVISCOSITYLIMITER: drop the cap on the viscous pair acceleration
+    # (hydra.c:511-519)
+    no_viscosity_limiter: bool = False
+    # -DNOPMSTEPADJUSTMENT: the long-range PM step uses MaxSizeTimestep
+    # instead of the RMS-displacement constraint (timestep.c:63-68)
+    no_pmstep_adjustment: bool = False
+    # -DNOSTOP_WHEN_BELOW_MINTIMESTEP: clamp to MinSizeTimestep silently
+    # instead of stopping the run (timestep.c:531-556)
+    nostop_when_below_mintimestep: bool = False
     # When a run is resumed with a larger TimeMax, the integer timeline is
     # rescaled by power-of-two halvings (readjust_timebase, begrun.c:821-864)
     # and afterwards covers [time_begin, timeline_time_max] >= time_max; the
@@ -234,6 +254,12 @@ _TAG_MAP = {
     "OutputTimestep": ("output_timestep", _B),
     "LongIds": ("longids", _B),
     "IsothermEqs": ("isotherm_eqs", _B),
+    "NoGravity": ("no_gravity", _B),
+    "SelectiveNoGravity": ("selective_no_gravity", _I),
+    "SphBndParticles": ("sph_bnd_particles", _B),
+    "NoViscosityLimiter": ("no_viscosity_limiter", _B),
+    "NoPmStepAdjustment": ("no_pmstep_adjustment", _B),
+    "NoStopBelowMinTimestep": ("nostop_when_below_mintimestep", _B),
     "ICFormat": ("ic_format", _I),
     "SnapFormat": ("snap_format", _I),
     "ComovingIntegrationOn": ("comoving_integration", _B),

@@ -53,15 +53,12 @@ def cosmo_factors(cfg, units, time_now) -> CosmoFactors:
     return CosmoFactors(one, one, one, one, one, one)
 
 
-def compute_timestep_ticks(cfg, units, p, sph, cf: CosmoFactors,
-                           dt_displacement: float, soft_table: jnp.ndarray):
-    """Per-particle integer step (power-of-two) from timestep criterion 0.
-
-    dt = sqrt(2 eta atime eps_plummer / |a_phys|), Courant-limited for gas,
-    clamped to [min, max, displacement] sizes; then floor to a power of two on
-    the integer timeline (timestep.c:427-560 and the pow-2 subdivision at
-    timestep.c:190-194).
-    """
+def compute_timestep_dt(cfg, units, p, sph, cf: CosmoFactors,
+                        dt_displacement: float, soft_table: jnp.ndarray):
+    """Per-particle dt from timestep criterion 0, BEFORE the MinSizeTimestep
+    floor (timestep.c:427-530): dt = sqrt(2 eta atime eps_plummer /
+    |a_phys|), Courant-limited for gas, clamped by MaxSizeTimestep and the
+    displacement constraint."""
     acc = p.accel * cf.fac1 + p.accel_pm * cf.fac1
     if sph is not None:
         is_gas = (p.ptype == 0)
@@ -86,6 +83,17 @@ def compute_timestep_ticks(cfg, units, p, sph, cf: CosmoFactors,
     dt = dt * cf.hubble_a  # physical -> dloga for comoving (hubble_a=1 else)
     dt = jnp.minimum(dt, cfg.max_size_timestep)
     dt = jnp.minimum(dt, dt_displacement)
+    return dt
+
+
+def compute_timestep_ticks(cfg, units, p, sph, cf: CosmoFactors,
+                           dt_displacement: float, soft_table: jnp.ndarray):
+    """Per-particle integer step (power-of-two) from timestep criterion 0,
+    floored to MinSizeTimestep then to a power of two on the integer
+    timeline (timestep.c:427-560 and the pow-2 subdivision at
+    timestep.c:190-194)."""
+    dt = compute_timestep_dt(cfg, units, p, sph, cf, dt_displacement,
+                             soft_table)
     dt = jnp.maximum(dt, cfg.min_size_timestep)
 
     tbi = timebase_interval(cfg)

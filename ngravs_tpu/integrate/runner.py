@@ -218,27 +218,35 @@ class Simulation:
 
         def dt_disp_fn(p, atime):
             """find_dt_displacement_constraint (timestep.c:587-651): global
-            RMS-displacement limit, mesh-aware under PMGRID."""
-            if not cfg.pmgrid and not cfg.comoving_integration:
-                return jnp.asarray(cfg.max_size_timestep, jnp.float32)
+            RMS-displacement limit per type, from the minimum particle mass
+            vs the component's mean cosmic density (gas: OmegaBaryon, else
+            Omega0-OmegaBaryon), mesh-aware under PMGRID.  Only active for
+            comoving runs; otherwise dt stays MaxSizeTimestep
+            (timestep.c:596-597)."""
             dt_min = jnp.asarray(cfg.max_size_timestep, jnp.float32)
-            box = cfg.box_size
+            if not cfg.comoving_integration:
+                return dt_min
+            a = atime
+            h2 = (cfg.omega0 / (a * a * a)
+                  + (1 - cfg.omega0 - cfg.omega_lambda) / (a * a)
+                  + cfg.omega_lambda)
+            hfac = units.hubble * jnp.sqrt(h2) * a * a  # a^2 H(a)
+            rho_fac = 3 * units.hubble ** 2 / (8 * math.pi * units.G)
             for t in range(6):
                 sel = p.ptype == t
                 count = jnp.sum(sel)
                 v2 = jnp.sum(jnp.where(sel[:, None], p.vel ** 2, 0.0))
                 vrms = jnp.sqrt(v2 / jnp.maximum(count, 1))
-                dmean = box / jnp.maximum(count, 1) ** (1.0 / 3)
+                min_mass = jnp.min(jnp.where(sel, p.mass, jnp.inf))
+                omega_t = cfg.omega_baryon if t == 0 \
+                    else cfg.omega0 - cfg.omega_baryon
+                dmean = (min_mass
+                         / jnp.maximum(omega_t * rho_fac, 1e-37)) ** (1.0 / 3)
                 if cfg.pmgrid:
-                    dmean = jnp.minimum(dmean, cfg.asmth * box / cfg.pmgrid)
-                if cfg.comoving_integration:
-                    # physical velocity = v/a; dloga limit (timestep.c:624-642)
-                    a = atime
-                    dt_t = (cfg.max_rms_displacement_fac * units.hubble
-                            * a * a * dmean / jnp.maximum(vrms / a, 1e-30))
-                else:
-                    dt_t = cfg.max_rms_displacement_fac * dmean \
-                        / jnp.maximum(vrms, 1e-30)
+                    dmean = jnp.minimum(
+                        dmean, cfg.asmth * cfg.box_size / cfg.pmgrid)
+                dt_t = (cfg.max_rms_displacement_fac * hfac * dmean
+                        / jnp.maximum(vrms, 1e-30))
                 dt_min = jnp.where(count > 0, jnp.minimum(dt_min, dt_t),
                                    dt_min)
             return dt_min
@@ -263,6 +271,43 @@ class Simulation:
             return idx
 
         self._gather_active = jax.jit(gather_active, static_argnums=2)
+
+        def zero_active_grav(p, ti_current):
+            """NOGRAVITY (gravtree.c:368-374): zero GravAccel/potential of
+            the active set."""
+            act = p.ti_endstep == ti_current
+            return p.replace(
+                accel=jnp.where(act[:, None], 0.0, p.accel),
+                potential=jnp.where(act, 0.0, p.potential))
+
+        self._zero_active_grav = jax.jit(zero_active_grav)
+
+        selmask = int(cfg.selective_no_gravity)
+
+        def hide_selective(p, ti_current):
+            """SELECTIVE_NO_GRAVITY (gravtree.c:86-90): flip Ti_endstep of
+            masked types so the target gather skips them."""
+            sel = ((1 << p.ptype) & selmask) != 0
+            return p.replace(ti_endstep=jnp.where(
+                sel, -p.ti_endstep - 1, p.ti_endstep))
+
+        self._hide_selective = jax.jit(hide_selective)
+
+        if cfg.min_size_timestep > 0 and not cfg.nostop_when_below_mintimestep:
+            from .kdk import compute_timestep_dt, cosmo_factors as _cosmo
+
+            def min_dt_active(p, sph, ti_current, time_now, dt_disp):
+                """Smallest wanted dt of the active set, before the
+                MinSizeTimestep floor (timestep.c:531-556)."""
+                cf = _cosmo(cfg, units, time_now)
+                dtp = compute_timestep_dt(cfg, units, p, sph, cf, dt_disp,
+                                          soft_by_type)
+                act = p.ti_endstep == ti_current
+                return jnp.min(jnp.where(act, dtp, jnp.inf))
+
+            self._min_dt_active = jax.jit(min_dt_active)
+        else:
+            self._min_dt_active = None
 
         def stats_fn(p, sph, ti_current, a3inv):
             return compute_global_quantities(cfg, p, sph, tables, ti_current,
@@ -350,18 +395,38 @@ class Simulation:
         if n_active == 0:
             return
         hsml = self.sph.hsml if self.sph is not None else None
-        if not self._forces_bootstrapped \
-                and self.cfg.type_of_opening_criterion == 1 \
-                and not self.solver.uses_direct(self.p.n):
-            # relative criterion needs OldAcc: bootstrap with the geometric
-            # criterion, then recompute (accel.c:48-52)
-            self.p, _, _ = self.solver.compute(self.p, self.ti_current,
-                                               n_active, opening="bh",
-                                               hsml=hsml)
-        self._forces_bootstrapped = True
-        self.p, n_ia, tree = self.solver.compute(self.p, self.ti_current,
-                                                 n_active, hsml=hsml)
-        self.p.accel.block_until_ready()
+        tree = None
+        n_ia = 0
+        if self.cfg.no_gravity:
+            # NOGRAVITY (gravtree.c:368-374): active particles get zero
+            # gravitational acceleration; SPH still runs below
+            self.p = self._zero_active_grav(self.p, self.ti_current)
+        else:
+            p_solve = self.p
+            saved_endstep = None
+            if self.cfg.selective_no_gravity:
+                # SELECTIVE_NO_GRAVITY (gravtree.c:86-90): types whose bit
+                # is set are hidden from the target gather (they stay
+                # sources in the tree), exactly the reference's Ti_endstep
+                # flip trick
+                saved_endstep = self.p.ti_endstep
+                p_solve = self._hide_selective(self.p, self.ti_current)
+            if not self._forces_bootstrapped \
+                    and self.cfg.type_of_opening_criterion == 1 \
+                    and not self.solver.uses_direct(self.p.n):
+                # relative criterion needs OldAcc: bootstrap with the
+                # geometric criterion, then recompute (accel.c:48-52)
+                p_solve, _, _ = self.solver.compute(p_solve, self.ti_current,
+                                                    n_active, opening="bh",
+                                                    hsml=hsml)
+            self._forces_bootstrapped = True
+            p_solve, n_ia, tree = self.solver.compute(p_solve,
+                                                      self.ti_current,
+                                                      n_active, hsml=hsml)
+            if saved_endstep is not None:
+                p_solve = p_solve.replace(ti_endstep=saved_endstep)
+            self.p = p_solve
+            self.p.accel.block_until_ready()
         self.num_force_updates += n_active
         dt = _time.time() - t0
         self.cpu_timers["gravity"] += dt
@@ -518,6 +583,11 @@ class Simulation:
         potential.c:22: a dedicated all-particle pass; accelerations and
         OldAcc of inactive particles are left untouched)."""
         import jax.numpy as _jnp
+        if self.cfg.no_gravity:
+            # NOGRAVITY: no potential either (potential.c:26)
+            self.p = self.p.replace(
+                potential=_jnp.zeros_like(self.p.potential))
+            return
         p_all = self.p.replace(ti_endstep=_jnp.full_like(
             self.p.ti_endstep, self.ti_current))
         hsml = self.sph.hsml if self.sph is not None else None
@@ -549,6 +619,9 @@ class Simulation:
         cfg = self.cfg
         if (not self.solver.uses_direct(self.p.n) or cfg.pmgrid
                 or cfg.make_glass or cfg.force_test > 0
+                or cfg.no_gravity or cfg.selective_no_gravity
+                or cfg.comoving_integration
+                or self._min_dt_active is not None
                 or (self.sph is not None and self.n_gas > 0)):
             return False
         if self._fused_info is None:
@@ -630,15 +703,15 @@ class Simulation:
             t0 = _time.time()
             accel_pm = self.solver.pm_forces(self.p)
             self.p = self.p.replace(accel_pm=accel_pm)
-            self.dt_displacement = float(self._dt_disp(self.p, self.time))
             self.cpu_timers["pm"] = self.cpu_timers.get("pm", 0.0) \
                 + _time.time() - t0
         self.compute_forces()
 
         # --- FORCETEST: direct-sum accuracy rows (gravtree_forcetest.c:28;
-        # under PMGRID only on PM steps, :46-49) ---
-        if cfg.force_test > 0 and (not cfg.pmgrid
-                                   or self.ti_current == self.pm_ti_endstep):
+        # under PMGRID only on PM steps, :46-49; off under NOGRAVITY, :34) ---
+        if cfg.force_test > 0 and not cfg.no_gravity \
+                and (not cfg.pmgrid
+                     or self.ti_current == self.pm_ti_endstep):
             from ..diagnostics.forcetest import force_test
             force_test(self)
 
@@ -664,6 +737,22 @@ class Simulation:
 
         # --- kick + new timesteps ---
         t0 = _time.time()
+        # displacement constraint refresh on full steps (timestep.c:63-68);
+        # NOPMSTEPADJUSTMENT pins it to MaxSizeTimestep
+        if cfg.no_pmstep_adjustment:
+            self.dt_displacement = cfg.max_size_timestep
+        elif self.flag_fullstep and cfg.comoving_integration:
+            self.dt_displacement = float(self._dt_disp(self.p, self.time))
+        if self._min_dt_active is not None:
+            # stop when a particle wants dt below MinSizeTimestep
+            # (timestep.c:531-556), unless NoStopBelowMinTimestep
+            mn = float(self._min_dt_active(self.p, self.sph, self.ti_current,
+                                           self.time, self.dt_displacement))
+            if mn < cfg.min_size_timestep:
+                raise RuntimeError(
+                    f"timestep wants to be {mn:g}, below MinSizeTimestep="
+                    f"{cfg.min_size_timestep:g} (timestep.c:531-556); set "
+                    "NoStopBelowMinTimestep 1 to clamp instead")
         if cfg.flexsteps:
             # PresentMinStep doubling schedule + refresh from the active
             # set's smallest step (timestep.c:140-162)

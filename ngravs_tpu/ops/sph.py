@@ -238,12 +238,12 @@ def hsml_update(hsml, left, right, wngb, dhsml, rho, des_ngb, max_dev,
     return hsml, new_left, new_right, ~bad
 
 
-@functools.partial(jax.jit, static_argnames=("box_size",))
+@functools.partial(jax.jit, static_argnames=("box_size", "use_limiter"))
 def hydro_pass(tree: Octree, tgt_sorted, cands,
                hsml_all, rho_all, pres_all, f_all, vel_all, csnd_all,
                divv_all, curl_all, dt_all, tgt_gid_orig,
                fac_mu, fac_vsic_fix, hubble_a2, visc_const,
-               box_size: float = 0.0):
+               box_size: float = 0.0, use_limiter: bool = True):
     """Hydro pair force (hydro_evaluate, hydra.c:353-555).
 
     All *_all arrays are in SORTED particle order (gathered by candidate
@@ -312,15 +312,17 @@ def hydro_pass(tree: Octree, tgt_sorted, cands,
     rho_ij = 0.5 * (rho_i[:, :, None] + rho_j[:, None, :])
     visc = 0.25 * visc_const * vsig * (-mu_ij) / jnp.maximum(rho_ij, 1e-37) \
         * (f1[:, :, None] + f2[:, None, :])
-    # viscosity limiter (hydra.c:513-519)
-    dt_pair = jnp.maximum(dt_i[:, :, None], dt_j[:, None, :])
     dwk_sum = dwk_i + dwk_j
-    lim_ok = (dt_pair > 0) & (dwk_sum < 0)
-    m_sum = 0.5 * (tree.mass_s[safe_t][:, :, None] + smass[:, None, :])
-    limiter = 0.5 * fac_vsic_fix * vdotr2 / (
-        m_sum * jnp.where(lim_ok, dwk_sum, -1.0)
-        * jnp.maximum(r, 1e-30) * jnp.where(dt_pair > 0, dt_pair, 1.0))
-    visc = jnp.where(lim_ok, jnp.minimum(visc, limiter), visc)
+    if use_limiter:
+        # viscosity limiter (hydra.c:513-519); dropped under
+        # NOVISCOSITYLIMITER (hydra.c:511)
+        dt_pair = jnp.maximum(dt_i[:, :, None], dt_j[:, None, :])
+        lim_ok = (dt_pair > 0) & (dwk_sum < 0)
+        m_sum = 0.5 * (tree.mass_s[safe_t][:, :, None] + smass[:, None, :])
+        limiter = 0.5 * fac_vsic_fix * vdotr2 / (
+            m_sum * jnp.where(lim_ok, dwk_sum, -1.0)
+            * jnp.maximum(r, 1e-30) * jnp.where(dt_pair > 0, dt_pair, 1.0))
+        visc = jnp.where(lim_ok, jnp.minimum(visc, limiter), visc)
     visc = jnp.where(approaching, visc, 0.0)
 
     hfc_visc = 0.5 * smass[:, None, :] * visc * dwk_sum \
@@ -498,12 +500,19 @@ class HydroSolver:
             tree, tgt, cands, hsml_all, rho_all, pres_all, f_all, vel_all,
             csnd_all, divv_all, curl_all, dt_all, orig,
             fac_mu, fac_vsic_fix, hubble_a2, cfg.art_bulk_visc_const,
-            box_size=box)
+            box_size=box, use_limiter=not cfg.no_viscosity_limiter)
         # finalize (hydra.c:317-320)
         rho_t = rho_all[safe]
         # under IsothermEqs gamma-1 = 0: DtEntropy stays 0 and the
         # entropy variable (= u = c_s^2) never changes (hydra.c:317-320)
         dtent = dtent * gm1 / (hubble_a2 * fac_egy * rho_t ** gm1)
+
+        if cfg.sph_bnd_particles:
+            # SPH_BND_PARTICLES (hydra.c:321-328): ID == 0 marks fixed
+            # wall particles; no hydro acceleration or entropy change
+            bnd = p.pid[orig.clip(0, p.n - 1)] == 0
+            acc = jnp.where(bnd[..., None], 0.0, acc)
+            dtent = jnp.where(bnd, 0.0, dtent)
 
         flat = orig.reshape(-1)
         sph = sph.replace(

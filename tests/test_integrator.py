@@ -232,3 +232,117 @@ def test_compute_potential_energy_refreshes_all(tmp_path):
         r[i] = np.inf
         epot += -0.5 * mm[i] * np.sum(mm / r)
     assert np.isclose(float(s.energy_pot), epot, rtol=2e-3)
+
+
+def _small_ic(tmp_path, name, npart=(8, 24, 0, 0, 0, 0), u=None, pid=None,
+              seed=13):
+    import numpy as np
+    from ngravs_tpu.io.gadget_format import (SnapshotData, SnapshotHeader,
+                                             write_snapshot)
+    rng = np.random.default_rng(seed)
+    n = sum(npart)
+    h = SnapshotHeader()
+    h.npart = np.array(npart, np.int32)
+    h.npart_total = h.npart.astype(np.uint32)
+    d = SnapshotData(
+        header=h, pos=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+        vel=rng.normal(0, 0.1, (n, 3)).astype(np.float32),
+        pid=(np.arange(n, dtype=np.uint32) if pid is None else pid),
+        mass=np.full(n, 0.1, np.float32),
+        ptype=np.repeat(np.arange(6, dtype=np.int32), npart),
+        u=u if u is not None else
+        (np.full(npart[0], 1.0, np.float32) if npart[0] else None))
+    path = str(tmp_path / name)
+    write_snapshot(path, d)
+    return path
+
+
+def _cfg_for(path, **kw):
+    from ngravs_tpu.config import SimulationConfig
+    base = dict(init_cond_file=path, time_begin=0.0, time_max=1.0,
+                gravity_constant_internal=1.0, softening=(0.05,) * 6,
+                time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+                time_bet_statistics=0.0, max_size_timestep=0.005,
+                wiring="newton")
+    base.update(kw)
+    return SimulationConfig(**base)
+
+
+def test_no_gravity(tmp_path):
+    """-DNOGRAVITY (gravtree.c:368-374): zero gravitational acceleration
+    and potential; SPH still runs."""
+    import numpy as np
+    from ngravs_tpu.integrate.runner import Simulation
+    ic = _small_ic(tmp_path, "ic_nograv")
+    sim = Simulation(_cfg_for(ic, no_gravity=True), log_dir="")
+    sim.run(max_steps=3)
+    assert np.allclose(np.asarray(sim.p.accel), 0.0)
+    sim.update_full_potential()
+    assert np.allclose(np.asarray(sim.p.potential), 0.0)
+    # gas still got hydro forces
+    assert np.isfinite(np.asarray(sim.sph.hydro_accel)).all()
+    assert np.abs(np.asarray(sim.sph.hydro_accel)[:8]).max() > 0
+
+
+def test_selective_no_gravity(tmp_path):
+    """-DSELECTIVE_NO_GRAVITY=<mask> (gravtree.c:86-90): masked types get no
+    tree force but still act as sources."""
+    import numpy as np
+    from ngravs_tpu.integrate.runner import Simulation
+    ic = _small_ic(tmp_path, "ic_sel", npart=(0, 16, 16, 0, 0, 0))
+    # exclude type 2 (bit 4)
+    sim = Simulation(_cfg_for(ic, selective_no_gravity=1 << 2,
+                              solver="direct"), log_dir="")
+    sim.run(max_steps=2)
+    acc = np.asarray(sim.p.accel)
+    ptype = np.asarray(sim.p.ptype)
+    assert np.allclose(acc[ptype == 2], 0.0)
+    assert np.abs(acc[ptype == 1]).max() > 0
+    # unmasked run: type-1 forces must differ from a run without type 2 as
+    # source would give (i.e. type 2 still contributes as source).  Compare
+    # against an all-active run's type-1 forces: they should MATCH.
+    sim2 = Simulation(_cfg_for(ic, solver="direct"), log_dir="")
+    sim2.run(max_steps=1)
+    sim_ref = np.asarray(sim2.p.accel)
+    # after 1 step positions already moved; instead compare the first-step
+    # forces: rerun sim with 1 step
+    sim3 = Simulation(_cfg_for(ic, selective_no_gravity=1 << 2,
+                               solver="direct"), log_dir="")
+    sim3.run(max_steps=1)
+    np.testing.assert_allclose(np.asarray(sim3.p.accel)[ptype == 1],
+                               sim_ref[ptype == 1], rtol=1e-5)
+
+
+def test_sph_bnd_particles_and_no_limiter(tmp_path):
+    """-DSPH_BND_PARTICLES (hydra.c:321-328): ID==0 gas gets zero hydro
+    accel / DtEntropy; -DNOVISCOSITYLIMITER compiles and runs."""
+    import numpy as np
+    from ngravs_tpu.integrate.runner import Simulation
+    pid = np.arange(32, dtype=np.uint32)
+    pid[:4] = 0   # wall particles
+    ic = _small_ic(tmp_path, "ic_bnd", npart=(32, 0, 0, 0, 0, 0), pid=pid)
+    sim = Simulation(_cfg_for(ic, sph_bnd_particles=True,
+                              no_viscosity_limiter=True), log_dir="")
+    sim.run(max_steps=2)
+    ha = np.asarray(sim.sph.hydro_accel)
+    de = np.asarray(sim.sph.dt_entropy)
+    wall = np.asarray(sim.p.pid) == 0
+    assert np.allclose(ha[wall], 0.0) and np.allclose(de[wall], 0.0)
+    assert np.abs(ha[~wall & (np.asarray(sim.p.ptype) == 0)]).max() > 0
+
+
+def test_min_timestep_stop(tmp_path):
+    """Run stops when a particle wants dt < MinSizeTimestep
+    (timestep.c:531-556) unless NoStopBelowMinTimestep."""
+    import numpy as np
+    import pytest
+    from ngravs_tpu.integrate.runner import Simulation
+    ic = _small_ic(tmp_path, "ic_mindt", npart=(0, 32, 0, 0, 0, 0))
+    cfg = _cfg_for(ic, min_size_timestep=1.0, max_size_timestep=1.0,
+                   solver="direct")
+    sim = Simulation(cfg, log_dir="")
+    with pytest.raises(RuntimeError, match="MinSizeTimestep"):
+        sim.run(max_steps=2)
+    cfg2 = cfg.replace(nostop_when_below_mintimestep=True)
+    sim2 = Simulation(cfg2, log_dir="")
+    sim2.run(max_steps=2)   # clamps silently
