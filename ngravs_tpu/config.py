@@ -164,6 +164,11 @@ class SimulationConfig:
     # -DNOSTOP_WHEN_BELOW_MINTIMESTEP: clamp to MinSizeTimestep silently
     # instead of stopping the run (timestep.c:531-556)
     nostop_when_below_mintimestep: bool = False
+    # -DADAPTIVE_GRAVSOFT_FORGAS: gas uses its SPH smoothing length as the
+    # gravitational (spline) softening; tree nodes track the member maximum
+    # (forcetree.c:457-461,522,709; gravtree.c:135-138) and the gas timestep
+    # criterion uses Hsml/2.8 as the Plummer-equivalent (timestep.c:497-500)
+    adaptive_gravsoft_forgas: bool = False
     # When a run is resumed with a larger TimeMax, the integer timeline is
     # rescaled by power-of-two halvings (readjust_timebase, begrun.c:821-864)
     # and afterwards covers [time_begin, timeline_time_max] >= time_max; the
@@ -260,6 +265,7 @@ _TAG_MAP = {
     "NoViscosityLimiter": ("no_viscosity_limiter", _B),
     "NoPmStepAdjustment": ("no_pmstep_adjustment", _B),
     "NoStopBelowMinTimestep": ("nostop_when_below_mintimestep", _B),
+    "AdaptiveGravsoftForGas": ("adaptive_gravsoft_forgas", _B),
     "ICFormat": ("ic_format", _I),
     "SnapFormat": ("snap_format", _I),
     "ComovingIntegrationOn": ("comoving_integration", _B),

@@ -39,6 +39,8 @@ def force_test(sim, fraction: float | None = None, seed: int = 42,
     idx = np.sort(rng.choice(n, size=nsel, replace=False)).astype(np.int32)
 
     fsoft = jnp.asarray(sim.force_soft)[p.ptype]
+    if sim.cfg.adaptive_gravsoft_forgas and sim.sph is not None:
+        fsoft = jnp.where(p.ptype == 0, sim.sph.hsml, fsoft)
     box = cfg.box_size if cfg.periodic else 0.0
     acc_d, _ = direct_forces(
         sim.wiring, p.pos, p.mass, p.grav, fsoft,

@@ -67,6 +67,10 @@ def compute_timestep_dt(cfg, units, p, sph, cf: CosmoFactors,
     ac = jnp.maximum(ac, 1.0e-30) * cfg.ngravs_timestep_scale
 
     eps = soft_table[p.ptype]
+    if cfg.adaptive_gravsoft_forgas and sph is not None:
+        # gas Plummer-equivalent = Hsml/2.8 (timestep.c:497-500)
+        from ..constants import SOFTFAC_SPLINE
+        eps = jnp.where(p.ptype == 0, sph.hsml / SOFTFAC_SPLINE, eps)
     dt = jnp.sqrt(2 * cfg.err_tol_int_accuracy * cf.atime * eps / ac)
 
     if sph is not None:

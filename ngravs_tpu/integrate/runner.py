@@ -152,6 +152,23 @@ class Simulation:
                             "potential", "hydro", "domain"]}
         self._build_kernels()
 
+        if cfg.adaptive_gravsoft_forgas and self.sph is not None \
+                and self.n_gas > 0:
+            # the gas gravitational softening is Hsml, so converge the
+            # smoothing lengths BEFORE the first force computation, like
+            # init()'s setup_smoothinglengths -> density() (init.c:159-218)
+            from ..ops.tree import build_tree
+            fsoft = jnp.asarray(self.force_soft)[self.p.ptype]
+            tree0 = build_tree(
+                self.p.pos, self.p.mass, self.p.grav, fsoft,
+                self.p.old_acc, self.sph.hsml,
+                depth=self.solver.depth, n_gravs=cfg.n_gravs,
+                bucket=cfg.tree_bucket_size,
+                box_size=cfg.box_size if cfg.periodic else 0.0)
+            self.sph = self.hydro.density(
+                tree0, self.p, self.sph, self.ti_current, self.n_gas,
+                self.solver.depth, float(self.tbi))
+
     # ------------------------------------------------------------------
     def _build_kernels(self):
         cfg, units, wiring = self.cfg, self.units, self.wiring

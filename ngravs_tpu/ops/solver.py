@@ -187,6 +187,9 @@ class GravitySolver:
             @jax.jit
             def fn(p, ti_current, hsml, cached):
                 fsoft = fsoft_by_type[p.ptype]
+                if cfg.adaptive_gravsoft_forgas:
+                    # gas: spline softening = Hsml (gravtree.c:135-138)
+                    fsoft = jnp.where(p.ptype == 0, hsml, fsoft)
                 aold = err_tol * p.old_acc / G
                 tree = refresh_tree(cached, p.pos, p.mass, p.grav, fsoft,
                                     aold, hsml, depth=depth,
@@ -200,6 +203,9 @@ class GravitySolver:
             @jax.jit
             def fn(p, ti_current, hsml, cached):
                 fsoft = fsoft_by_type[p.ptype]
+                if cfg.adaptive_gravsoft_forgas:
+                    # gas: spline softening = Hsml (gravtree.c:135-138)
+                    fsoft = jnp.where(p.ptype == 0, hsml, fsoft)
                 aold = err_tol * p.old_acc / G  # walk works in G=1 units
                 tree = build_tree(p.pos, p.mass, p.grav, fsoft, aold, hsml,
                                   depth=depth, n_gravs=cfg.n_gravs,
@@ -252,8 +258,10 @@ class GravitySolver:
         box = cfg.box_size if cfg.periodic else 0.0
 
         @jax.jit
-        def fn(p, ti_current):
+        def fn(p, ti_current, hsml):
             fsoft = fsoft_by_type[p.ptype]
+            if cfg.adaptive_gravsoft_forgas:
+                fsoft = jnp.where(p.ptype == 0, hsml, fsoft)
             mask = p.ti_endstep == ti_current
             tgt = jnp.nonzero(mask, size=s, fill_value=-1)[0].astype(jnp.int32)
             acc, pot = direct_forces(wiring, p.pos, p.mass, p.grav, fsoft,
@@ -304,7 +312,7 @@ class GravitySolver:
         s = min(s, _bucket(p.n))
         # under TreePM the direct path would double-count the long range
         if self.uses_direct(p.n):
-            r = self._direct_fn(s)(p, ti_current)
+            r = self._direct_fn(s)(p, ti_current, hsml)
             p = p.replace(accel=r.acc, potential=r.pot, old_acc=r.old_acc,
                           grav_cost=r.grav_cost)
             return p, int(r.n_interactions), None

@@ -346,3 +346,34 @@ def test_min_timestep_stop(tmp_path):
     cfg2 = cfg.replace(nostop_when_below_mintimestep=True)
     sim2 = Simulation(cfg2, log_dir="")
     sim2.run(max_steps=2)   # clamps silently
+
+
+def test_adaptive_gravsoft_forgas(tmp_path):
+    """-DADAPTIVE_GRAVSOFT_FORGAS: gas gravitational softening is its SPH
+    smoothing length (gravtree.c:135-138); forces must match a direct
+    evaluation with fsoft=hsml for gas."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ngravs_tpu.constants import SOFTFAC_SPLINE
+    from ngravs_tpu.integrate.runner import Simulation
+    from ngravs_tpu.ops.direct import direct_forces
+    ic = _small_ic(tmp_path, "ic_adapt", npart=(24, 24, 0, 0, 0, 0))
+    cfg = _cfg_for(ic, adaptive_gravsoft_forgas=True, solver="direct")
+    sim = Simulation(cfg, log_dir="")
+    # smoothing lengths were converged at init, before any force
+    assert float(jnp.min(sim.sph.hsml[:24])) > 0
+    assert float(jnp.max(sim.sph.density[:24])) > 0
+    sim.compute_forces()
+    p = sim.p
+    fsoft = jnp.asarray(sim.force_soft)[p.ptype]
+    fsoft = jnp.where(p.ptype == 0, sim.sph.hsml, fsoft)
+    acc, _ = direct_forces(sim.wiring, p.pos, p.mass, p.grav, fsoft,
+                           chunk=64)
+    np.testing.assert_allclose(np.asarray(sim.p.accel),
+                               np.asarray(acc) * sim.units.G,
+                               rtol=2e-4, atol=1e-6)
+    # and differ from the fixed-softening answer
+    acc_fixed, _ = direct_forces(sim.wiring, p.pos, p.mass, p.grav,
+                                 jnp.asarray(sim.force_soft)[p.ptype],
+                                 chunk=64)
+    assert np.abs(np.asarray(acc_fixed) - np.asarray(acc)).max() > 1e-4
