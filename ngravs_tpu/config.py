@@ -164,6 +164,12 @@ class SimulationConfig:
     # -DNOSTOP_WHEN_BELOW_MINTIMESTEP: clamp to MinSizeTimestep silently
     # instead of stopping the run (timestep.c:531-556)
     nostop_when_below_mintimestep: bool = False
+    # -DPSEUDOSYMMETRIC (timestep.c:202-238): when a particle's timestep
+    # changes, flip it probabilistically based on a first-order prediction
+    # of the acceleration so the step sequence is time-symmetric on
+    # average (reduces secular drift of the leapfrog); non-gas only,
+    # ignored under FLEXSTEPS
+    pseudosymmetric: bool = False
     # -DADAPTIVE_GRAVSOFT_FORGAS: gas uses its SPH smoothing length as the
     # gravitational (spline) softening; tree nodes track the member maximum
     # (forcetree.c:457-461,522,709; gravtree.c:135-138) and the gas timestep
@@ -266,6 +272,7 @@ _TAG_MAP = {
     "NoPmStepAdjustment": ("no_pmstep_adjustment", _B),
     "NoStopBelowMinTimestep": ("nostop_when_below_mintimestep", _B),
     "AdaptiveGravsoftForGas": ("adaptive_gravsoft_forgas", _B),
+    "PseudoSymmetric": ("pseudosymmetric", _B),
     "ICFormat": ("ic_format", _I),
     "SnapFormat": ("snap_format", _I),
     "ComovingIntegrationOn": ("comoving_integration", _B),

@@ -124,7 +124,8 @@ def glass_step(cfg, units, p):
 
 
 def kick(cfg, units, p, sph, tables, ti_current: jnp.ndarray,
-         dt_displacement: float, soft_table, time_now, flex=None):
+         dt_displacement: float, soft_table, time_now, flex=None,
+         rnd_table=None):
     """advance_and_find_timesteps (timestep.c:24-408) for the active set.
 
     Returns updated (particles, sph).  `p.accel`/`hydro_accel` must already
@@ -152,6 +153,53 @@ def kick(cfg, units, p, sph, tables, ti_current: jnp.ndarray,
         ti_step = ((base + ti_step) // ti_step) * ti_step - base
         ti_step = jnp.maximum(ti_step, 1)
     else:
+        if cfg.pseudosymmetric and rnd_table is not None:
+            # PSEUDOSYMMETRIC (timestep.c:202-238): predict the physical
+            # acceleration at the end of the proposed step to first order;
+            # if the predicted step would differ, halve/double THIS step
+            # with a probability that makes the step sequence
+            # time-symmetric on average.  Non-gas particles only.
+            old_step = p.ti_endstep - p.ti_begstep
+            acc_p = (p.accel + p.accel_pm) * cf.fac1
+            aphys = jnp.sqrt(jnp.sum(acc_p * acc_p, axis=-1))
+            slope = (aphys - p.aphys_old) \
+                / jnp.maximum(old_step, 1).astype(aphys.dtype)
+            apred = aphys + slope * ti_step.astype(aphys.dtype)
+            eligible = (p.ptype != 0) & (old_step > 0) & active \
+                & (jnp.abs(apred - aphys) < 0.5 * aphys)
+            # step the predicted acceleration would give (get_timestep
+            # with flag=-1: full criterion incl. clamps)
+            eps = soft_table[p.ptype]
+            eta2 = 2 * cfg.err_tol_int_accuracy * cf.atime * eps
+            ac2 = jnp.maximum(apred, 1e-30) * cfg.ngravs_timestep_scale
+            dt2 = jnp.sqrt(eta2 / ac2) * cf.hubble_a
+            dt2 = jnp.clip(dt2, cfg.min_size_timestep,
+                           jnp.minimum(cfg.max_size_timestep,
+                                       dt_displacement))
+            tbi = timebase_interval(cfg)
+            ti2 = pow2_floor_i32(jnp.clip((dt2 / tbi).astype(jnp.int32),
+                                          1, TIMEBASE))
+            # acceleration equivalent of dt = ti_step / 2*ti_step
+            # (get_timestep flag>0 branch, timestep.c:475-487)
+            dt_cur = ti_step.astype(aphys.dtype) * tbi / cf.hubble_a
+            scale = cfg.ngravs_timestep_scale
+            ac_eq_s = eta2 / jnp.maximum(dt_cur * dt_cur * scale, 1e-37)
+            ac_eq_g = eta2 / jnp.maximum(4 * dt_cur * dt_cur * scale, 1e-37)
+            denom = aphys - p.aphys_old
+            safe_den = jnp.where(denom == 0, 1e-30, denom)
+            base_fac = old_step.astype(aphys.dtype) \
+                / jnp.maximum(ti_step, 1).astype(aphys.dtype) / safe_den
+            prob_s = (ac_eq_s - aphys) * base_fac
+            prob_g = (ac_eq_g - aphys) * base_fac
+            rnd_a = rnd_table[p.pid % rnd_table.shape[0]]
+            rnd_b = rnd_table[(p.pid + 1) % rnd_table.shape[0]]
+            shrink = eligible & (ti2 < ti_step) & (prob_s < rnd_a)
+            grow = eligible & (ti2 > ti_step) & (prob_g < rnd_b)
+            ti_step = jnp.where(shrink, ti_step // 2,
+                                jnp.where(grow, ti_step * 2, ti_step))
+            ti_step = jnp.maximum(ti_step, 1)
+            p = p.replace(aphys_old=jnp.where(
+                active & (p.ptype != 0), aphys, p.aphys_old))
         # SYNCHRONIZATION rule (timestep.c:240-246): a step may only grow if
         # the new end lands on an aligned tick
         old_step = p.ti_endstep - p.ti_begstep

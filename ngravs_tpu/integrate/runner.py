@@ -189,9 +189,17 @@ class Simulation:
 
         self._drift = jax.jit(drift_fn)
 
-        def kick_fn(p, sph, ti_current, time_now, dt_disp):
-            return kick(cfg, units, p, sph, tables, ti_current, dt_disp,
-                        soft_by_type, time_now)
+        if cfg.pseudosymmetric:
+            def kick_fn(p, sph, ti_current, time_now, dt_disp, rnd):
+                return kick(cfg, units, p, sph, tables, ti_current, dt_disp,
+                            soft_by_type, time_now, rnd_table=rnd)
+            # per-step refreshed 3000-entry random table, seed 42
+            # (set_random_numbers, system.c:37; begrun.c:54-55)
+            self._rnd_rng = np.random.default_rng(42)
+        else:
+            def kick_fn(p, sph, ti_current, time_now, dt_disp):
+                return kick(cfg, units, p, sph, tables, ti_current, dt_disp,
+                            soft_by_type, time_now)
 
         self._kick = jax.jit(kick_fn)
 
@@ -637,7 +645,7 @@ class Simulation:
         if (not self.solver.uses_direct(self.p.n) or cfg.pmgrid
                 or cfg.make_glass or cfg.force_test > 0
                 or cfg.no_gravity or cfg.selective_no_gravity
-                or cfg.comoving_integration
+                or cfg.comoving_integration or cfg.pseudosymmetric
                 or self._min_dt_active is not None
                 or (self.sph is not None and self.n_gas > 0)):
             return False
@@ -792,6 +800,11 @@ class Simulation:
                 self.dt_displacement, self.flex_grp,
                 jnp.asarray(self.present_min_step, jnp.int32),
                 jnp.asarray(self.present_max_step, jnp.int32))
+        elif cfg.pseudosymmetric:
+            rnd = jnp.asarray(self._rnd_rng.random(3000), jnp.float32)
+            self.p, self.sph = self._kick(self.p, self.sph, self.ti_current,
+                                          self.time, self.dt_displacement,
+                                          rnd)
         else:
             self.p, self.sph = self._kick(self.p, self.sph, self.ti_current,
                                           self.time, self.dt_displacement)

@@ -122,6 +122,7 @@ def load_restart(sim, path: str | None = None):
             sim._build_kernels()
 
     pk = {k[2:]: jnp.asarray(z[k]) for k in z.files if k.startswith("p_")}
+    pk.setdefault("aphys_old", jnp.zeros_like(pk["old_acc"]))
     sim.p = Particles(**pk)
     if shift:
         sim.p = sim.p.replace(ti_begstep=sim.p.ti_begstep >> shift,

@@ -68,6 +68,8 @@ class Particles:
     accel_pm: jnp.ndarray     # [N,3] long-range (PM) accel
     potential: jnp.ndarray    # [N]
     old_acc: jnp.ndarray      # [N] |accel| of previous step (relative opening)
+    aphys_old: jnp.ndarray    # [N] |accel| at last step (PSEUDOSYMMETRIC
+                              # first-order step prediction, allvars.h:574)
     ti_begstep: jnp.ndarray   # [N] int32, integer-timeline step start
     ti_endstep: jnp.ndarray   # [N] int32, integer-timeline step end
     grav_cost: jnp.ndarray    # [N] interaction count (load balancing)
@@ -93,6 +95,7 @@ class Particles:
             accel_pm=jnp.zeros((n, 3), dtype),
             potential=jnp.zeros((n,), dtype),
             old_acc=jnp.zeros((n,), dtype),
+            aphys_old=jnp.zeros((n,), dtype),
             ti_begstep=jnp.zeros((n,), jnp.int32),
             ti_endstep=jnp.zeros((n,), jnp.int32),
             grav_cost=jnp.zeros((n,), dtype),

