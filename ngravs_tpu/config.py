@@ -164,6 +164,18 @@ class SimulationConfig:
     # -DNOSTOP_WHEN_BELOW_MINTIMESTEP: clamp to MinSizeTimestep silently
     # instead of stopping the run (timestep.c:531-556)
     nostop_when_below_mintimestep: bool = False
+    # -DLONG_X/Y/Z (Makefile.reference:118-120): stretch the periodic box
+    # per axis to BoxSize*long_*; SPH wraps use the per-axis sizes
+    # (ngb.c:22-49, predict.c:114-122).  Gravity must be off, like the
+    # reference (begrun.c:766-774)
+    long_x: float = 1.0
+    long_y: float = 1.0
+    long_z: float = 1.0
+    # -DTWODIMS (Makefile.reference:121): 2D SPH — 2D-normalized kernel
+    # (allvars.h:117-125), column densities divided by the z thickness
+    # (density.c:492-496), 2D smoothing-length init (init.c:245-251).
+    # NOGRAVITY only, all z coordinates must be equal (main.c:769-772)
+    twodims: bool = False
     # -DPSEUDOSYMMETRIC (timestep.c:202-238): when a particle's timestep
     # changes, flip it probabilistically based on a first-order prediction
     # of the acceleration so the step sequence is time-symmetric on
@@ -217,6 +229,13 @@ class SimulationConfig:
         if self.pmgrid and self.type_to_grav[0] != 0:
             # gas must be gravity 0 under PMGRID (ngravs_core.c:255-261)
             raise ValueError("gas must be bound to gravity 0 when pmgrid is enabled")
+        stretched = (self.long_x, self.long_y, self.long_z) != (1.0, 1.0, 1.0)
+        if (stretched or self.twodims) and not self.no_gravity:
+            # the reference refuses LONG_X/Y/Z (and documents TWODIMS)
+            # without NOGRAVITY (begrun.c:766-774, main.c:769-772)
+            raise ValueError(
+                "long_x/long_y/long_z and twodims require no_gravity=True, "
+                "as in the reference (begrun.c:766-774)")
 
     def replace(self, **kw) -> "SimulationConfig":
         return dataclasses.replace(self, **kw)
@@ -224,6 +243,26 @@ class SimulationConfig:
     # adiabatic index (reference allvars.h:49-53): 5/3, or 1 under
     # -DISOTHERM_EQS; every gamma-dependent formula reads these so the
     # isothermal mode is a pure config switch
+    @property
+    def tree_box_size(self) -> float:
+        """Scalar box for octree construction: 0 (use the particle bbox)
+        when the box is stretched per axis, since the tree then only serves
+        the SPH neighbor search (gravity is off under LONG_X/Y/Z)."""
+        if not self.periodic or self.box_size <= 0:
+            return 0.0
+        if (self.long_x, self.long_y, self.long_z) != (1.0, 1.0, 1.0):
+            return 0.0
+        return self.box_size
+
+    @property
+    def box_sizes(self) -> tuple:
+        """Per-axis periodic box lengths (BoxSize * LONG_X/Y/Z);
+        (0,0,0) when not periodic."""
+        if not self.periodic or self.box_size <= 0:
+            return (0.0, 0.0, 0.0)
+        return (self.box_size * self.long_x, self.box_size * self.long_y,
+                self.box_size * self.long_z)
+
     @property
     def gamma(self) -> float:
         return 1.0 if self.isotherm_eqs else 5.0 / 3.0
@@ -273,6 +312,10 @@ _TAG_MAP = {
     "NoStopBelowMinTimestep": ("nostop_when_below_mintimestep", _B),
     "AdaptiveGravsoftForGas": ("adaptive_gravsoft_forgas", _B),
     "PseudoSymmetric": ("pseudosymmetric", _B),
+    "LongX": ("long_x", _F),
+    "LongY": ("long_y", _F),
+    "LongZ": ("long_z", _F),
+    "TwoDims": ("twodims", _B),
     "ICFormat": ("ic_format", _I),
     "SnapFormat": ("snap_format", _I),
     "ComovingIntegrationOn": ("comoving_integration", _B),

@@ -283,7 +283,9 @@ def drift(cfg, p, sph, tables, ti0, ti1):
 
 
 def box_wrap(cfg, p):
-    """do_box_wrapping (predict.c:106-134)."""
+    """do_box_wrapping (predict.c:106-134); per-axis sizes under
+    LONG_X/Y/Z (predict.c:114-122)."""
     if not cfg.periodic or cfg.box_size <= 0:
         return p
-    return p.replace(pos=jnp.mod(p.pos, cfg.box_size))
+    box = jnp.asarray(cfg.box_sizes, p.pos.dtype)
+    return p.replace(pos=jnp.mod(p.pos, box))

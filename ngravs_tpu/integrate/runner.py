@@ -103,11 +103,21 @@ class Simulation:
             # init.c:218): from the mean gas interparticle separation
             gas = np.asarray(self.p.ptype) == 0
             gpos = np.asarray(self.p.pos)[gas]
-            vol = float(np.prod(gpos.max(0) - gpos.min(0)) + 1e-30)
-            if cfg.periodic and cfg.box_size > 0:
-                vol = cfg.box_size ** 3
-            h0 = (3 * vol * cfg.des_num_ngb
-                  / (4 * math.pi * max(self.n_gas, 1))) ** (1.0 / 3)
+            ext = gpos.max(0) - gpos.min(0)
+            if cfg.twodims:
+                # 2D guess (init.c:245-251)
+                area = float(ext[0] * ext[1] + 1e-30)
+                if cfg.periodic and cfg.box_size > 0:
+                    area = cfg.box_sizes[0] * cfg.box_sizes[1]
+                h0 = (area * cfg.des_num_ngb
+                      / (math.pi * max(self.n_gas, 1))) ** 0.5
+            else:
+                vol = float(np.prod(ext) + 1e-30)
+                if cfg.periodic and cfg.box_size > 0:
+                    bx, by, bz = cfg.box_sizes
+                    vol = bx * by * bz
+                h0 = (3 * vol * cfg.des_num_ngb
+                      / (4 * math.pi * max(self.n_gas, 1))) ** (1.0 / 3)
             hs = jnp.where(jnp.asarray(gas), jnp.float32(h0), 0.0)
             self.sph = self.sph.replace(hsml=hs)
 
@@ -164,7 +174,7 @@ class Simulation:
                 self.p.old_acc, self.sph.hsml,
                 depth=self.solver.depth, n_gravs=cfg.n_gravs,
                 bucket=cfg.tree_bucket_size,
-                box_size=cfg.box_size if cfg.periodic else 0.0)
+                box_size=cfg.tree_box_size)
             self.sph = self.hydro.density(
                 tree0, self.p, self.sph, self.ti_current, self.n_gas,
                 self.solver.depth, float(self.tbi))
@@ -471,8 +481,7 @@ class Simulation:
                         self.p.old_acc, self.sph.hsml,
                         depth=self.solver.depth, n_gravs=self.cfg.n_gravs,
                         bucket=self.cfg.tree_bucket_size,
-                        box_size=self.cfg.box_size if self.cfg.periodic
-                        else 0.0)
+                        box_size=self.cfg.tree_box_size)
                 self.sph = self.hydro.density(
                     tree, self.p, self.sph, self.ti_current, n_gas_act,
                     self.solver.depth, float(self.tbi))

@@ -44,19 +44,68 @@ NUMDIMS = 3
 MAXITER = 150                    # allvars.h:97
 
 
-def kernel_wk_dwk(u, hinv):
+class Kernel(NamedTuple):
+    """SPH kernel normalization (allvars.h:107-125): 3D by default;
+    TWODIMS uses the 2D-normalized coefficients (x 5/7), NORM_COEFF = pi,
+    and divides by the z column thickness (density.c:492-496)."""
+    c1: float = KERNEL_COEFF_1
+    c2: float = KERNEL_COEFF_2
+    c3: float = KERNEL_COEFF_3
+    c4: float = KERNEL_COEFF_4
+    c5: float = KERNEL_COEFF_5
+    c6: float = KERNEL_COEFF_6
+    norm: float = NORM_COEFF
+    ndims: int = 3
+    zfac: float = 1.0            # 1/boxSize_Z under TWODIMS
+
+    @staticmethod
+    def twodims(box_z: float) -> "Kernel":
+        f = 5.0 / 7
+        return Kernel(c1=f * KERNEL_COEFF_1, c2=f * KERNEL_COEFF_2,
+                      c3=f * KERNEL_COEFF_3, c4=f * KERNEL_COEFF_4,
+                      c5=f * KERNEL_COEFF_5, c6=f * KERNEL_COEFF_6,
+                      norm=math.pi, ndims=2,
+                      zfac=1.0 / box_z if box_z > 0 else 1.0)
+
+
+K3D = Kernel()
+
+
+def _hinv_pow(hinv, k: Kernel):
+    hinv3 = hinv * hinv * hinv if k.ndims == 3 else hinv * hinv * k.zfac
+    return hinv3, hinv3 * hinv
+
+
+def kernel_wk_dwk(u, hinv, k: Kernel = K3D):
     """Gadget's cubic spline W and dW at u = r/h (density.c:541-550)."""
-    hinv3 = hinv * hinv * hinv
-    hinv4 = hinv3 * hinv
-    lo_wk = hinv3 * (KERNEL_COEFF_1 + KERNEL_COEFF_2 * (u - 1) * u * u)
-    lo_dwk = hinv4 * u * (KERNEL_COEFF_3 * u - KERNEL_COEFF_4)
+    hinv3, hinv4 = _hinv_pow(hinv, k)
+    lo_wk = hinv3 * (k.c1 + k.c2 * (u - 1) * u * u)
+    lo_dwk = hinv4 * u * (k.c3 * u - k.c4)
     omu = 1.0 - u
-    hi_wk = hinv3 * KERNEL_COEFF_5 * omu * omu * omu
-    hi_dwk = hinv4 * KERNEL_COEFF_6 * omu * omu
+    hi_wk = hinv3 * k.c5 * omu * omu * omu
+    hi_dwk = hinv4 * k.c6 * omu * omu
     wk = jnp.where(u < 0.5, lo_wk, hi_wk)
     dwk = jnp.where(u < 0.5, lo_dwk, hi_dwk)
     inside = u < 1.0
     return jnp.where(inside, wk, 0.0), jnp.where(inside, dwk, 0.0)
+
+
+def _box3(box):
+    """Normalize a box spec to a per-axis tuple or None (non-periodic)."""
+    if box is None:
+        return None
+    if isinstance(box, (int, float)):
+        return (float(box),) * 3 if box > 0 else None
+    t = tuple(float(b) for b in box)
+    return t if any(b > 0 for b in t) else None
+
+
+def _min_image(dxs, box):
+    b = _box3(box)
+    if b is None:
+        return dxs
+    return [d - b[i] * jnp.round(d / b[i]) if b[i] > 0 else d
+            for i, d in enumerate(dxs)]
 
 
 class SphCandidates(NamedTuple):
@@ -67,22 +116,24 @@ class SphCandidates(NamedTuple):
 
 
 def make_sph_gather(depth: int, bucket: int, cand_cap: int = 4096,
-                    frontier_cap: int = 2048, box_size: float = 0.0,
+                    frontier_cap: int = 2048, box_size=0.0,
                     group_size: int = 64, pairs: bool = False):
     """Jittable per-block neighbor-candidate gather over the octree.
 
     pairs=False: candidates within `radius` of the block bbox (gather mode,
     ngb_treefind_variable).  pairs=True: also open nodes whose own hmax
-    reaches the block (scatter-aware, ngb_treefind_pairs)."""
-    periodic = box_size > 0
+    reaches the block (scatter-aware, ngb_treefind_pairs).  `box_size` may
+    be a scalar or a per-axis (bx, by, bz) tuple (LONG_X/Y/Z,
+    ngb.c:22-49)."""
+    box = _box3(box_size)
+    periodic = box is not None
 
     def bbox_gap(point, lo_b, hi_b):
         g = jnp.maximum(lo_b - point, point - hi_b)
         if periodic:
-            gp = jnp.maximum(lo_b - point - box_size,
-                             point + box_size - hi_b)
-            gm = jnp.maximum(lo_b - point + box_size,
-                             point - box_size - hi_b)
+            bv = jnp.asarray(box, point.dtype)
+            gp = jnp.maximum(lo_b - point - bv, point + bv - hi_b)
+            gm = jnp.maximum(lo_b - point + bv, point - bv - hi_b)
             g = jnp.minimum(g, jnp.minimum(gp, gm))
         return g
 
@@ -153,9 +204,9 @@ def make_sph_gather(depth: int, bucket: int, cand_cap: int = 4096,
     return gather
 
 
-@functools.partial(jax.jit, static_argnames=("box_size",))
+@functools.partial(jax.jit, static_argnames=("box_size", "kernel"))
 def density_pass(tree: Octree, tgt_sorted, hsml, vel_pred_t, cands,
-                 vel_pred_all, box_size: float = 0.0):
+                 vel_pred_all, box_size=0.0, kernel: Kernel = K3D):
     """Density sums for gas targets (density_evaluate, density.c:467-599).
 
     tgt_sorted [nb,G] sorted indices; hsml [nb,G]; vel_pred_t [nb,G,3];
@@ -170,22 +221,21 @@ def density_pass(tree: Octree, tgt_sorted, hsml, vel_pred_t, cands,
     svel = vel_pred_all[sv]                         # [nb,S,3]
 
     dxs = [tpos[:, :, None, d] - spos[:, None, :, d] for d in range(3)]
-    if box_size > 0:
-        dxs = [d - box_size * jnp.round(d / box_size) for d in dxs]
+    dxs = _min_image(dxs, box_size)
     r2 = dxs[0] ** 2 + dxs[1] ** 2 + dxs[2] ** 2    # [nb,G,S]
     r = jnp.sqrt(r2)
     hinv = 1.0 / jnp.maximum(hsml, 1e-30)
     u = r * hinv[:, :, None]
-    wk, dwk = kernel_wk_dwk(u, hinv[:, :, None])
+    wk, dwk = kernel_wk_dwk(u, hinv[:, :, None], kernel)
     inside = (u < 1.0) & cvalid[:, None, :] & (tgt_sorted >= 0)[:, :, None]
     wk = jnp.where(inside, wk, 0.0)
     dwk = jnp.where(inside, dwk, 0.0)
 
     m = smass[:, None, :]
     rho = jnp.sum(m * wk, axis=-1)
-    h3 = hsml ** 3
-    wngb = NORM_COEFF * jnp.sum(wk, axis=-1) * h3
-    dhsml = jnp.sum(-m * (NUMDIMS * hinv[:, :, None] * wk + u * dwk),
+    hinv3_t, _ = _hinv_pow(hinv, kernel)    # weighted ngb = norm*wk/hinv3
+    wngb = kernel.norm * jnp.sum(wk, axis=-1) / jnp.maximum(hinv3_t, 1e-37)
+    dhsml = jnp.sum(-m * (kernel.ndims * hinv[:, :, None] * wk + u * dwk),
                     axis=-1)
     fac = jnp.where(r > 0, m * dwk / jnp.maximum(r, 1e-30), 0.0)
     dvs = [vel_pred_t[:, :, None, d] - svel[:, None, :, d] for d in range(3)]
@@ -199,14 +249,14 @@ def density_pass(tree: Octree, tgt_sorted, hsml, vel_pred_t, cands,
     return rho, wngb, dhsml, divv, rotv
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("ndims",))
 def hsml_update(hsml, left, right, wngb, dhsml, rho, des_ngb, max_dev,
-                min_hsml, active):
+                min_hsml, active, ndims: int = 3):
     """One Newton/bisection smoothing-length update (density.c:289-426).
 
     Returns (hsml', left', right', converged)."""
     dhsml_fac = 1.0 / (1 + hsml * dhsml
-                       / (NUMDIMS * jnp.maximum(rho, 1e-37)))
+                       / (ndims * jnp.maximum(rho, 1e-37)))
     low = wngb < des_ngb - max_dev      # too few neighbors -> grow
     high = wngb > des_ngb + max_dev     # too many -> shrink
     # window-collapse guard (density.c:321-328); a particle pinned at the
@@ -228,7 +278,7 @@ def hsml_update(hsml, left, right, wngb, dhsml, rho, des_ngb, max_dev,
     safe_newton = (jnp.abs(wngb - des_ngb) < 0.5 * des_ngb) & \
         (jnp.abs(dhsml_fac) <= 2.0)  # guard wild derivative
     h_newt = hsml * (1 - (wngb - des_ngb)
-                     / (NUMDIMS * jnp.maximum(wngb, 1e-30)) * dhsml_fac)
+                     / (ndims * jnp.maximum(wngb, 1e-30)) * dhsml_fac)
     h_grow = jnp.where(safe_newton & (new_right == 0), h_newt, hsml * 1.26)
     h_shrink = jnp.where(safe_newton & (new_left == 0), h_newt, hsml / 1.26)
     h_new = jnp.where(both, h_bis,
@@ -238,12 +288,14 @@ def hsml_update(hsml, left, right, wngb, dhsml, rho, des_ngb, max_dev,
     return hsml, new_left, new_right, ~bad
 
 
-@functools.partial(jax.jit, static_argnames=("box_size", "use_limiter"))
+@functools.partial(jax.jit,
+                   static_argnames=("box_size", "use_limiter", "kernel"))
 def hydro_pass(tree: Octree, tgt_sorted, cands,
                hsml_all, rho_all, pres_all, f_all, vel_all, csnd_all,
                divv_all, curl_all, dt_all, tgt_gid_orig,
                fac_mu, fac_vsic_fix, hubble_a2, visc_const,
-               box_size: float = 0.0, use_limiter: bool = True):
+               box_size=0.0, use_limiter: bool = True,
+               kernel: Kernel = K3D):
     """Hydro pair force (hydro_evaluate, hydra.c:353-555).
 
     All *_all arrays are in SORTED particle order (gathered by candidate
@@ -280,8 +332,7 @@ def hydro_pass(tree: Octree, tgt_sorted, cands,
     dt_j = dt_all[sv]
 
     dxs = [tpos[:, :, None, d] - spos[:, None, :, d] for d in range(3)]
-    if box_size > 0:
-        dxs = [d - box_size * jnp.round(d / box_size) for d in dxs]
+    dxs = _min_image(dxs, box_size)
     r2 = dxs[0] ** 2 + dxs[1] ** 2 + dxs[2] ** 2
     r = jnp.sqrt(r2)
     notself = sv[:, None, :] != safe_t[:, :, None]
@@ -294,11 +345,11 @@ def hydro_pass(tree: Octree, tgt_sorted, cands,
 
     hinv_i = 1.0 / jnp.maximum(h_i, 1e-30)
     u_i = r * hinv_i[:, :, None]
-    _, dwk_i = kernel_wk_dwk(u_i, hinv_i[:, :, None])
+    _, dwk_i = kernel_wk_dwk(u_i, hinv_i[:, :, None], kernel)
     dwk_i = jnp.where(r2 < h_i[:, :, None] ** 2, dwk_i, 0.0)
     hinv_j = 1.0 / jnp.maximum(h_j, 1e-30)
     u_j = r * hinv_j[:, None, :]
-    _, dwk_j = kernel_wk_dwk(u_j, hinv_j[:, None, :])
+    _, dwk_j = kernel_wk_dwk(u_j, hinv_j[:, None, :], kernel)
     dwk_j = jnp.where(r2 < h_j[:, None, :] ** 2, dwk_j, 0.0)
 
     cs_sum = cs_i[:, :, None] + cs_j[:, None, :]
@@ -360,11 +411,15 @@ class HydroSolver:
         self.group = cfg.tree_group_size // 4 or 64
         self.cand_cap = 4096
         self._gathers = {}
+        # TWODIMS: 2D-normalized kernel, column density / boxSize_Z
+        # (allvars.h:117-125, density.c:492-496)
+        self.kernel = Kernel.twodims(cfg.box_sizes[2]) if cfg.twodims \
+            else K3D
 
     def _gather(self, depth: int, pairs: bool):
         key = (depth, pairs, self.cand_cap)
         if key not in self._gathers:
-            box = self.cfg.box_size if self.cfg.periodic else 0.0
+            box = self.cfg.box_sizes
             self._gathers[key] = make_sph_gather(
                 depth=depth, bucket=self.cfg.tree_bucket_size,
                 cand_cap=self.cand_cap, box_size=box,
@@ -391,7 +446,7 @@ class HydroSolver:
         Returns the updated SphState (hsml, density, divvel, curlvel,
         dhsml factor, num_ngb, pressure)."""
         cfg = self.cfg
-        box = cfg.box_size if cfg.periodic else 0.0
+        box = cfg.box_sizes
         tgt = self._blocks(tree, p, ti_current, n_active)
         nb, G = tgt.shape
         order = tree.order
@@ -415,11 +470,12 @@ class HydroSolver:
                                     _bucket(int(cands.max_cand) * 5 // 4))
                 continue
             rho, wngb, dhsml, divv, rotv = density_pass(
-                tree, tgt, hsml, vpt, cands, vel_pred_all, box_size=box)
+                tree, tgt, hsml, vpt, cands, vel_pred_all, box_size=box,
+                kernel=self.kernel)
             new_hsml, left, right, conv = hsml_update(
                 hsml, left, right, wngb, dhsml, rho,
                 float(cfg.des_num_ngb), float(cfg.max_num_ngb_deviation),
-                self.min_gas_hsml, active)
+                self.min_gas_hsml, active, ndims=self.kernel.ndims)
             done = bool(jnp.all(conv | ~active))
             hsml = new_hsml
             if done:
@@ -427,7 +483,7 @@ class HydroSolver:
 
         # finalize (density.c:289-308)
         dhsml_fac = 1.0 / (1 + hsml * dhsml
-                           / (NUMDIMS * jnp.maximum(rho, 1e-37)))
+                           / (self.kernel.ndims * jnp.maximum(rho, 1e-37)))
         curl = jnp.sqrt(jnp.sum(rotv ** 2, axis=-1)) \
             / jnp.maximum(rho, 1e-37)
         divv = divv / jnp.maximum(rho, 1e-37)
@@ -457,7 +513,7 @@ class HydroSolver:
               tbi: float, time_now: float):
         """Hydro force pass for active gas (hydro_force, hydra.c:50)."""
         cfg, units = self.cfg, self.units
-        box = cfg.box_size if cfg.periodic else 0.0
+        box = cfg.box_sizes
         gm1 = cfg.gamma_minus1
         if cfg.comoving_integration:
             a = time_now
@@ -500,7 +556,8 @@ class HydroSolver:
             tree, tgt, cands, hsml_all, rho_all, pres_all, f_all, vel_all,
             csnd_all, divv_all, curl_all, dt_all, orig,
             fac_mu, fac_vsic_fix, hubble_a2, cfg.art_bulk_visc_const,
-            box_size=box, use_limiter=not cfg.no_viscosity_limiter)
+            box_size=box, use_limiter=not cfg.no_viscosity_limiter,
+            kernel=self.kernel)
         # finalize (hydra.c:317-320)
         rho_t = rho_all[safe]
         # under IsothermEqs gamma-1 = 0: DtEntropy stays 0 and the

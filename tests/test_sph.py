@@ -148,3 +148,97 @@ def test_isotherm_eqs(tmp_path):
     s = sim.energy_statistics()
     np.testing.assert_allclose(float(s.energy_int), float((0.1 * u).sum()),
                                rtol=1e-5)
+
+
+def test_twodims_uniform_density(tmp_path):
+    """-DTWODIMS: 2D-normalized kernel; a uniform 2D sheet recovers the
+    column density mass/area (since zfac=1 without a periodic box)."""
+    import numpy as np
+    from ngravs_tpu.config import SimulationConfig
+    from ngravs_tpu.integrate.runner import Simulation
+    from ngravs_tpu.io.gadget_format import (SnapshotData, SnapshotHeader,
+                                             write_snapshot)
+    side = 16
+    n = side * side
+    g = (np.arange(side) + 0.5) / side
+    xx, yy = np.meshgrid(g, g, indexing="ij")
+    pos = np.stack([xx.ravel(), yy.ravel(), np.zeros(n)], 1).astype(np.float32)
+    h = SnapshotHeader()
+    h.npart = np.array([n, 0, 0, 0, 0, 0], np.int32)
+    h.npart_total = h.npart.astype(np.uint32)
+    d = SnapshotData(header=h, pos=pos, vel=np.zeros((n, 3), np.float32),
+                     pid=np.arange(1, n + 1, dtype=np.uint32),
+                     mass=np.full(n, 1.0 / n, np.float32),
+                     ptype=np.zeros(n, np.int32),
+                     u=np.full(n, 1.0, np.float32))
+    ic = str(tmp_path / "ic_2d")
+    write_snapshot(ic, d)
+    cfg = SimulationConfig(
+        init_cond_file=ic, time_begin=0.0, time_max=1.0,
+        gravity_constant_internal=1.0, softening=(0.01,) * 6,
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0, max_size_timestep=0.005,
+        no_gravity=True, twodims=True, des_num_ngb=16, wiring="newton")
+    sim = Simulation(cfg, log_dir="")
+    sim.run(max_steps=1)
+    rho = np.asarray(sim.sph.density)[:n].reshape(side, side)
+    wngb = np.asarray(sim.sph.num_ngb)[:n]
+    # interior particles: sigma = 1 (total mass 1 over unit area)
+    inner = rho[4:-4, 4:-4]
+    np.testing.assert_allclose(inner, 1.0, rtol=0.08)
+    # neighbor count converged near DesNumNgb for interior particles
+    mask = np.zeros((side, side), bool)
+    mask[4:-4, 4:-4] = True
+    assert np.abs(wngb.reshape(side, side)[mask] - 16).max() <= 4
+
+
+def test_long_xyz_wrap(tmp_path):
+    """LONG_X/Y/Z: SPH periodic distances use per-axis box sizes
+    (ngb.c:22-49) and box wrapping uses the stretched sizes
+    (predict.c:114-122)."""
+    import numpy as np
+    from ngravs_tpu.config import SimulationConfig
+    from ngravs_tpu.integrate.runner import Simulation
+    from ngravs_tpu.io.gadget_format import (SnapshotData, SnapshotHeader,
+                                             write_snapshot)
+    rng = np.random.default_rng(17)
+    n = 64
+    # box 1 x 4 x 1 (long_y = 4); uniform gas
+    pos = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    pos[:, 1] *= 4.0
+    h = SnapshotHeader()
+    h.npart = np.array([n, 0, 0, 0, 0, 0], np.int32)
+    h.npart_total = h.npart.astype(np.uint32)
+    d = SnapshotData(header=h, pos=pos,
+                     vel=rng.normal(0, 0.2, (n, 3)).astype(np.float32),
+                     pid=np.arange(1, n + 1, dtype=np.uint32),
+                     mass=np.full(n, 1.0 / n, np.float32),
+                     ptype=np.zeros(n, np.int32),
+                     u=np.full(n, 1.0, np.float32))
+    ic = str(tmp_path / "ic_long")
+    write_snapshot(ic, d)
+    cfg = SimulationConfig(
+        init_cond_file=ic, time_begin=0.0, time_max=1.0,
+        gravity_constant_internal=1.0, softening=(0.05,) * 6,
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0, max_size_timestep=0.01,
+        no_gravity=True, periodic=True, box_size=1.0, long_y=4.0,
+        des_num_ngb=12, wiring="newton")
+    assert cfg.box_sizes == (1.0, 4.0, 1.0)
+    sim = Simulation(cfg, log_dir="")
+    sim.run(max_steps=3)
+    p = np.asarray(sim.p.pos)
+    assert (p[:, 0] >= 0).all() and (p[:, 0] < 1.0).all()
+    assert (p[:, 1] >= 0).all() and (p[:, 1] < 4.0).all()
+    assert (p[:, 2] >= 0).all() and (p[:, 2] < 1.0).all()
+    assert np.isfinite(np.asarray(sim.sph.density)[:n]).all()
+    assert (np.asarray(sim.sph.density)[:n] > 0).all()
+
+
+def test_stretched_box_requires_no_gravity():
+    import pytest
+    from ngravs_tpu.config import SimulationConfig
+    with pytest.raises(ValueError, match="no_gravity"):
+        SimulationConfig(periodic=True, box_size=1.0, long_x=2.0)
+    with pytest.raises(ValueError, match="no_gravity"):
+        SimulationConfig(twodims=True)
