@@ -1,0 +1,333 @@
+"""Full sharded simulation step: TreePM gravity + SPH in ONE shard_map jit.
+
+This is the BASELINE config-5 structure (multi-species cosmological
+TreePM + SPH over a device mesh) as a single compiled program — the
+TPU-native replacement for one whole iteration of the reference's main loop
+(run.c:32-132) including every MPI exchange it performs:
+
+  reference mechanism                         -> here
+  --------------------------------------------------------------------
+  drift + SPH prediction (predict.c:31-104)   -> local masked updates
+  tree build + pseudo-particle moment
+  exchange (forcetree.c:61,766-819)           -> all_gather sources +
+                                                 replicated build
+  short-range tree walk with export/import
+  bunches (gravtree.c:102-285)                -> per-shard static walk of
+                                                 the local Morton slice
+  PM with FFTW-MPI slab exchange
+  (pm_periodic.c:204-790)                     -> ShardedPMSolver impl
+                                                 (psum_scatter + all_to_all
+                                                 FFT) inlined in the step
+  SPH density + h iteration with export
+  bunches (density.c:56-426)                  -> lax.while_loop of
+                                                 gather/density/h-update on
+                                                 local gas targets against
+                                                 the replicated tree
+  force_update_hmax (forcetree.c:1134)        -> per-level segment_max of
+                                                 the post-iteration hsml
+  hydro force exchange (hydra.c:50-304)       -> pairs-mode gather against
+                                                 the replicated tree
+  kick + timestep (timestep.c:24-408)         -> local masked kick
+  MPI_Allreduce(min Ti_endstep) (run.c:165)   -> lax.pmin
+
+Everything shape-static; per-shard work is 1/n_dev of the walk + SPH pair
+math, the dominant cost.  The SPH candidate caps are static — overflow is
+returned as a flag (`SphOverflow`) for the host to react to, mirroring the
+reference's bunch-buffer sizing (allocate.c:44-76).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..constants import SOFTFAC_SPLINE
+from ..integrate.kdk import drift, kick
+from ..integrate.timeline import timebase_interval
+from ..ops.sph import (K3D, MAXITER, Kernel, density_pass, hsml_update,
+                       hydro_pass, make_sph_gather)
+from ..ops.tree import build_tree, level_caps, make_tree_forces
+from ..ops.morton import level_key2
+from .mesh import AXIS
+
+
+def _update_node_hmax(tree, depth: int):
+    """Recompute per-node hmax from tree.hsml_s (force_update_hmax,
+    forcetree.c:1134-1240): per-level segmented max over the cached
+    Morton-run segmentation — structure frozen, aggregates refreshed."""
+    n = tree.hsml_s.shape[0]
+    caps = level_caps(n, depth)
+    offsets = np.concatenate([[0], np.cumsum(caps)]).astype(np.int32)
+    hmaxs = []
+    for lvl in range(depth + 1):
+        cap = caps[lvl]
+        hk, lk = level_key2(tree.khi_s, tree.klo_s, depth, lvl)
+        is_new = jnp.concatenate(
+            [jnp.ones((1,), bool),
+             (hk[1:] != hk[:-1]) | (lk[1:] != lk[:-1])])
+        seg = jnp.cumsum(is_new).astype(jnp.int32) - 1
+        mh = jnp.where(tree.node_pcount[offsets[lvl]:offsets[lvl + 1]] > 0,
+                       jax.ops.segment_max(tree.hsml_s, seg, cap), 0.0)
+        hmaxs.append(mh)
+    return tree._replace(node_hmax=jnp.concatenate(hmaxs))
+
+
+def make_sharded_full_step(cfg, units, wiring, tables, mesh,
+                           n_local: int,
+                           depth: int | None = None,
+                           group_size: int | None = None,
+                           sph_group: int = 64,
+                           node_list_cap: int = 4096,
+                           leaf_list_cap: int = 4096,
+                           fcap: int = 65536,
+                           cand_cap: int = 2048,
+                           sph_frontier_cap: int = 1024,
+                           opening: str | None = None,
+                           sph_maxiter: int = MAXITER):
+    """Build the jitted full step over the mesh.
+
+    Returns step(p, sph, ti_current, ti_next, time_next) ->
+    (p, sph, min_endstep, sph_overflow).  `n_local` is the per-shard
+    particle count (static); particles must be padded/sharded by
+    `mesh.shard_particles` and SPH state sharded identically.
+    """
+    box = cfg.box_size if cfg.periodic else 0.0
+    box_t = cfg.box_sizes
+    depth = depth if depth is not None else cfg.tree_depth
+    group = group_size if group_size is not None else min(
+        cfg.tree_group_size, max(64, 1 << (n_local - 1).bit_length()))
+    sph_group = min(sph_group, n_local)
+    fsoft_by_type = jnp.asarray(
+        np.array(cfg.softening, np.float32) * SOFTFAC_SPLINE)
+    soft_by_type = jnp.asarray(np.array(cfg.softening, np.float32))
+    G = units.G
+    err_tol = cfg.err_tol_force_acc
+    gm1 = cfg.gamma_minus1
+    tbi = timebase_interval(cfg)
+    if opening is None:
+        opening = "bh" if cfg.type_of_opening_criterion == 0 else "relative"
+    n_dev = mesh.devices.size
+    kern = Kernel.twodims(cfg.box_sizes[2]) if cfg.twodims else K3D
+    min_gas_hsml = cfg.min_gas_hsml_fractional * cfg.softening[0] * 2.8
+    bucket = cfg.tree_bucket_size
+
+    # --- gravity: short-range (TreePM) or full tree walk ------------------
+    pm_sharded = None
+    treepm = None
+    if cfg.pmgrid:
+        from ..ops.pm import PMSolver
+        from ..ops.shortrange import shortrange_tables
+        from .pm_sharded import ShardedPMSolver
+        base_pm = PMSolver(wiring, cfg.pmgrid, cfg.box_size, cfg.n_gravs,
+                           G, asmth_cells=cfg.asmth)
+        base_pm.rcut = cfg.rcut * base_pm.asmth
+        pm_sharded = ShardedPMSolver(base_pm, mesh, cfg.n_gravs)
+        sr_ftab, sr_ptab = shortrange_tables(wiring, ntab=cfg.ntab)
+        treepm = dict(sr_ftab=sr_ftab, sr_ptab=sr_ptab,
+                      asmth=base_pm.asmth, rcut=base_pm.rcut)
+
+    walk = make_tree_forces(
+        wiring, n_gravs=cfg.n_gravs, group_size=group,
+        node_list_cap=node_list_cap, leaf_list_cap=leaf_list_cap,
+        bucket=bucket, depth=depth,
+        theta=cfg.err_tol_theta, opening=opening, box_size=box,
+        block_batch=max(1, min(8, n_local // group)), treepm=treepm)
+
+    gather_d = make_sph_gather(depth=depth, bucket=bucket,
+                               cand_cap=cand_cap,
+                               frontier_cap=sph_frontier_cap,
+                               box_size=box_t, group_size=sph_group,
+                               pairs=False)
+    gather_p = make_sph_gather(depth=depth, bucket=bucket,
+                               cand_cap=cand_cap,
+                               frontier_cap=sph_frontier_cap,
+                               box_size=box_t, group_size=sph_group,
+                               pairs=True)
+
+    def _density_iterate(tree, tgt, hsml0, vpt, vel_pred_all, active):
+        """Masked fixed-point smoothing-length iteration
+        (density.c:110-426) as a lax.while_loop."""
+        z = jnp.zeros_like(hsml0)
+
+        def cond(st):
+            it, hsml, left, right, rho, wngb, dh, dv, rv, conv, ovf = st
+            return (it < sph_maxiter) & ~jnp.all(conv | ~active)
+
+        def body(st):
+            it, hsml, left, right, _, _, _, _, _, _, ovf = st
+            cands = gather_d(tree, tgt, hsml)
+            rho, wngb, dh, dv, rv = density_pass(
+                tree, tgt, hsml, vpt, cands, vel_pred_all,
+                box_size=box_t, kernel=kern)
+            h2, left, right, conv = hsml_update(
+                hsml, left, right, wngb, dh, rho,
+                float(cfg.des_num_ngb), float(cfg.max_num_ngb_deviation),
+                min_gas_hsml, active, ndims=kern.ndims)
+            return (it + 1, h2, left, right, rho, wngb, dh, dv, rv, conv,
+                    ovf | cands.overflow)
+
+        init = (jnp.int32(0), hsml0, z, z, z, z, z, z,
+                jnp.zeros(hsml0.shape + (3,), hsml0.dtype),
+                jnp.zeros_like(active), jnp.zeros((), bool))
+        st = jax.lax.while_loop(cond, body, init)
+        _, hsml, _, _, rho, wngb, dh, dv, rv, _, ovf = st
+        return hsml, rho, wngb, dh, dv, rv, ovf
+
+    def _step(p, sph, ti_current, ti_next, time_next):
+        nloc = p.pos.shape[0]
+        my = jax.lax.axis_index(AXIS)
+        gath = lambda a: jax.lax.all_gather(a, AXIS, tiled=True)
+
+        # ---- drift all local particles + SPH prediction (predict.c:31) ----
+        p, sph = drift(cfg, p, sph, tables, ti_current, ti_next)
+        if box > 0:
+            p = p.replace(pos=jnp.mod(p.pos, jnp.asarray(box_t, p.pos.dtype)))
+
+        fsoft = fsoft_by_type[p.ptype]
+        aold = err_tol * p.old_acc / G
+        mass = jnp.where(p.pid >= 0, p.mass, 0.0)   # padding rows are inert
+        is_gas = (p.ptype == 0) & (p.pid >= 0)
+        hsml_l = jnp.where(is_gas, sph.hsml, 0.0)
+
+        # ---- replicated tree over gathered sources (forcetree.c:61) -------
+        pos_f, mass_f = gath(p.pos), gath(mass)
+        grav_f, fsoft_f, aold_f = gath(p.grav), gath(fsoft), gath(aold)
+        hsml_f = gath(hsml_l)
+        tree = build_tree(pos_f, mass_f, grav_f, fsoft_f, aold_f,
+                          hsml=hsml_f, depth=depth, n_gravs=cfg.n_gravs,
+                          bucket=bucket, box_size=box)
+        n_tot = pos_f.shape[0]
+
+        # ---- gravity: walk my contiguous slice of sorted targets ----------
+        tgt_g = my * nloc + jnp.arange(nloc, dtype=jnp.int32)
+        res = walk.static(tree, tgt_g, fcap=fcap)
+        acc_sorted, pot_sorted = gath(res.acc), gath(res.pot)
+        acc_full = jnp.zeros((n_tot, 3), acc_sorted.dtype) \
+            .at[tree.order].set(acc_sorted)
+        pot_full = jnp.zeros((n_tot,), pot_sorted.dtype) \
+            .at[tree.order].set(pot_sorted)
+        acc = jax.lax.dynamic_slice(acc_full, (my * nloc, 0), (nloc, 3)) * G
+        pot = jax.lax.dynamic_slice(pot_full, (my * nloc,), (nloc,)) * G
+        accel_pm = p.accel_pm
+        if pm_sharded is not None:
+            # long-range PM forces (pmforce_periodic, pm_periodic.c:204);
+            # the sharded FFT pipeline, inlined in this shard_map context
+            accel_pm = pm_sharded._forces_impl(p.pos, mass, p.grav)
+        p = p.replace(accel=acc, potential=pot, accel_pm=accel_pm,
+                      old_acc=jnp.linalg.norm(acc + accel_pm, axis=-1))
+
+        # ---- SPH (density.c + hydra.c) on local active gas targets --------
+        # sorted-index positions of MY original rows
+        inv = jnp.zeros((n_tot,), jnp.int32).at[tree.order].set(
+            jnp.arange(n_tot, dtype=jnp.int32))
+        act_gas = is_gas & (p.ti_endstep == ti_next)
+        my_sorted = inv[tgt_g]                       # [nloc] sorted indices
+        tgt_flat = jnp.where(act_gas, my_sorted, -1)
+        pad = (-nloc) % sph_group
+        if pad:
+            tgt_flat = jnp.concatenate(
+                [tgt_flat, jnp.full((pad,), -1, jnp.int32)])
+        tgt = tgt_flat.reshape(-1, sph_group)        # [nb, Gs]
+        active = tgt >= 0
+        safe = jnp.maximum(tgt, 0)
+
+        vel_pred_all = gath(sph.vel_pred)[tree.order]
+        hsml0 = tree.hsml_s[safe] * active
+        vpt = vel_pred_all[safe]
+        hsml_t, rho, wngb, dh, dv, rv, ovf = _density_iterate(
+            tree, tgt, hsml0, vpt, vel_pred_all, active)
+
+        # finalize (density.c:289-308)
+        dhsml_fac = 1.0 / (1 + hsml_t * dh
+                           / (kern.ndims * jnp.maximum(rho, 1e-37)))
+        curl = jnp.sqrt(jnp.sum(rv ** 2, axis=-1)) / jnp.maximum(rho, 1e-37)
+        divv = dv / jnp.maximum(rho, 1e-37)
+        orig = jnp.where(active, tree.order[safe], -1)   # global original ids
+        loc = jnp.where(active, orig - my * nloc, nloc)  # my local rows
+        beg = p.ti_begstep[jnp.clip(loc, 0, nloc - 1)]
+        end = p.ti_endstep[jnp.clip(loc, 0, nloc - 1)]
+        dt_entr = (ti_next - (beg + end) // 2).astype(jnp.float32) * tbi
+        ent_t = sph.entropy[jnp.clip(loc, 0, nloc - 1)]
+        dent_t = sph.dt_entropy[jnp.clip(loc, 0, nloc - 1)]
+        pressure = (ent_t + dent_t * dt_entr) \
+            * jnp.maximum(rho, 1e-37) ** cfg.gamma
+
+        def scat(dst, val):
+            return dst.at[loc.reshape(-1)].set(val.reshape(-1), mode="drop")
+
+        sph = sph.replace(
+            hsml=jnp.where(act_gas, scat(sph.hsml, hsml_t), sph.hsml),
+            density=scat(sph.density, rho),
+            div_vel=scat(sph.div_vel, divv),
+            curl_vel=scat(sph.curl_vel, curl),
+            dhsml_density_factor=scat(sph.dhsml_density_factor, dhsml_fac),
+            num_ngb=scat(sph.num_ngb, wngb),
+            pressure=scat(sph.pressure, pressure))
+
+        # ---- hmax propagation + hydro force (accel.c:60-89) ---------------
+        hsml_all = gath(jnp.where(is_gas, sph.hsml, 0.0))[tree.order]
+        tree = _update_node_hmax(tree._replace(hsml_s=hsml_all), depth)
+        rho_all = jnp.maximum(gath(sph.density), 1e-37)[tree.order]
+        pres_all = gath(sph.pressure)[tree.order]
+        f_all = gath(sph.dhsml_density_factor)[tree.order]
+        csnd_all = jnp.sqrt(cfg.gamma * pres_all / rho_all)
+        divv_all = gath(sph.div_vel)[tree.order]
+        curl_all = gath(sph.curl_vel)[tree.order]
+        dt_all = (gath(p.ti_endstep) - gath(p.ti_begstep)) \
+            .astype(jnp.float32)[tree.order] * tbi
+
+        # comoving factors (hydra.c:78-97)
+        if cfg.comoving_integration:
+            a = time_next
+            h2 = (cfg.omega0 / a ** 3
+                  + (1 - cfg.omega0 - cfg.omega_lambda) / a ** 2
+                  + cfg.omega_lambda)
+            hubble_a = units.hubble * jnp.sqrt(h2)
+            hubble_a2 = a * a * hubble_a
+            fac_mu = a ** (3 * gm1 / 2) / a
+            fac_egy = a ** (3 * gm1)
+            fac_vsic_fix = hubble_a * a ** (3 * gm1)
+        else:
+            hubble_a2 = fac_mu = fac_egy = fac_vsic_fix = 1.0
+
+        cands = gather_p(tree, tgt, hsml_all[safe])
+        ovf = ovf | cands.overflow
+        hacc, dtent, maxsig = hydro_pass(
+            tree, tgt, cands, hsml_all, rho_all, pres_all, f_all,
+            vel_pred_all, csnd_all, divv_all, curl_all, dt_all, orig,
+            fac_mu, fac_vsic_fix, hubble_a2, cfg.art_bulk_visc_const,
+            box_size=box_t, use_limiter=not cfg.no_viscosity_limiter,
+            kernel=kern)
+        dtent = dtent * gm1 / (hubble_a2 * fac_egy
+                               * rho_all[safe] ** gm1)
+        if cfg.sph_bnd_particles:
+            bnd = p.pid[jnp.clip(loc, 0, nloc - 1)] == 0
+            hacc = jnp.where(bnd[..., None], 0.0, hacc)
+            dtent = jnp.where(bnd, 0.0, dtent)
+        flat = loc.reshape(-1)
+        sph = sph.replace(
+            hydro_accel=sph.hydro_accel.at[flat].set(
+                hacc.reshape(-1, 3), mode="drop"),
+            dt_entropy=sph.dt_entropy.at[flat].set(
+                dtent.reshape(-1), mode="drop"),
+            max_signal_vel=sph.max_signal_vel.at[flat].set(
+                maxsig.reshape(-1), mode="drop"))
+
+        # ---- kick + sync point (timestep.c; run.c:165) ---------------------
+        p, sph = kick(cfg, units, p, sph, tables, ti_next,
+                      cfg.max_size_timestep, soft_by_type, time_next)
+        min_end = jax.lax.pmin(jnp.min(p.ti_endstep), AXIS)
+        ovf = jax.lax.pmax(ovf, AXIS)
+        return p, sph, min_end, ovf
+
+    step = jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), P(), P()),
+        out_specs=(P(AXIS), P(AXIS), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)

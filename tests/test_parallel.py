@@ -182,3 +182,89 @@ def test_sharded_pm_matches_single_device():
     np.testing.assert_allclose(acc_sh, acc_ref, atol=2e-5 * scale)
     np.testing.assert_allclose(pot_sh, pot_ref,
                                atol=2e-5 * np.abs(pot_ref).max())
+
+
+def _gas_halo_system(n_gas=1024, n_halo=1024, box=1.0, seed=3):
+    """Periodic gas+halo box for the full TreePM+SPH sharded step."""
+    rng = np.random.default_rng(seed)
+    m = round(n_gas ** (1 / 3))
+    g = (np.stack(np.meshgrid(*[np.arange(m)] * 3, indexing="ij"), -1)
+         .reshape(-1, 3) + 0.5) / m * box
+    g += rng.normal(0, 0.05 * box / m, g.shape)
+    gas = np.mod(g, box)
+    n_gas = len(gas)
+    halo = rng.uniform(0, box, (n_halo, 3))
+    pos = np.concatenate([gas, halo]).astype(np.float32)
+    n = n_gas + n_halo
+    vel = rng.normal(0, 0.05, (n, 3)).astype(np.float32)
+    ptype = np.concatenate([np.zeros(n_gas, np.int32),
+                            np.ones(n_halo, np.int32)])
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=1.0, gravity_constant_internal=1.0,
+        softening=(0.02,) * 6, max_size_timestep=0.005,
+        periodic=True, box_size=box, pmgrid=16,
+        des_num_ngb=40, max_num_ngb_deviation=2,
+        tree_depth=6, tree_bucket_size=16, tree_group_size=64,
+        tree_block_batch=4, n_gravs=1, wiring="newton",
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0)
+    p = Particles.create(pos, vel, np.full(n, 1.0 / n, np.float32),
+                         np.arange(n), ptype, cfg.type_to_grav)
+    from ngravs_tpu.particles import SphState
+    sph = SphState.zeros(n)
+    h0 = box * (cfg.des_num_ngb / max(n_gas, 1)) ** (1 / 3)
+    hsml = np.where(ptype == 0, h0, 0.0).astype(np.float32)
+    sph = sph.replace(hsml=jnp.asarray(hsml),
+                      entropy=jnp.full((n,), 0.05, jnp.float32))
+    return cfg, p, sph
+
+
+def _run_full_step(cfg, p, sph, n_dev):
+    from ngravs_tpu.parallel.full_sharded import make_sharded_full_step
+
+    units = set_units(cfg)
+    wiring = build_wiring(cfg)
+    tables = make_tables(cfg, units)
+    mesh = make_mesh(n_dev)
+    ps = shard_particles(p, mesh)
+    sphs = jax.tree.map(
+        lambda a: jax.device_put(
+            a, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("shard"))),
+        sph)
+    nloc = ps.pos.shape[0] // n_dev
+    step = make_sharded_full_step(cfg, units, wiring, tables, mesh,
+                                  n_local=nloc)
+    p2, sph2, min_end, ovf = step(ps, sphs, 0, 0, cfg.time_begin)
+    assert not bool(ovf), "SPH candidate caps overflowed"
+    return (jax.device_get(p2), jax.device_get(sph2), int(min_end))
+
+
+def test_sharded_full_step_treepm_sph():
+    """The single-program sharded TreePM+SPH step (BASELINE config-5
+    structure): 8-device result must match the 1-device result, hydro
+    forces conserve momentum, neighbor counts converge."""
+    cfg, p, sph = _gas_halo_system()
+    n = p.pos.shape[0]
+    p8, s8, end8 = _run_full_step(cfg, p, sph, 8)
+    p1, s1, end1 = _run_full_step(cfg, p, sph, 1)
+
+    assert end8 == end1 > 0
+    a_scale = np.abs(np.asarray(p1.accel)).max()
+    np.testing.assert_allclose(np.asarray(p8.accel), np.asarray(p1.accel),
+                               atol=3e-4 * a_scale)
+    np.testing.assert_allclose(np.asarray(s8.density)[:1000],
+                               np.asarray(s1.density)[:1000], rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(s8.hsml)[:1000],
+                               np.asarray(s1.hsml)[:1000], rtol=2e-3)
+
+    # physics gates on the 8-device result
+    gas = np.asarray(p8.ptype) == 0
+    wngb = np.asarray(s8.num_ngb)[gas]
+    assert np.abs(wngb - cfg.des_num_ngb).max() <= cfg.max_num_ngb_deviation + 1
+    hacc = np.asarray(s8.hydro_accel)[gas]
+    mass = np.asarray(p8.mass)[gas]
+    mom = np.abs((mass[:, None] * hacc).sum(0))
+    scale = (mass[:, None] * np.abs(hacc)).sum(0) + 1e-30
+    assert (mom / scale < 1e-2).all()
+    assert np.isfinite(np.asarray(p8.accel_pm)).all()
+    assert np.abs(np.asarray(p8.accel_pm)).max() > 0
