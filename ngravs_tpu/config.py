@@ -110,6 +110,8 @@ class SimulationConfig:
     ngravs_timestep_scale: float = 1.0   # -DNGRAVS_TIMESTEP_SCALE
     ngravs_accumulator: bool = False     # -DNGRAVS_ACCUMULATOR
     ngravs_l3violation: bool = False     # -DNGRAVS_L3VIOLATION
+    ngravs_treepm_xition_check: bool = False  # -DNGRAVS_TREEPM_XITION_CHECK:
+    # dump per-pair TreePM transition tables to OutputDir for plotting
 
     # --- TreePM (-DPMGRID) ---
     pmgrid: int = 0              # 0 = pure tree

@@ -129,3 +129,61 @@ def longrange_pot_factor(ptab, asmth: float, ntab: int, r, pair_idx):
     v1 = flat[pair_idx * ntab + idx + 1]
     val = v0 + frac * (v1 - v0)
     return jnp.where(inside, utorwpi * val, 0.0), inside
+
+
+def dump_transition_tables(wiring: GravityWiring, ftab, ptab,
+                           asmth: float, box_size: float, output_dir: str,
+                           forcetrace: bool = True) -> list:
+    """NGRAVS_TREEPM_XITION_CHECK (+ NGRAVS_DEBUG_FORCETRACE): write the
+    tabulated TreePM transition per gravity pair for plotting, in the
+    reference's file layout (forcetree.c:3299-3391).
+
+    Each unique law gets `ngravs_tpm_<name>_l<ntab>_ol0.txt` in
+    `output_dir`, rows `u  C(u)  I(u)` — the reference dumps its raw
+    convolution outputs temp=C(u), tempI=I(u) before the /u, /u^2
+    divisions; ours store ftab = I/u^2 - C/u and ptab = I/u, so
+    C = ptab - u*ftab and I = u*ptab.  With `forcetrace`, appends the
+    untruncated vs truncated force trace (forcetree.c:3357-3383).
+    Returns the list of files written.
+    """
+    import os
+
+    ng = wiring.n_gravs
+    f_np = np.asarray(ftab, np.float64)
+    p_np = np.asarray(ptab, np.float64)
+    ntab = f_np.shape[-1]
+    u = UMAX / ntab * (np.arange(ntab) + 0.5)
+    asmthfac = 0.5 / asmth * (ntab / UMAX)
+    utor2wpi = 1.0 / (4 * math.pi * asmth * asmth)
+    written, seen = [], set()
+    for tg in range(ng):
+        for sg in range(ng):
+            name = wiring.names[tg][sg]
+            if name in seen:     # write each unique law once, like the
+                continue         # skipWrite loop (forcetree.c:3304-3309)
+            seen.add(name)
+            c_u = p_np[tg, sg] - u * f_np[tg, sg]
+            i_u = u * p_np[tg, sg]
+            path = os.path.join(output_dir,
+                                f"ngravs_tpm_{name}_l{ntab}_ol0.txt")
+            with open(path, "w") as fh:
+                for i in range(ntab):
+                    fh.write(f"{u[i]:.15e} {c_u[i]:.15e} {i_u[i]:.15e}\n")
+                if forcetrace:
+                    law = wiring.law(tg, sg)
+                    fh.write("\n# Begin debug forcetrace output\n"
+                             f"# Asmth: {asmth:f}\n")
+                    r_tab = np.arange(ntab) / asmthfac
+                    for i in range(ntab):
+                        r = max(r_tab[i], 1e-12)
+                        a_full = float(law.accel(1.0, 1.0, r * r, r, 1))
+                        fh.write(f"{r:.15e} {a_full:.15e} "
+                                 f"{a_full - utor2wpi * f_np[tg, sg, i]:.15e}\n")
+                    if box_size > 0:
+                        r = r_tab[-1]
+                        while r < box_size * 0.5:
+                            a_full = float(law.accel(1.0, 1.0, r * r, r, 1))
+                            fh.write(f"{r:.15e} {a_full:.15e} 0.0\n")
+                            r += box_size * 0.005
+            written.append(path)
+    return written

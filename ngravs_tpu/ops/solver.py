@@ -80,6 +80,12 @@ class GravitySolver:
             sr_ftab, sr_ptab = shortrange_tables(wiring, ntab=cfg.ntab)
             self.treepm = dict(sr_ftab=sr_ftab, sr_ptab=sr_ptab,
                                asmth=self.pm.asmth, rcut=self.pm.rcut)
+            if cfg.ngravs_treepm_xition_check:
+                # NGRAVS_TREEPM_XITION_CHECK (forcetree.c:3299-3391)
+                from .shortrange import dump_transition_tables
+                dump_transition_tables(wiring, sr_ftab, sr_ptab,
+                                       self.pm.asmth, cfg.box_size,
+                                       cfg.output_dir or ".")
         self.caps = dict(
             ent=_bucket(cfg.tree_node_list_cap * cfg.n_gravs, 256),
             chunk=_bucket(cfg.tree_leaf_list_cap, 256),

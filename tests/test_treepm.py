@@ -110,3 +110,40 @@ def test_treepm_simulation_runs():
     assert np.isfinite(acc).all() and np.isfinite(acc_pm).all()
     assert np.abs(acc_pm).max() > 0  # PM actually ran
     assert sim.pm_ti_endstep > 0
+
+
+def test_xition_check_dump(tmp_path):
+    """NGRAVS_TREEPM_XITION_CHECK: the dumped u/C(u)/I(u) table round-trips
+    to the short-range tables and the forcetrace truncated force matches
+    ftab (forcetree.c:3299-3391)."""
+    from ngravs_tpu.models import laws as L
+    from ngravs_tpu.models.wiring import GravityWiring
+    from ngravs_tpu.ops.shortrange import (dump_transition_tables,
+                                           shortrange_tables)
+
+    box = 100.0
+    w = GravityWiring([[L.Newtonian(), L.Newtonian()],
+                       [L.Newtonian(), L.Yukawa(5.0, box, pmgrid=32)]])
+    ntab = 256
+    ftab, ptab = shortrange_tables(w, ntab=ntab)
+    asmth = 1.25 * box / 32
+    files = dump_transition_tables(w, ftab, ptab, asmth, box, str(tmp_path))
+    # one file per unique law name
+    names = {w.names[i][j] for i in range(2) for j in range(2)}
+    assert len(files) == len(names)
+    for path in files:
+        txt = open(path).read().split("\n# Begin debug forcetrace")
+        rows = np.array([[float(x) for x in ln.split()]
+                         for ln in txt[0].strip().splitlines()])
+        assert rows.shape == (ntab, 3)
+        u, c_u, i_u = rows.T
+        # round-trip: ftab = I/u^2 - C/u, ptab = I/u
+        name = path.split("ngravs_tpm_")[1].split("_l")[0]
+        tg, sg = next((i, j) for i in range(2) for j in range(2)
+                      if w.names[i][j] == name)
+        np.testing.assert_allclose(i_u / u ** 2 - c_u / u,
+                                   np.asarray(ftab)[tg, sg],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(i_u / u, np.asarray(ptab)[tg, sg],
+                                   rtol=1e-5, atol=1e-6)
+        assert "forcetrace" in txt[1] or len(txt) == 2
