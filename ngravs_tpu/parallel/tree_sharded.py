@@ -30,6 +30,8 @@ and which removes every per-particle message round-trip.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -168,3 +170,101 @@ def reshard_by_morton(p, mesh, box: float = 0.0):
     fn = jax.shard_map(_reshard, mesh=mesh, in_specs=(P(AXIS),),
                        out_specs=P(AXIS), check_vma=False)
     return jax.jit(fn)(p)
+
+
+def reshard_by_cost(p, mesh, sph=None, alloc_factor: float = 1.25,
+                    box: float = 0.0, dt_inv=None):
+    """Work-balanced domain decomposition (domain_sumCost + domain_findSplit,
+    domain.c:347,823-877): globally Morton-sort, then hand each shard a
+    CONTIGUOUS key range whose measured work sum  w_i = 1 + GravCost_i
+    (optionally x 1/dt_i, domain.c:859-862) is as equal as possible.
+
+    Static shapes force equal per-shard capacities, so capacity is
+    ceil(N/n_dev * alloc_factor) (PartAllocFactor, allocate.c:103) and
+    shards whose range is shorter carry inert padding rows (mass 0,
+    pid -1, endstep past the horizon, hsml 0) — the same over-allocation
+    trade the reference makes per rank.  Ranges longer than the capacity
+    are clamped (the overflow spills to the next shard, like maxload
+    clamping in domain_findSplit, domain.c:108,414-460).
+
+    Host-orchestrated like the reference's decomposition; returns
+    (p', sph') re-sharded over `mesh` with n_local = capacity.
+    """
+    from ..ops.morton import morton_keys2, sort_by_keys2
+
+    n_dev = mesh.devices.size
+    pos = jnp.asarray(p.pos)
+    if box > 0:
+        corner = jnp.zeros(3, pos.dtype)
+        inv_len = 1.0 / box
+    else:
+        lo = jnp.min(pos, axis=0)
+        hi = jnp.max(pos, axis=0)
+        root_len = jnp.max(hi - lo) * 1.0001 + 1e-30
+        corner = (lo + hi) / 2 - root_len / 2
+        inv_len = 1.0 / root_len
+    khi, klo = morton_keys2(pos, corner, inv_len, 10)
+    order = np.asarray(jax.device_get(sort_by_keys2(khi, klo)))
+    n = order.shape[0]
+
+    w = 1.0 + np.asarray(jax.device_get(p.grav_cost), np.float64)
+    if dt_inv is not None:
+        w *= np.asarray(jax.device_get(dt_inv), np.float64)
+    w = np.where(np.asarray(jax.device_get(p.pid)) >= 0, w, 0.0)[order]
+    cumw = np.concatenate([[0.0], np.cumsum(w)])
+    cap = int(math.ceil(n / n_dev * alloc_factor))
+    total = cumw[-1]
+    bounds = [0]
+    for k in range(1, n_dev):
+        b = int(np.searchsorted(cumw, k * total / n_dev))
+        b = min(max(b, bounds[-1]), bounds[-1] + cap, n)
+        # leave enough room for the remaining shards' capacity
+        b = max(b, n - (n_dev - k) * cap)
+        bounds.append(b)
+    bounds.append(n)
+
+    host = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), p)
+    host_s = jax.tree.map(lambda a: a[order], host)
+    sph_s = None
+    if sph is not None:
+        sph_s = jax.tree.map(
+            lambda a: np.asarray(jax.device_get(a))[order], sph)
+
+    def _block(tree_host, k):
+        lo_b, hi_b = bounds[k], bounds[k + 1]
+        m = hi_b - lo_b
+
+        def _pad(a):
+            out = np.zeros((cap,) + a.shape[1:], a.dtype)
+            out[:m] = a[lo_b:hi_b]
+            return out
+        blk = jax.tree.map(_pad, tree_host)
+        return blk, m
+
+    pblocks, sblocks = [], []
+    for k in range(n_dev):
+        blk, m = _block(host_s, k)
+        # inert padding (mesh.shard_particles convention)
+        blk = blk.replace(
+            pid=np.where(np.arange(cap) < m, blk.pid, -1),
+            mass=np.where(np.arange(cap) < m, blk.mass, 0.0).astype(
+                blk.mass.dtype),
+            ti_endstep=np.where(np.arange(cap) < m, blk.ti_endstep,
+                                np.int32(2 ** 30)).astype(np.int32))
+        pblocks.append(blk)
+        if sph_s is not None:
+            sblk, _ = _block(sph_s, k)
+            sblk = sblk.replace(
+                hsml=np.where(np.arange(cap) < m, sblk.hsml, 0.0).astype(
+                    sblk.hsml.dtype))
+            sblocks.append(sblk)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P2
+    sharding = NamedSharding(mesh, P2(AXIS))
+    pcat = jax.tree.map(lambda *xs: jax.device_put(
+        jnp.asarray(np.concatenate(xs)), sharding), *pblocks)
+    scat = None
+    if sblocks:
+        scat = jax.tree.map(lambda *xs: jax.device_put(
+            jnp.asarray(np.concatenate(xs)), sharding), *sblocks)
+    return pcat, scat

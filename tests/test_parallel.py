@@ -268,3 +268,64 @@ def test_sharded_full_step_treepm_sph():
     assert (mom / scale < 1e-2).all()
     assert np.isfinite(np.asarray(p8.accel_pm)).all()
     assert np.abs(np.asarray(p8.accel_pm)).max() > 0
+
+
+def test_reshard_by_cost_balances_work(system):
+    """domain_findSplit analog: shards get contiguous Morton ranges with
+    near-equal measured work; padding rows are inert; forces per particle
+    ID match the unresharded sharded-tree result."""
+    from ngravs_tpu.cosmology import make_tables
+    from ngravs_tpu.parallel.tree_sharded import (make_sharded_tree_step,
+                                                  reshard_by_cost,
+                                                  reshard_by_morton)
+
+    cfg, p = system
+    rng = np.random.default_rng(9)
+    # synthetic skewed cost: particles near the origin are 20x dearer
+    r = np.linalg.norm(np.asarray(p.pos) - 5.0, axis=1)
+    cost = np.where(r < 3.0, 20.0, 1.0).astype(np.float32)
+    p = p.replace(grav_cost=jnp.asarray(cost))
+    mesh = make_mesh(8)
+
+    p2, _ = reshard_by_cost(p, mesh, alloc_factor=1.6)
+    n_dev = 8
+    cap = p2.pos.shape[0] // n_dev
+    pid2 = np.asarray(jax.device_get(p2.pid)).reshape(n_dev, cap)
+    cost2 = np.asarray(jax.device_get(p2.grav_cost)).reshape(n_dev, cap)
+    mass2 = np.asarray(jax.device_get(p2.mass)).reshape(n_dev, cap)
+    live = pid2 >= 0
+    # every real particle present exactly once
+    ids = np.sort(pid2[live])
+    np.testing.assert_array_equal(ids, np.sort(np.asarray(p.pid)))
+    # padding inert
+    assert (mass2[~live] == 0).all()
+    # measured work balanced to ~the largest single weight
+    work = ((1.0 + cost2) * live).sum(axis=1)
+    ideal = (1.0 + cost).sum() / n_dev
+    assert work.max() / ideal < 1.25, work / ideal
+
+    # physics identical to the count-based reshard (same particles, same
+    # replicated tree -> same forces per ID)
+    units = set_units(cfg)
+    wiring = build_wiring(cfg)
+    tables = make_tables(cfg, units)
+    step2 = make_sharded_tree_step(cfg, units, wiring, tables, mesh,
+                                   n_local=cap, opening="bh")
+    pr2, _ = step2(p2, 0, 0, cfg.time_begin)
+    p3 = reshard_by_morton(shard_particles(p, mesh), mesh)
+    step3 = make_sharded_tree_step(cfg, units, wiring, tables, mesh,
+                                   n_local=p3.pos.shape[0] // n_dev,
+                                   opening="bh")
+    pr3, _ = step3(p3, 0, 0, cfg.time_begin)
+    a2 = np.asarray(jax.device_get(pr2.accel))
+    i2 = np.asarray(jax.device_get(pr2.pid))
+    a3 = np.asarray(jax.device_get(pr3.accel))
+    i3 = np.asarray(jax.device_get(pr3.pid))
+    m2 = {int(i): a2[k] for k, i in enumerate(i2) if i >= 0}
+    scale = np.abs(a3).max()
+    # the padded tree has a slightly different bucket structure, so opening
+    # decisions differ within the BH theta=0.5 approximation band (~1e-3)
+    for k, i in enumerate(i3):
+        if i >= 0:
+            np.testing.assert_allclose(m2[int(i)], a3[k],
+                                       atol=3e-3 * scale)
