@@ -44,6 +44,104 @@ def _bucket(n: int, minimum: int = 256) -> int:
     return max(minimum, 1 << math.ceil(math.log2(max(n, 1))))
 
 
+def build_snapshot_data(cfg, units, tables, tbi, p, sph, n_gas,
+                        ti_current, time_now, entropy_is_u=False):
+    """Assemble a SnapshotData from integrator state (fill_write_buffer,
+    io.c:129-351): velocities predicted to now with half-kick factors,
+    per-type constant masses lifted into the header table, entropy
+    converted to internal energy, comoving->physical output factors.
+
+    `p`/`sph` are pytrees in type-sorted order (gas first); shared by the
+    single-chip Simulation and the DistributedSimulation after gathering.
+    """
+    from ..diagnostics.energy import predicted_velocities
+
+    vel = predicted_velocities(p, tables, ti_current)
+    p_np = jax.device_get((p.pos, vel, p.mass, p.pid, p.ptype, p.potential))
+    pos, vel, mass, pid, ptype, pot = [np.asarray(x) for x in p_np]
+    h = SnapshotHeader()
+    counts = np.bincount(ptype, minlength=6).astype(np.int32)
+    h.npart = counts
+    h.npart_total = counts.astype(np.uint32)
+    h.time = time_now
+    h.redshift = 1.0 / time_now - 1 if cfg.comoving_integration else 0.0
+    h.box_size = cfg.box_size
+    h.omega0, h.omega_lambda, h.hubble_param = \
+        cfg.omega0, cfg.omega_lambda, cfg.hubble_param
+    # per-type constant masses go to the header table (io.c block rules)
+    mass_tab = np.zeros(6)
+    for t in range(6):
+        sel = ptype == t
+        if sel.any():
+            mt = mass[sel]
+            if np.all(mt == mt[0]):
+                mass_tab[t] = mt[0]
+    h.mass = mass_tab
+    data = SnapshotData(header=h, pos=pos, vel=vel, pid=pid.astype(np.uint32),
+                        mass=mass.copy(), ptype=ptype,
+                        pot=pot if cfg.output_potential else None)
+    a3inv = fac1 = fac2 = 1.0
+    if cfg.comoving_integration:
+        # comoving->physical factors for output (io.c:149-156)
+        a3inv = 1.0 / time_now ** 3
+        fac1 = 1.0 / time_now ** 2
+        fac2 = 1.0 / time_now ** (3 * cfg.gamma - 2)
+    if sph is not None and n_gas:
+        s = jax.device_get((sph.entropy, sph.density, sph.hsml,
+                            sph.dt_entropy))
+        ent, rho, hs, dent = [np.asarray(x)[:n_gas] for x in s]
+        if entropy_is_u or cfg.isotherm_eqs:
+            # density has not run yet, or IsothermEqs: the entropy
+            # field holds u directly (io.c:270-271)
+            data.u = ent
+        else:
+            # entropy -> specific internal energy (io.c:266-279)
+            data.u = np.maximum(
+                units.min_egy_spec,
+                ent / cfg.gamma_minus1
+                * np.maximum(rho * a3inv, 1e-37) ** cfg.gamma_minus1
+            ).astype(np.float32)
+        data.rho, data.hsml = rho, hs
+        if cfg.output_change_of_entropy:
+            data.dtentr = dent
+    if cfg.output_acceleration:
+        # physical acceleration: fac1*(tree+PM) + fac2*hydro for gas
+        # (io.c:311-330)
+        acc = np.asarray(jax.device_get(p.accel + p.accel_pm))
+        acc = fac1 * acc
+        if sph is not None and n_gas:
+            hacc = np.asarray(jax.device_get(sph.hydro_accel))[:n_gas]
+            acc[:n_gas] += fac2 * hacc
+        data.accel = acc.astype(np.float32)
+    if cfg.output_timestep:
+        # (Ti_endstep - Ti_begstep) * Timebase_interval (io.c:343-351)
+        tbeg, tend = jax.device_get((p.ti_begstep, p.ti_endstep))
+        data.tstp = ((np.asarray(tend) - np.asarray(tbeg))
+                     * tbi).astype(np.float32)
+    return data
+
+
+def write_snapshot_files(cfg, path, data):
+    """Route a SnapshotData to format 1/2/HDF5, single- or multi-file
+    (savepositions/distribute_file, io.c:33-112)."""
+    if cfg.num_files_per_snapshot > 1:
+        from ..io.gadget_format import write_snapshot_multi
+        write_snapshot_multi(
+            path, data, cfg.num_files_per_snapshot,
+            snap_format=cfg.snap_format, with_pot=cfg.output_potential,
+            longids=cfg.longids,
+            max_parallel=cfg.num_files_written_in_parallel or None)
+    elif cfg.snap_format == 3:
+        from ..io.gadget_format import write_snapshot_hdf5
+        write_snapshot_hdf5(path + ".hdf5", data,
+                            with_pot=cfg.output_potential,
+                            longids=cfg.longids)
+    else:
+        write_snapshot(path, data, snap_format=cfg.snap_format,
+                       with_pot=cfg.output_potential, longids=cfg.longids)
+    return path
+
+
 class Simulation:
     """begrun() + run() equivalent."""
 
@@ -519,95 +617,19 @@ class Simulation:
     def write_snapshot_now(self, path=None):
         """savepositions (io.c:33): snapshot with velocities predicted to now."""
         t0 = _time.time()
-        from ..diagnostics.energy import predicted_velocities
         cfg = self.cfg
         if cfg.output_potential:
             # OUTPUTPOTENTIAL: fresh all-particle potential for the POT
             # block (savepositions, io.c:41-49)
             self.update_full_potential()
-        vel = predicted_velocities(self.p, self.tables, self.ti_current)
-        p_np = jax.device_get((self.p.pos, vel, self.p.mass, self.p.pid,
-                               self.p.ptype, self.p.potential))
-        pos, vel, mass, pid, ptype, pot = [np.asarray(x) for x in p_np]
-        h = SnapshotHeader()
-        counts = np.bincount(ptype, minlength=6).astype(np.int32)
-        h.npart = counts
-        h.npart_total = counts.astype(np.uint32)
-        h.time = self.time
-        h.redshift = 1.0 / self.time - 1 if cfg.comoving_integration else 0.0
-        h.box_size = cfg.box_size
-        h.omega0, h.omega_lambda, h.hubble_param = \
-            cfg.omega0, cfg.omega_lambda, cfg.hubble_param
-        # per-type constant masses go to the header table (io.c block rules)
-        mass_tab = np.zeros(6)
-        for t in range(6):
-            sel = ptype == t
-            if sel.any():
-                mt = mass[sel]
-                if np.all(mt == mt[0]):
-                    mass_tab[t] = mt[0]
-        h.mass = mass_tab
-        masked_mass = mass.copy()
-        data = SnapshotData(header=h, pos=pos, vel=vel, pid=pid.astype(np.uint32),
-                            mass=masked_mass, ptype=ptype,
-                            pot=pot if cfg.output_potential else None)
-        a3inv = fac1 = fac2 = 1.0
-        if cfg.comoving_integration:
-            # comoving->physical factors for output (io.c:149-156)
-            a3inv = 1.0 / self.time ** 3
-            fac1 = 1.0 / self.time ** 2
-            fac2 = 1.0 / self.time ** (3 * cfg.gamma - 2)
-        if self.sph is not None and self.n_gas:
-            s = jax.device_get((self.sph.entropy, self.sph.density,
-                                self.sph.hsml, self.sph.dt_entropy))
-            ent, rho, hs, dent = [np.asarray(x)[:self.n_gas] for x in s]
-            if self._entropy_is_u or cfg.isotherm_eqs:
-                # density has not run yet, or IsothermEqs: the entropy
-                # field holds u directly (io.c:270-271)
-                data.u = ent
-            else:
-                # entropy -> specific internal energy (io.c:266-279)
-                data.u = np.maximum(
-                    self.units.min_egy_spec,
-                    ent / cfg.gamma_minus1
-                    * np.maximum(rho * a3inv, 1e-37) ** cfg.gamma_minus1
-                ).astype(np.float32)
-            data.rho, data.hsml = rho, hs
-            if cfg.output_change_of_entropy:
-                data.dtentr = dent
-        if cfg.output_acceleration:
-            # physical acceleration: fac1*(tree+PM) + fac2*hydro for gas
-            # (io.c:311-330)
-            acc = np.asarray(jax.device_get(self.p.accel + self.p.accel_pm))
-            acc = fac1 * acc
-            if self.sph is not None and self.n_gas:
-                hacc = np.asarray(jax.device_get(
-                    self.sph.hydro_accel))[:self.n_gas]
-                acc[:self.n_gas] += fac2 * hacc
-            data.accel = acc.astype(np.float32)
-        if cfg.output_timestep:
-            # (Ti_endstep - Ti_begstep) * Timebase_interval (io.c:343-351)
-            tbeg, tend = jax.device_get((self.p.ti_begstep, self.p.ti_endstep))
-            data.tstp = ((np.asarray(tend) - np.asarray(tbeg))
-                         * float(self.tbi)).astype(np.float32)
+        data = build_snapshot_data(
+            cfg, self.units, self.tables, float(self.tbi), self.p, self.sph,
+            self.n_gas, self.ti_current, self.time,
+            entropy_is_u=self._entropy_is_u)
         if path is None:
             path = os.path.join(self.log_dir or ".",
                                 f"{cfg.snapshot_file_base}_{self.snapshot_count:03d}")
-        if cfg.num_files_per_snapshot > 1:
-            from ..io.gadget_format import write_snapshot_multi
-            write_snapshot_multi(
-                path, data, cfg.num_files_per_snapshot,
-                snap_format=cfg.snap_format, with_pot=cfg.output_potential,
-                longids=cfg.longids,
-                max_parallel=cfg.num_files_written_in_parallel or None)
-        elif cfg.snap_format == 3:
-            from ..io.gadget_format import write_snapshot_hdf5
-            write_snapshot_hdf5(path + ".hdf5", data,
-                                with_pot=cfg.output_potential,
-                                longids=cfg.longids)
-        else:
-            write_snapshot(path, data, snap_format=cfg.snap_format,
-                           with_pot=cfg.output_potential, longids=cfg.longids)
+        write_snapshot_files(cfg, path, data)
         self.snapshot_count += 1
         self.cpu_timers["snapshot"] += _time.time() - t0
         return path

@@ -206,19 +206,26 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
         tgt_g = my * nloc + jnp.arange(nloc, dtype=jnp.int32)
         res = walk.static(tree, tgt_g, fcap=fcap)
         acc_sorted, pot_sorted = gath(res.acc), gath(res.pot)
+        nia_sorted = gath(res.ninteract.astype(acc_sorted.dtype))
         acc_full = jnp.zeros((n_tot, 3), acc_sorted.dtype) \
             .at[tree.order].set(acc_sorted)
         pot_full = jnp.zeros((n_tot,), pot_sorted.dtype) \
             .at[tree.order].set(pot_sorted)
+        nia_full = jnp.zeros((n_tot,), nia_sorted.dtype) \
+            .at[tree.order].set(nia_sorted)
         acc = jax.lax.dynamic_slice(acc_full, (my * nloc, 0), (nloc, 3)) * G
         pot = jax.lax.dynamic_slice(pot_full, (my * nloc,), (nloc,)) * G
+        # measured work for the next domain decomposition (GravCost,
+        # forcetree.c:1595 / domain.c:859-862)
+        grav_cost = jax.lax.dynamic_slice(nia_full, (my * nloc,), (nloc,))
         accel_pm = p.accel_pm
         if pm_sharded is not None:
             # long-range PM forces (pmforce_periodic, pm_periodic.c:204);
             # the sharded FFT pipeline, inlined in this shard_map context
             accel_pm = pm_sharded._forces_impl(p.pos, mass, p.grav)
         p = p.replace(accel=acc, potential=pot, accel_pm=accel_pm,
-                      old_acc=jnp.linalg.norm(acc + accel_pm, axis=-1))
+                      old_acc=jnp.linalg.norm(acc + accel_pm, axis=-1),
+                      grav_cost=grav_cost)
 
         # ---- SPH (density.c + hydra.c) on local active gas targets --------
         # sorted-index positions of MY original rows

@@ -1,0 +1,329 @@
+"""Multi-chip main loop: the reference's run() (run.c:20-132) over the
+single-program sharded TreePM+SPH step.
+
+Host orchestration holds only scalars (integer-timeline state, counters,
+output times); all particle state stays sharded on the device mesh.  One
+step() is ONE compiled XLA program — drift, PM, tree walk, SPH density
+iteration, hydro, kick, and the pmin sync-point reduction — i.e. every MPI
+exchange of one reference main-loop iteration collapsed into collectives.
+
+Host-side duties mirror the reference's serial bookkeeping:
+  * sync-point selection incl. drifting exactly onto snapshot times
+    (find_next_sync_point_and_drift, run.c:151-236) — the step program's
+    kick is masked by `ti_endstep == ti_next`, so stepping onto an output
+    tick that is not a power-of-two boundary only drifts;
+  * work-weighted domain decomposition every
+    TreeDomainUpdateFrequency * N force updates (domain.c:76) via
+    `reshard_by_cost` with the measured per-particle interaction counts;
+  * snapshot/energy/info/cpu logs, stop-file + CPU-limit interruption, and
+    periodic restart writes (run.c:67-125).
+
+SPH candidate-cap overflows are handled like the reference's bunch-buffer
+sizing (allocate.c:44-76): the step reports overflow, the host doubles the
+cap, rebuilds the program, and re-runs the SAME step from the retained
+pre-step state.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import constants as C
+from ..cosmology import make_tables
+from ..diagnostics.energy import compute_global_quantities, format_energy_line
+from ..integrate.runner import build_snapshot_data, write_snapshot_files
+from ..integrate.timeline import ti_to_time, time_to_ti, timebase_interval
+from ..models.wiring import build_wiring
+from ..units import set_units
+from .full_sharded import make_sharded_full_step
+from .mesh import AXIS, make_mesh
+from .tree_sharded import make_sharded_tree_step, reshard_by_cost
+
+
+class DistributedSimulation:
+    """Pod-sharded simulation driver (BASELINE config 5).
+
+    `particles` must be type-sorted with gas first (the Gadget layout,
+    peano.c:47-67); `sph.entropy` must hold the ENTROPY variable A unless
+    `entropy_is_u=True`, in which case an init-time density pass converts
+    it exactly like init.c:170-174.
+
+    Notes vs the single-chip Simulation: the PM force is refreshed every
+    step (not on the separate PM timeline) — strictly more accurate, and
+    on-mesh the FFT is a small fraction of the walk; the FORCETEST /
+    MAKEGLASS / fast-direct special modes stay single-chip.
+    """
+
+    def __init__(self, cfg, particles, sph=None, mesh=None, log_dir=None,
+                 alloc_factor: float = 1.25, cand_cap: int = 2048,
+                 fcap: int = 65536, sph_group: int = 64,
+                 entropy_is_u: bool = False):
+        self.cfg = cfg
+        self.units = set_units(cfg)
+        self.wiring = build_wiring(cfg)
+        self.tables = make_tables(cfg, self.units)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_dev = self.mesh.devices.size
+        self.alloc_factor = alloc_factor
+        self.cand_cap = cand_cap
+        self.fcap = fcap
+        self.sph_group = sph_group
+        self.tbi = timebase_interval(cfg)
+
+        self.n_real = int(particles.pos.shape[0])
+        self.n_gas = int(np.sum(np.asarray(particles.ptype) == 0))
+        self.has_gas = sph is not None and self.n_gas > 0
+        # initial-order restoration key for snapshots (unique Gadget IDs)
+        self._init_pid = np.asarray(jax.device_get(particles.pid)).copy()
+        self._pid_sorted = np.sort(self._init_pid)
+        self._pid_rank = np.argsort(self._init_pid)
+
+        if self.has_gas and float(jnp.max(sph.hsml)) <= 0:
+            # initial smoothing-length guess; the first density iteration
+            # converges it (setup_smoothinglengths, init.c:218)
+            if cfg.periodic and cfg.box_size > 0:
+                h0 = cfg.box_size * (cfg.des_num_ngb / self.n_gas) ** (1 / 3)
+            else:
+                ext = float(jnp.max(particles.pos) - jnp.min(particles.pos))
+                h0 = ext * (cfg.des_num_ngb / max(self.n_gas, 1)) ** (1 / 3)
+            hs = np.where(np.asarray(particles.ptype) == 0, h0, 0.0)
+            sph = sph.replace(hsml=jnp.asarray(hs, jnp.float32))
+
+        # initial domain decomposition (no costs yet -> count-balanced)
+        self.p, self.sph = reshard_by_cost(particles, self.mesh, sph=sph,
+                                           alloc_factor=alloc_factor)
+        self.n_local = self.p.pos.shape[0] // self.n_dev
+        self._build_step()
+
+        self.ti_current = 0
+        self._min_end = 0       # next global sync point (run.c:165)
+        self.time_max_ti = C.TIMEBASE
+        self.step_count = 0
+        self.num_force_updates = 0
+        self.snapshot_count = 0
+        self._since_reshard = 0
+        self._entropy_pending_u = False
+        self._wall_start = _time.time()
+
+        self.log_dir = log_dir if log_dir is not None else cfg.output_dir
+        self._logs = {}
+        if self.log_dir:
+            os.makedirs(self.log_dir, exist_ok=True)
+            for key, fname in [("info", cfg.info_file),
+                               ("energy", cfg.energy_file),
+                               ("cpu", cfg.cpu_file)]:
+                self._logs[key] = open(os.path.join(self.log_dir, fname), "w")
+        self._next_output = (cfg.time_of_first_snapshot
+                             if cfg.time_bet_snapshot > 0 else float("inf"))
+        self._next_stats = (cfg.time_begin if cfg.time_bet_statistics > 0
+                            else float("inf"))
+        if entropy_is_u and self.has_gas:
+            self.convert_u_to_entropy()
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        cfg = self.cfg
+        if self.has_gas:
+            self._step_fn = make_sharded_full_step(
+                cfg, self.units, self.wiring, self.tables, self.mesh,
+                n_local=self.n_local, sph_group=self.sph_group,
+                cand_cap=self.cand_cap, fcap=self.fcap)
+        else:
+            self._step_fn = make_sharded_tree_step(
+                cfg, self.units, self.wiring, self.tables, self.mesh,
+                n_local=self.n_local, fcap=self.fcap)
+
+    @property
+    def time(self) -> float:
+        return ti_to_time(self.cfg, self.ti_current)
+
+    def convert_u_to_entropy(self):
+        """init.c:170-174: IC internal energy -> entropy A, using densities
+        from one throwaway sharded step (positions/velocities of the
+        retained state are untouched)."""
+        assert self.has_gas
+        p0, s0 = self.p, self.sph
+        _, s_tmp, _, ovf = self._step_fn(p0, s0, 0, 0, self.cfg.time_begin)
+        if bool(ovf):
+            self._grow_caps()
+            return self.convert_u_to_entropy()
+        rho = jnp.maximum(jax.device_get(s_tmp.density), 1e-37)
+        gas = p0.ptype == 0
+        a3inv = (1.0 / self.cfg.time_begin ** 3
+                 if self.cfg.comoving_integration else 1.0)
+        ent = jnp.where(gas, self.cfg.gamma_minus1 * s0.entropy
+                        / (rho * a3inv) ** self.cfg.gamma_minus1,
+                        s0.entropy)
+        self.sph = s0.replace(entropy=ent,
+                              hsml=s_tmp.hsml, density=s_tmp.density)
+
+    def _grow_caps(self):
+        self.cand_cap *= 2
+        self._build_step()
+
+    # ------------------------------------------------------------------
+    def step(self):
+        """One main-loop iteration (run.c:32-132)."""
+        cfg = self.cfg
+        t0 = _time.time()
+        ti_next = self._min_end
+        # drift exactly onto a pending snapshot time (run.c:206-225)
+        wrote_snapshot = False
+        if self._next_output < float("inf"):
+            ti_out = time_to_ti(cfg, self._next_output)
+            if self.ti_current < ti_out < ti_next:
+                ti_next = ti_out
+
+        time_next = ti_to_time(cfg, ti_next)
+        for _ in range(6):
+            if self.has_gas:
+                out = self._step_fn(self.p, self.sph, self.ti_current,
+                                    ti_next, time_next)
+                p2, s2, min_end, ovf = out
+                if bool(ovf):
+                    self._grow_caps()   # re-run same step, state retained
+                    continue
+            else:
+                p2, min_end = self._step_fn(self.p, self.ti_current,
+                                            ti_next, time_next)
+                s2 = self.sph
+            break
+        else:
+            raise RuntimeError("SPH candidate caps kept overflowing")
+        self.p, self.sph = p2, s2
+        self.ti_current = ti_next
+        self._min_end = int(min_end)
+        n_act = self.n_real  # upper bound; exact count needs a device pull
+        self.num_force_updates += n_act
+        self._since_reshard += n_act
+        self.step_count += 1
+
+        # outputs due exactly now (we drifted onto them); write every
+        # pending output like the reference's while loop (run.c:206-225)
+        while self._next_output < float("inf") \
+                and self.time >= self._next_output - 1e-12:
+            self.write_snapshot_now()
+            self._next_output += cfg.time_bet_snapshot
+            wrote_snapshot = True
+        if self.time >= self._next_stats - 1e-12:
+            self.energy_statistics()
+            self._next_stats += cfg.time_bet_statistics
+
+        # work-weighted re-decomposition (domain.c:76)
+        if self._since_reshard > cfg.tree_domain_update_frequency \
+                * self.n_real * self.n_dev:
+            self.domain_decomposition()
+
+        if "info" in self._logs:
+            self._logs["info"].write(
+                f"Begin Step {self.step_count - 1}, Time: {self.time:.8g}, "
+                f"Systemstep: {_time.time() - t0:.3g}"
+                f"{', Snapshot' if wrote_snapshot else ''}\n")
+            self._logs["info"].flush()
+        if "cpu" in self._logs:
+            self._logs["cpu"].write(
+                f"Step {self.step_count - 1}, Time: {self.time:g}, "
+                f"CPUs: {self.n_dev}\n{_time.time() - t0:.2f}\n")
+
+    def domain_decomposition(self):
+        """Re-split by measured work (domain_Decomposition, domain.c:62)."""
+        self.p, self.sph = reshard_by_cost(
+            self.p, self.mesh, sph=self.sph,
+            alloc_factor=self.alloc_factor,
+            box=self.cfg.box_size if self.cfg.periodic else 0.0)
+        new_local = self.p.pos.shape[0] // self.n_dev
+        if new_local != self.n_local:
+            self.n_local = new_local
+            self._build_step()
+        self._since_reshard = 0
+
+    def run(self, max_steps: int | None = None):
+        steps = 0
+        while self.ti_current < C.TIMEBASE:
+            if self.time > self.cfg.time_max * (1 + 1e-12):
+                break
+            self.step()
+            steps += 1
+            if max_steps is not None and steps >= max_steps:
+                break
+            if self.log_dir and os.path.exists(
+                    os.path.join(self.log_dir, "stop")):
+                os.remove(os.path.join(self.log_dir, "stop"))
+                break
+            if self.cfg.time_limit_cpu > 0 and \
+                    _time.time() - self._wall_start \
+                    > 0.85 * self.cfg.time_limit_cpu:
+                break
+
+    # ------------------------------------------------------------------
+    def gather_ordered(self):
+        """Pull the sharded state to host, drop padding, restore the
+        original (type-sorted) row order by particle ID."""
+        ph = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), self.p)
+        live = ph.pid >= 0
+        # row of each live particle in the ORIGINAL layout
+        pos_in_sorted = np.searchsorted(self._pid_sorted, ph.pid[live])
+        rows = self._pid_rank[pos_in_sorted]
+        perm = np.empty(self.n_real, np.int64)
+        perm[rows] = np.nonzero(live)[0]
+        p_out = jax.tree.map(lambda a: a[perm], ph)
+        s_out = None
+        if self.sph is not None:
+            sh = jax.tree.map(lambda a: np.asarray(jax.device_get(a)),
+                              self.sph)
+            s_out = jax.tree.map(lambda a: a[perm], sh)
+        return p_out, s_out
+
+    def write_snapshot_now(self, path=None):
+        """savepositions (io.c:33) from gathered, re-ordered state."""
+        p, sph = self.gather_ordered()
+        data = build_snapshot_data(
+            self.cfg, self.units, self.tables, float(self.tbi), p, sph,
+            self.n_gas, self.ti_current, self.time,
+            entropy_is_u=self._entropy_pending_u)
+        if path is None:
+            path = os.path.join(
+                self.log_dir or ".",
+                f"{self.cfg.snapshot_file_base}_{self.snapshot_count:03d}")
+        write_snapshot_files(self.cfg, path, data)
+        self.snapshot_count += 1
+        return path
+
+    def energy_statistics(self):
+        """energy.txt line (run.c:413-433) from gathered state."""
+        p, sph = self.gather_ordered()
+        s = compute_global_quantities(
+            self.cfg, p, sph, self.tables, self.ti_current,
+            1.0 / self.time ** 3 if self.cfg.comoving_integration else 1.0)
+        if "energy" in self._logs:
+            self._logs["energy"].write(
+                format_energy_line(self.time, s) + "\n")
+            self._logs["energy"].flush()
+        return s
+
+    def save_restart(self, path: str | None = None) -> str:
+        """Restart dump (restart.c:35): gathered full state + timeline."""
+        p, sph = self.gather_ordered()
+        if path is None:
+            path = os.path.join(self.log_dir or ".", "restart_dist.npz")
+        if os.path.exists(path):
+            os.replace(path, path + ".bak")   # .bak rotation (restart.c:45)
+        payload = {f"p_{k}": getattr(p, k)
+                   for k in type(p).__dataclass_fields__}
+        if sph is not None:
+            payload.update({f"s_{k}": getattr(sph, k)
+                            for k in type(sph).__dataclass_fields__})
+        np.savez(path, ti_current=self.ti_current, min_end=self._min_end,
+                 step_count=self.step_count,
+                 num_force_updates=self.num_force_updates,
+                 snapshot_count=self.snapshot_count,
+                 next_output=self._next_output, next_stats=self._next_stats,
+                 **payload)
+        return path
