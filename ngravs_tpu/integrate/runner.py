@@ -121,6 +121,43 @@ def build_snapshot_data(cfg, units, tables, tbi, p, sph, n_gas,
     return data
 
 
+def load_initial_conditions(cfg, units, ic_path=None):
+    """read_ic (read_ic.c:31-146): load ICs into (Particles, SphState|None),
+    with InitGasTemp defaulting and the entropy floor.  The SPH entropy
+    field holds the IC internal energy u; the runner converts u -> A at the
+    first force computation (init.c:170-174)."""
+    path = ic_path or cfg.init_cond_file
+    snap = read_snapshot(path, expect_format=cfg.ic_format or None)
+    particles = Particles.create(snap.pos, snap.vel, snap.mass,
+                                 snap.pid, snap.ptype, cfg.type_to_grav)
+    ngas = int(snap.header.npart[0])
+    sph = None
+    if ngas > 0:
+        sph = SphState.zeros(particles.n)
+        u_ic = np.zeros(ngas, np.float32) if snap.u is None \
+            else np.asarray(snap.u, np.float32).copy()
+        if cfg.init_gas_temp > 0:
+            # read_ic.c:114-143: gas with u == 0 starts at InitGasTemp;
+            # mean molecular weight assumes full ionization above 1e4 K,
+            # neutral below.  Under IsothermEqs u = kT/mp with no
+            # 1/(gamma-1) or mu (read_ic.c:121-132)
+            u0 = ((C.BOLTZMANN / C.PROTONMASS) * cfg.init_gas_temp
+                  / units.unit_energy_in_cgs * units.unit_mass_in_g)
+            if not cfg.isotherm_eqs:
+                yhe = (1 - C.HYDROGEN_MASSFRAC) / (4 * C.HYDROGEN_MASSFRAC)
+                if cfg.init_gas_temp > 1e4:
+                    mu = (1 + 4 * yhe) / (1 + 3 * yhe + 1)
+                else:
+                    mu = (1 + 4 * yhe) / (1 + yhe)
+                u0 = u0 / (cfg.gamma_minus1 * mu)
+            u_ic = np.where(u_ic == 0, np.float32(u0), u_ic)
+        # entropy floor (read_ic.c:145-146)
+        u_ic = np.maximum(u_ic, units.min_egy_spec)
+        u = jnp.zeros(particles.n).at[:ngas].set(jnp.asarray(u_ic))
+        sph = sph.replace(entropy=u)  # converted to entropy later
+    return particles, sph
+
+
 def write_snapshot_files(cfg, path, data):
     """Route a SnapshotData to format 1/2/HDF5, single- or multi-file
     (savepositions/distribute_file, io.c:33-112)."""
@@ -161,37 +198,10 @@ class Simulation:
         self.force_soft = self.soft_table * C.SOFTFAC_SPLINE
 
         if particles is None:
-            path = ic_path or cfg.init_cond_file
-            snap = read_snapshot(path, expect_format=cfg.ic_format or None)
-            particles = Particles.create(snap.pos, snap.vel, snap.mass,
-                                         snap.pid, snap.ptype, cfg.type_to_grav)
-            ngas = int(snap.header.npart[0])
-            if ngas > 0 and sph is None:
-                sph = SphState.zeros(particles.n)
-                u_ic = np.zeros(ngas, np.float32) if snap.u is None \
-                    else np.asarray(snap.u, np.float32).copy()
-                if cfg.init_gas_temp > 0:
-                    # read_ic.c:114-143: gas with u == 0 starts at
-                    # InitGasTemp; mean molecular weight assumes full
-                    # ionization above 1e4 K, neutral below.  Under
-                    # IsothermEqs u = kT/mp with no 1/(gamma-1) or mu
-                    # (read_ic.c:121-132)
-                    u0 = ((C.BOLTZMANN / C.PROTONMASS) * cfg.init_gas_temp
-                          / self.units.unit_energy_in_cgs
-                          * self.units.unit_mass_in_g)
-                    if not cfg.isotherm_eqs:
-                        yhe = (1 - C.HYDROGEN_MASSFRAC) \
-                            / (4 * C.HYDROGEN_MASSFRAC)
-                        if cfg.init_gas_temp > 1e4:
-                            mu = (1 + 4 * yhe) / (1 + 3 * yhe + 1)
-                        else:
-                            mu = (1 + 4 * yhe) / (1 + yhe)
-                        u0 = u0 / (cfg.gamma_minus1 * mu)
-                    u_ic = np.where(u_ic == 0, np.float32(u0), u_ic)
-                # entropy floor (read_ic.c:145-146)
-                u_ic = np.maximum(u_ic, self.units.min_egy_spec)
-                u = jnp.zeros(particles.n).at[:ngas].set(jnp.asarray(u_ic))
-                sph = sph.replace(entropy=u)  # converted to entropy later
+            particles, sph_ic = load_initial_conditions(
+                cfg, self.units, ic_path=ic_path)
+            if sph is None:
+                sph = sph_ic
         self.p = particles
         self.sph = sph
         self.n_gas = int(np.asarray(self.p.ptype == 0).sum()) if sph is not None else 0

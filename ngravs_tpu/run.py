@@ -1,7 +1,10 @@
-"""Command-line driver: `python -m ngravs_tpu.run <paramfile> [restartflag]`.
+"""Command-line driver:
+`python -m ngravs_tpu.run <paramfile> [restartflag] [--devices K]`.
 
 Mirrors the reference CLI (main.c:39-54): restartflag 0 = start from ICs,
-1 = resume from checkpoint, 2 = start from a snapshot file.
+1 = resume from checkpoint, 2 = start from a snapshot file.  `--devices K`
+is the `mpirun -n K` analog: it runs the pod-sharded main loop over a
+K-device mesh (DistributedSimulation) instead of the single-chip driver.
 """
 
 from __future__ import annotations
@@ -13,14 +16,21 @@ from .integrate.runner import Simulation
 
 
 def main(argv=None):
-    argv = argv if argv is not None else sys.argv[1:]
+    argv = list(argv) if argv is not None else sys.argv[1:]
+    devices = 0
+    if "--devices" in argv:
+        i = argv.index("--devices")
+        devices = int(argv[i + 1])
+        del argv[i:i + 2]
     if not argv:
-        print("usage: python -m ngravs_tpu.run <parameterfile> [restartflag]",
-              file=sys.stderr)
+        print("usage: python -m ngravs_tpu.run <parameterfile> "
+              "[restartflag] [--devices K]", file=sys.stderr)
         return 1
     paramfile = argv[0]
     restartflag = int(argv[1]) if len(argv) > 1 else 0
     cfg = read_parameter_file(paramfile)
+    if devices > 1:
+        return _main_distributed(cfg, restartflag, devices)
     try:
         # parameter echo (begrun.c:619): <paramfile>-usedvalues
         write_usedvalues(cfg, paramfile + "-usedvalues")
@@ -48,6 +58,39 @@ def main(argv=None):
     print(f"done: {steps} steps, {sim.snapshot_count} snapshots, "
           f"final time {sim.time:.6g}")
     sim.close()
+    return 0
+
+
+def _main_distributed(cfg, restartflag: int, devices: int):
+    """Pod-sharded run (the `mpirun -n K` analog)."""
+    from .integrate.runner import load_initial_conditions
+    from .parallel.mesh import make_mesh
+    from .parallel.runner import DistributedSimulation
+    from .units import set_units
+
+    if restartflag not in (0, 2):
+        print("distributed restartflag 1 not supported yet; use the "
+              "single-chip driver to resume", file=sys.stderr)
+        return 1
+    ic_path = None
+    if restartflag == 2:
+        import glob
+        snaps = sorted(glob.glob(
+            f"{cfg.output_dir}/{cfg.snapshot_file_base}_*"))
+        if not snaps:
+            print("no snapshot found for RestartFlag=2", file=sys.stderr)
+            return 1
+        ic_path = snaps[-1]
+    units = set_units(cfg)
+    p, sph = load_initial_conditions(cfg, units, ic_path=ic_path)
+    sim = DistributedSimulation(cfg, p, sph=sph, mesh=make_mesh(devices),
+                                entropy_is_u=sph is not None)
+    print(f"ngravs_tpu: {p.pos.shape[0]} particles over {devices} devices, "
+          f"n_gravs={cfg.n_gravs}, wiring={cfg.wiring}, "
+          f"t in [{cfg.time_begin}, {cfg.time_max}]")
+    sim.run()
+    print(f"done: {sim.step_count} steps, {sim.snapshot_count} snapshots, "
+          f"final time {sim.time:.6g}")
     return 0
 
 
