@@ -118,7 +118,8 @@ class DistributedSimulation:
             os.makedirs(self.log_dir, exist_ok=True)
             for key, fname in [("info", cfg.info_file),
                                ("energy", cfg.energy_file),
-                               ("cpu", cfg.cpu_file)]:
+                               ("cpu", cfg.cpu_file),
+                               ("timings", cfg.timings_file)]:
                 self._logs[key] = open(os.path.join(self.log_dir, fname), "w")
         self._next_output = (cfg.time_of_first_snapshot
                              if cfg.time_bet_snapshot > 0 else float("inf"))
@@ -231,6 +232,27 @@ class DistributedSimulation:
             self._logs["cpu"].write(
                 f"Step {self.step_count - 1}, Time: {self.time:g}, "
                 f"CPUs: {self.n_dev}\n{_time.time() - t0:.2f}\n")
+        if "timings" in self._logs:
+            # per-gravity-computation detail (gravtree.c:408-445):
+            # throughput, interactions/particle, work-load balance from the
+            # measured per-shard interaction counts
+            cost = np.asarray(jax.device_get(self.p.grav_cost)) \
+                .reshape(self.n_dev, self.n_local)
+            live = np.asarray(jax.device_get(self.p.pid)) \
+                .reshape(self.n_dev, self.n_local) >= 0
+            work = (cost * live).sum(axis=1)
+            tot = work.sum()
+            bal = work.max() * self.n_dev / max(tot, 1e-30)
+            dt_step = _time.time() - t0
+            self._logs["timings"].write(
+                f"Step= {self.step_count - 1}  t= {self.time:g}  "
+                f"parts= {self.n_real}\n"
+                f"part/sec= {self.n_real / max(dt_step, 1e-9):.6g}  "
+                f"ia/part= {tot / max(self.n_real, 1):.6g}\n"
+                f"work-load balance: {bal:.4g}  "
+                f"particle-load balance: "
+                f"{live.sum(axis=1).max() * self.n_dev / max(live.sum(), 1):.4g}\n\n")
+            self._logs["timings"].flush()
 
     def domain_decomposition(self):
         """Re-split by measured work (domain_Decomposition, domain.c:62)."""
@@ -246,6 +268,7 @@ class DistributedSimulation:
 
     def run(self, max_steps: int | None = None):
         steps = 0
+        last_restart = _time.time()
         while self.ti_current < C.TIMEBASE:
             if self.time > self.cfg.time_max * (1 + 1e-12):
                 break
@@ -253,14 +276,25 @@ class DistributedSimulation:
             steps += 1
             if max_steps is not None and steps >= max_steps:
                 break
+            # graceful interruption + restart write (run.c:67-103)
             if self.log_dir and os.path.exists(
                     os.path.join(self.log_dir, "stop")):
                 os.remove(os.path.join(self.log_dir, "stop"))
+                if self.log_dir:
+                    self.save_restart()
                 break
             if self.cfg.time_limit_cpu > 0 and \
                     _time.time() - self._wall_start \
                     > 0.85 * self.cfg.time_limit_cpu:
+                if self.log_dir:
+                    self.save_restart()
                 break
+            # periodic safety restart writes (run.c:108-125)
+            if self.log_dir and self.cfg.cpu_time_bet_restart_file > 0 \
+                    and _time.time() - last_restart \
+                    > self.cfg.cpu_time_bet_restart_file:
+                self.save_restart()
+                last_restart = _time.time()
 
     # ------------------------------------------------------------------
     def gather_ordered(self):
@@ -327,3 +361,36 @@ class DistributedSimulation:
                  next_output=self._next_output, next_stats=self._next_stats,
                  **payload)
         return path
+
+    def resume(self, path: str | None = None):
+        """Exact continuation from a restart dump (restart.c:35,
+        RestartFlag=1): full integrator state incl. timeline scalars; the
+        sharding is rebuilt, not stored (the tree is always rebuilt)."""
+        from ..particles import Particles, SphState
+
+        if path is None:
+            path = os.path.join(self.log_dir or ".", "restart_dist.npz")
+        z = np.load(path)
+        p_kw = {k: jnp.asarray(z[f"p_{k}"])
+                for k in Particles.__dataclass_fields__}
+        p = Particles(**p_kw)
+        sph = None
+        if any(k.startswith("s_") for k in z.files):
+            sph = SphState(**{k: jnp.asarray(z[f"s_{k}"])
+                              for k in SphState.__dataclass_fields__})
+        self.p, self.sph = reshard_by_cost(
+            p, self.mesh, sph=sph, alloc_factor=self.alloc_factor,
+            box=self.cfg.box_size if self.cfg.periodic else 0.0)
+        new_local = self.p.pos.shape[0] // self.n_dev
+        if new_local != self.n_local:
+            self.n_local = new_local
+            self._build_step()
+        self.ti_current = int(z["ti_current"])
+        self._min_end = int(z["min_end"])
+        self.step_count = int(z["step_count"])
+        self.num_force_updates = int(z["num_force_updates"])
+        self.snapshot_count = int(z["snapshot_count"])
+        self._next_output = float(z["next_output"])
+        self._next_stats = float(z["next_stats"])
+        self._since_reshard = 0
+        self._entropy_pending_u = False  # dump holds the entropy variable

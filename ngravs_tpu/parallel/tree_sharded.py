@@ -110,16 +110,22 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
         # unsort via tree.order, slice my original-index range
         acc_sorted = gath(res.acc)                       # [N,3] sorted order
         pot_sorted = gath(res.pot)
+        nia_sorted = gath(res.ninteract.astype(acc_sorted.dtype))
         n_tot = acc_sorted.shape[0]
         acc_full = jnp.zeros((n_tot, 3), acc_sorted.dtype) \
             .at[tree.order].set(acc_sorted)
         pot_full = jnp.zeros((n_tot,), pot_sorted.dtype) \
             .at[tree.order].set(pot_sorted)
+        nia_full = jnp.zeros((n_tot,), nia_sorted.dtype) \
+            .at[tree.order].set(nia_sorted)
         acc = jax.lax.dynamic_slice(acc_full, (my * nloc, 0), (nloc, 3)) * G
         pot = jax.lax.dynamic_slice(pot_full, (my * nloc,), (nloc,)) * G
         p = p.replace(accel=acc, potential=pot,
                       old_acc=jnp.linalg.norm(acc, axis=-1),
-                      grav_cost=p.grav_cost)
+                      # measured work for the next decomposition
+                      # (GravCost, forcetree.c:1595 / domain.c:859-862)
+                      grav_cost=jax.lax.dynamic_slice(
+                          nia_full, (my * nloc,), (nloc,)))
 
         # kick the active set (timestep.c) — purely local, masked
         p, _ = kick(cfg, units, p, None, tables, ti_next,

@@ -68,10 +68,6 @@ def _main_distributed(cfg, restartflag: int, devices: int):
     from .parallel.runner import DistributedSimulation
     from .units import set_units
 
-    if restartflag not in (0, 2):
-        print("distributed restartflag 1 not supported yet; use the "
-              "single-chip driver to resume", file=sys.stderr)
-        return 1
     ic_path = None
     if restartflag == 2:
         import glob
@@ -83,8 +79,12 @@ def _main_distributed(cfg, restartflag: int, devices: int):
         ic_path = snaps[-1]
     units = set_units(cfg)
     p, sph = load_initial_conditions(cfg, units, ic_path=ic_path)
-    sim = DistributedSimulation(cfg, p, sph=sph, mesh=make_mesh(devices),
-                                entropy_is_u=sph is not None)
+    sim = DistributedSimulation(
+        cfg, p, sph=sph, mesh=make_mesh(devices),
+        entropy_is_u=sph is not None and restartflag != 1)
+    if restartflag == 1:
+        # resume from the distributed restart dump (restart.c:35)
+        sim.resume()
     print(f"ngravs_tpu: {p.pos.shape[0]} particles over {devices} devices, "
           f"n_gravs={cfg.n_gravs}, wiring={cfg.wiring}, "
           f"t in [{cfg.time_begin}, {cfg.time_max}]")

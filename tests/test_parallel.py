@@ -369,3 +369,39 @@ def test_distributed_simulation_runs(tmp_path):
     z = np.load(path)
     assert int(z["ti_current"]) == sim.ti_current
     assert z["p_pos"].shape == (p.pos.shape[0], 3)
+
+
+def test_distributed_restart_roundtrip(tmp_path):
+    """Distributed restart: save after k steps, resume in a fresh driver,
+    and the continued trajectory matches an uninterrupted run."""
+    from ngravs_tpu.parallel.runner import DistributedSimulation
+
+    def make(td):
+        cfg, p, sph = _gas_halo_system(n_gas=512, n_halo=512)
+        cfg = cfg.replace(output_dir=str(td), time_max=0.02)
+        return cfg, p, sph
+
+    mesh = make_mesh(8)
+    cfg, p, sph = make(tmp_path)
+    simA = DistributedSimulation(cfg, p, sph=sph, mesh=mesh,
+                                 log_dir=str(tmp_path), entropy_is_u=True,
+                                 cand_cap=1024, fcap=16384)
+    simA.run(max_steps=3)
+    path = simA.save_restart()
+    simA.run(max_steps=2)
+    pA, sA = simA.gather_ordered()
+
+    cfg2, p2, sph2 = make(tmp_path)
+    simB = DistributedSimulation(cfg2, p2, sph=sph2, mesh=mesh,
+                                 log_dir="", cand_cap=simA.cand_cap,
+                                 fcap=16384)
+    simB.resume(path)
+    simB.run(max_steps=2)
+    pB, sB = simB.gather_ordered()
+
+    assert simB.step_count == simA.step_count
+    assert simB.ti_current == simA.ti_current
+    np.testing.assert_array_equal(pB.pid, pA.pid)
+    np.testing.assert_allclose(pB.pos, pA.pos, atol=1e-6)
+    np.testing.assert_allclose(pB.vel, pA.vel, atol=1e-6)
+    np.testing.assert_allclose(sB.entropy, sA.entropy, rtol=1e-6)
