@@ -196,38 +196,29 @@ def reshard_by_cost(p, mesh, sph=None, alloc_factor: float = 1.25,
     Host-orchestrated like the reference's decomposition; returns
     (p', sph') re-sharded over `mesh` with n_local = capacity.
     """
-    from ..ops.morton import morton_keys2, sort_by_keys2
+    from .domain_native import morton_argsort_host, weighted_split_host
 
     n_dev = mesh.devices.size
-    pos = jnp.asarray(p.pos)
+    pos = np.asarray(jax.device_get(p.pos), np.float32)
     if box > 0:
-        corner = jnp.zeros(3, pos.dtype)
+        corner = np.zeros(3)
         inv_len = 1.0 / box
     else:
-        lo = jnp.min(pos, axis=0)
-        hi = jnp.max(pos, axis=0)
-        root_len = jnp.max(hi - lo) * 1.0001 + 1e-30
+        lo = pos.min(axis=0).astype(np.float64)
+        hi = pos.max(axis=0).astype(np.float64)
+        root_len = (hi - lo).max() * 1.0001 + 1e-30
         corner = (lo + hi) / 2 - root_len / 2
         inv_len = 1.0 / root_len
-    khi, klo = morton_keys2(pos, corner, inv_len, 10)
-    order = np.asarray(jax.device_get(sort_by_keys2(khi, klo)))
+    # native (C++/OpenMP) key + sort + split kernels; numpy fallback
+    order = morton_argsort_host(pos, corner, inv_len)
     n = order.shape[0]
 
     w = 1.0 + np.asarray(jax.device_get(p.grav_cost), np.float64)
     if dt_inv is not None:
         w *= np.asarray(jax.device_get(dt_inv), np.float64)
     w = np.where(np.asarray(jax.device_get(p.pid)) >= 0, w, 0.0)[order]
-    cumw = np.concatenate([[0.0], np.cumsum(w)])
     cap = int(math.ceil(n / n_dev * alloc_factor))
-    total = cumw[-1]
-    bounds = [0]
-    for k in range(1, n_dev):
-        b = int(np.searchsorted(cumw, k * total / n_dev))
-        b = min(max(b, bounds[-1]), bounds[-1] + cap, n)
-        # leave enough room for the remaining shards' capacity
-        b = max(b, n - (n_dev - k) * cap)
-        bounds.append(b)
-    bounds.append(n)
+    bounds = weighted_split_host(w, n_dev, cap)
 
     host = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), p)
     host_s = jax.tree.map(lambda a: a[order], host)
