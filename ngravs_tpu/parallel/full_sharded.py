@@ -205,6 +205,7 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
         # ---- gravity: walk my contiguous slice of sorted targets ----------
         tgt_g = my * nloc + jnp.arange(nloc, dtype=jnp.int32)
         res = walk.static(tree, tgt_g, fcap=fcap)
+        walk_ovf = res.overflow          # node/leaf/frontier caps exceeded
         acc_sorted, pot_sorted = gath(res.acc), gath(res.pot)
         nia_sorted = gath(res.ninteract.astype(acc_sorted.dtype))
         acc_full = jnp.zeros((n_tot, 3), acc_sorted.dtype) \
@@ -328,7 +329,7 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
         p, sph = kick(cfg, units, p, sph, tables, ti_next,
                       cfg.max_size_timestep, soft_by_type, time_next)
         min_end = jax.lax.pmin(jnp.min(p.ti_endstep), AXIS)
-        ovf = jax.lax.pmax(ovf, AXIS)
+        ovf = jax.lax.pmax(ovf | walk_ovf, AXIS)
         return p, sph, min_end, ovf
 
     step = jax.shard_map(

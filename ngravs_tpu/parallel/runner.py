@@ -75,6 +75,8 @@ class DistributedSimulation:
         self.cand_cap = cand_cap
         self.fcap = fcap
         self.sph_group = sph_group
+        self.node_list_cap = 4096
+        self.leaf_list_cap = 4096
         self.tbi = timebase_interval(cfg)
 
         self.n_real = int(particles.pos.shape[0])
@@ -135,11 +137,15 @@ class DistributedSimulation:
             self._step_fn = make_sharded_full_step(
                 cfg, self.units, self.wiring, self.tables, self.mesh,
                 n_local=self.n_local, sph_group=self.sph_group,
-                cand_cap=self.cand_cap, fcap=self.fcap)
+                cand_cap=self.cand_cap, fcap=self.fcap,
+                node_list_cap=self.node_list_cap,
+                leaf_list_cap=self.leaf_list_cap)
         else:
             self._step_fn = make_sharded_tree_step(
                 cfg, self.units, self.wiring, self.tables, self.mesh,
-                n_local=self.n_local, fcap=self.fcap)
+                n_local=self.n_local, fcap=self.fcap,
+                node_list_cap=self.node_list_cap,
+                leaf_list_cap=self.leaf_list_cap)
 
     @property
     def time(self) -> float:
@@ -166,7 +172,13 @@ class DistributedSimulation:
                               hsml=s_tmp.hsml, density=s_tmp.density)
 
     def _grow_caps(self):
+        # bunch-buffer growth analog (allocate.c:44-76): the overflow flag
+        # covers both the SPH candidate caps and the walk's node/leaf/
+        # frontier caps, so grow them together
         self.cand_cap *= 2
+        self.fcap *= 2
+        self.node_list_cap *= 2
+        self.leaf_list_cap *= 2
         self._build_step()
 
     # ------------------------------------------------------------------

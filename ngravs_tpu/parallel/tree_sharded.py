@@ -131,12 +131,13 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
         p, _ = kick(cfg, units, p, None, tables, ti_next,
                     cfg.max_size_timestep, soft_by_type, time_next)
         min_end = jax.lax.pmin(jnp.min(p.ti_endstep), AXIS)
-        return p, min_end
+        ovf = jax.lax.pmax(res.overflow, AXIS)
+        return p, min_end, ovf
 
     step = jax.shard_map(
         _step, mesh=mesh,
         in_specs=(P(AXIS), P(), P(), P()),
-        out_specs=(P(AXIS), P()),
+        out_specs=(P(AXIS), P(), P()),
         check_vma=False,
     )
     return jax.jit(step)

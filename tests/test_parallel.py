@@ -113,7 +113,7 @@ def test_sharded_tree_step_matches_direct(system):
     nloc = ps.pos.shape[0] // 8
     step = make_sharded_tree_step(cfg, units, wiring, tables, mesh,
                                   n_local=nloc, opening="bh")
-    p_out, min_end = step(ps, 0, 0, cfg.time_begin)
+    p_out, min_end, _ = step(ps, 0, 0, cfg.time_begin)
 
     fsoft = jnp.asarray(np.array(cfg.softening, np.float32) * SOFTFAC_SPLINE)[p.ptype]
     acc_ref, _ = direct_forces(wiring, p.pos, p.mass, p.grav, fsoft, chunk=512)
@@ -311,12 +311,12 @@ def test_reshard_by_cost_balances_work(system):
     tables = make_tables(cfg, units)
     step2 = make_sharded_tree_step(cfg, units, wiring, tables, mesh,
                                    n_local=cap, opening="bh")
-    pr2, _ = step2(p2, 0, 0, cfg.time_begin)
+    pr2, _, _ = step2(p2, 0, 0, cfg.time_begin)
     p3 = reshard_by_morton(shard_particles(p, mesh), mesh)
     step3 = make_sharded_tree_step(cfg, units, wiring, tables, mesh,
                                    n_local=p3.pos.shape[0] // n_dev,
                                    opening="bh")
-    pr3, _ = step3(p3, 0, 0, cfg.time_begin)
+    pr3, _, _ = step3(p3, 0, 0, cfg.time_begin)
     a2 = np.asarray(jax.device_get(pr2.accel))
     i2 = np.asarray(jax.device_get(pr2.pid))
     a3 = np.asarray(jax.device_get(pr3.accel))
