@@ -916,7 +916,18 @@ class Simulation:
             if self.cfg.timeline_time_max \
                     and self.time > self.cfg.time_max * (1 + 1e-12):
                 break
-            self.step()
+            try:
+                self.step()
+            except Exception:
+                # crash dump (dump_particles, forcetree.c:3557): full state
+                # for post-mortem before re-raising
+                if self.log_dir:
+                    try:
+                        self.save_restart(os.path.join(
+                            self.log_dir, "crash_dump.npz"))
+                    except Exception:
+                        pass
+                raise
             steps += 1
             if max_steps is not None and steps >= max_steps:
                 break

@@ -284,7 +284,17 @@ class DistributedSimulation:
         while self.ti_current < C.TIMEBASE:
             if self.time > self.cfg.time_max * (1 + 1e-12):
                 break
-            self.step()
+            try:
+                self.step()
+            except Exception:
+                # crash dump (dump_particles, forcetree.c:3557)
+                if self.log_dir:
+                    try:
+                        self.save_restart(os.path.join(
+                            self.log_dir, "crash_dump.npz"))
+                    except Exception:
+                        pass
+                raise
             steps += 1
             if max_steps is not None and steps >= max_steps:
                 break
