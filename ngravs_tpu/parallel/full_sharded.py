@@ -52,7 +52,7 @@ from ..ops.sph import (K3D, MAXITER, Kernel, density_pass, hsml_update,
                        hydro_pass, make_sph_gather)
 from ..ops.tree import build_tree, level_caps, make_tree_forces
 from ..ops.morton import level_key2
-from .mesh import AXIS
+from .mesh import AXIS, sharded_dt_displacement
 
 
 def _update_node_hmax(tree, depth: int):
@@ -87,7 +87,8 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
                            cand_cap: int = 2048,
                            sph_frontier_cap: int = 1024,
                            opening: str | None = None,
-                           sph_maxiter: int = MAXITER):
+                           sph_maxiter: int = MAXITER,
+                           leaf_factor: float = 4.0):
     """Build the jitted full step over the mesh.
 
     Returns step(p, sph, ti_current, ti_next, time_next) ->
@@ -135,7 +136,8 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
         node_list_cap=node_list_cap, leaf_list_cap=leaf_list_cap,
         bucket=bucket, depth=depth,
         theta=cfg.err_tol_theta, opening=opening, box_size=box,
-        block_batch=max(1, min(8, n_local // group)), treepm=treepm)
+        block_batch=max(1, min(8, n_local // group)), treepm=treepm,
+        leaf_factor=leaf_factor)
 
     gather_d = make_sph_gather(depth=depth, bucket=bucket,
                                cand_cap=cand_cap,
@@ -325,9 +327,11 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
             max_signal_vel=sph.max_signal_vel.at[flat].set(
                 maxsig.reshape(-1), mode="drop"))
 
-        # ---- kick + sync point (timestep.c; run.c:165) ---------------------
+        # ---- kick + sync point (timestep.c; run.c:165), with the
+        # cross-shard RMS-displacement constraint (timestep.c:587-651) ----
         p, sph = kick(cfg, units, p, sph, tables, ti_next,
-                      cfg.max_size_timestep, soft_by_type, time_next)
+                      sharded_dt_displacement(cfg, units, p, time_next),
+                      soft_by_type, time_next)
         min_end = jax.lax.pmin(jnp.min(p.ti_endstep), AXIS)
         ovf = jax.lax.pmax(ovf | walk_ovf, AXIS)
         return p, sph, min_end, ovf

@@ -61,6 +61,41 @@ def shard_particles(p, mesh: Mesh):
     return jax.tree.map(lambda a: jax.device_put(a, sharding), p)
 
 
+def sharded_dt_displacement(cfg, units, p, atime):
+    """find_dt_displacement_constraint (timestep.c:587-651) with
+    cross-shard psum/pmin reductions: global RMS-displacement timestep
+    limit per type, mesh-aware under PMGRID; MaxSizeTimestep when not
+    comoving (timestep.c:596-597).  Call inside shard_map."""
+    import math
+
+    dt_min = jnp.asarray(cfg.max_size_timestep, jnp.float32)
+    if not cfg.comoving_integration:
+        return dt_min
+    a = atime
+    h2 = (cfg.omega0 / (a * a * a)
+          + (1 - cfg.omega0 - cfg.omega_lambda) / (a * a)
+          + cfg.omega_lambda)
+    hfac = units.hubble * jnp.sqrt(h2) * a * a          # a^2 H(a)
+    rho_fac = 3 * units.hubble ** 2 / (8 * math.pi * units.G)
+    for t in range(6):
+        sel = (p.ptype == t) & (p.pid >= 0)
+        count = jax.lax.psum(jnp.sum(sel), AXIS)
+        v2 = jax.lax.psum(
+            jnp.sum(jnp.where(sel[:, None], p.vel ** 2, 0.0)), AXIS)
+        vrms = jnp.sqrt(v2 / jnp.maximum(count, 1))
+        min_mass = jax.lax.pmin(
+            jnp.min(jnp.where(sel, p.mass, jnp.inf)), AXIS)
+        omega_t = cfg.omega_baryon if t == 0 \
+            else cfg.omega0 - cfg.omega_baryon
+        dmean = (min_mass / jnp.maximum(omega_t * rho_fac, 1e-37)) ** (1. / 3)
+        if cfg.pmgrid:
+            dmean = jnp.minimum(dmean, cfg.asmth * cfg.box_size / cfg.pmgrid)
+        dt_t = (cfg.max_rms_displacement_fac * hfac * dmean
+                / jnp.maximum(vrms, 1e-30))
+        dt_min = jnp.where(count > 0, jnp.minimum(dt_min, dt_t), dt_min)
+    return dt_min
+
+
 def make_sharded_step(cfg, units, wiring, tables, mesh: Mesh,
                       chunk: int = 512):
     """Build a jitted full simulation step over the mesh:

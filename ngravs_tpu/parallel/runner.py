@@ -77,6 +77,7 @@ class DistributedSimulation:
         self.sph_group = sph_group
         self.node_list_cap = 4096
         self.leaf_list_cap = 4096
+        self.leaf_factor = 4.0
         self.tbi = timebase_interval(cfg)
 
         self.n_real = int(particles.pos.shape[0])
@@ -139,13 +140,15 @@ class DistributedSimulation:
                 n_local=self.n_local, sph_group=self.sph_group,
                 cand_cap=self.cand_cap, fcap=self.fcap,
                 node_list_cap=self.node_list_cap,
-                leaf_list_cap=self.leaf_list_cap)
+                leaf_list_cap=self.leaf_list_cap,
+                leaf_factor=self.leaf_factor)
         else:
             self._step_fn = make_sharded_tree_step(
                 cfg, self.units, self.wiring, self.tables, self.mesh,
                 n_local=self.n_local, fcap=self.fcap,
                 node_list_cap=self.node_list_cap,
-                leaf_list_cap=self.leaf_list_cap)
+                leaf_list_cap=self.leaf_list_cap,
+                leaf_factor=self.leaf_factor)
 
     @property
     def time(self) -> float:
@@ -179,6 +182,7 @@ class DistributedSimulation:
         self.fcap *= 2
         self.node_list_cap *= 2
         self.leaf_list_cap *= 2
+        self.leaf_factor = min(self.leaf_factor * 2, 8.0)
         self._build_step()
 
     # ------------------------------------------------------------------

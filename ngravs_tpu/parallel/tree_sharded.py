@@ -40,7 +40,7 @@ from jax.sharding import PartitionSpec as P
 from ..constants import SOFTFAC_SPLINE
 from ..integrate.kdk import kick
 from ..ops.tree import build_tree, make_tree_forces
-from .mesh import AXIS
+from .mesh import AXIS, sharded_dt_displacement
 
 
 def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
@@ -50,7 +50,8 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
                            node_list_cap: int = 4096,
                            leaf_list_cap: int = 4096,
                            fcap: int = 65536,
-                           opening: str | None = None):
+                           opening: str | None = None,
+                           leaf_factor: float = 4.0):
     """Build a jitted full simulation step over the mesh with tree forces:
     drift(all) -> all_gather sources -> replicated tree build -> per-shard
     static walk of the local target slice -> kick -> pmin sync point.
@@ -76,7 +77,8 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
         node_list_cap=node_list_cap, leaf_list_cap=leaf_list_cap,
         bucket=cfg.tree_bucket_size, depth=depth,
         theta=cfg.err_tol_theta, opening=opening, box_size=box,
-        block_batch=max(1, min(8, n_local // group)))
+        block_batch=max(1, min(8, n_local // group)),
+        leaf_factor=leaf_factor)
 
     def _step(p, ti_current, ti_next, time_next):
         nloc = p.pos.shape[0]
@@ -127,9 +129,11 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
                       grav_cost=jax.lax.dynamic_slice(
                           nia_full, (my * nloc,), (nloc,)))
 
-        # kick the active set (timestep.c) — purely local, masked
+        # kick the active set (timestep.c) — purely local, masked, with
+        # the cross-shard RMS-displacement constraint (timestep.c:587-651)
         p, _ = kick(cfg, units, p, None, tables, ti_next,
-                    cfg.max_size_timestep, soft_by_type, time_next)
+                    sharded_dt_displacement(cfg, units, p, time_next),
+                    soft_by_type, time_next)
         min_end = jax.lax.pmin(jnp.min(p.ti_endstep), AXIS)
         ovf = jax.lax.pmax(res.overflow, AXIS)
         return p, min_end, ovf

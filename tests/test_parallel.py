@@ -233,7 +233,8 @@ def _run_full_step(cfg, p, sph, n_dev):
         sph)
     nloc = ps.pos.shape[0] // n_dev
     step = make_sharded_full_step(cfg, units, wiring, tables, mesh,
-                                  n_local=nloc)
+                                  n_local=nloc, node_list_cap=16384,
+                                  leaf_list_cap=16384, leaf_factor=8.0)
     p2, sph2, min_end, ovf = step(ps, sphs, 0, 0, cfg.time_begin)
     assert not bool(ovf), "SPH candidate caps overflowed"
     return (jax.device_get(p2), jax.device_get(sph2), int(min_end))
@@ -405,3 +406,32 @@ def test_distributed_restart_roundtrip(tmp_path):
     np.testing.assert_allclose(pB.pos, pA.pos, atol=1e-6)
     np.testing.assert_allclose(pB.vel, pA.vel, atol=1e-6)
     np.testing.assert_allclose(sB.entropy, sA.entropy, rtol=1e-6)
+
+
+def test_sharded_dt_displacement_matches_single_chip():
+    """The cross-shard RMS-displacement constraint must equal the
+    single-chip computation (find_dt_displacement_constraint,
+    timestep.c:587-651)."""
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from ngravs_tpu.integrate.runner import Simulation
+    from ngravs_tpu.parallel.mesh import AXIS, sharded_dt_displacement
+    from ngravs_tpu.particles import SphState
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_cosmological import _cosmo_box
+
+    cfg, p, sph = _cosmo_box(n_side=8)
+    sim = Simulation(cfg, particles=p, sph=sph, log_dir="")
+    ref = float(sim._dt_disp(p, cfg.time_begin))
+    assert ref < cfg.max_size_timestep  # the constraint actually binds
+
+    mesh = make_mesh(8)
+    ps = shard_particles(p, mesh)
+    units = set_units(cfg)
+    fn = jax.jit(jax.shard_map(
+        lambda q: sharded_dt_displacement(cfg, units, q, cfg.time_begin),
+        mesh=mesh, in_specs=(P(AXIS),), out_specs=P(), check_vma=False))
+    got = float(fn(ps))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
