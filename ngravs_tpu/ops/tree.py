@@ -1171,17 +1171,32 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
             tree, wtab, tpos_a, tgid_a, taold_a, rel)
 
         ev = _eval_for(ent_cap, chunk_cap, bbe)
-        accs, pots, nias = [], [], []
-        for b in range(0, nbp, bbe):
-            blk = jnp.arange(b, b + bbe, dtype=jnp.int32)
-            a, p, ni = ev(tree, gsrc, ent, chk, n_chk,
-                          tpos_a, tmass_a, tgrav_a, tfsoft_a, tgid_a, blk)
-            accs.append(a)
-            pots.append(p)
-            nias.append(ni)
+        nbatches = nbp // bbe
+        if nbatches <= 16:
+            accs, pots, nias = [], [], []
+            for b in range(0, nbp, bbe):
+                blk = jnp.arange(b, b + bbe, dtype=jnp.int32)
+                a, p, ni = ev(tree, gsrc, ent, chk, n_chk,
+                              tpos_a, tmass_a, tgrav_a, tfsoft_a, tgid_a, blk)
+                accs.append(a)
+                pots.append(p)
+                nias.append(ni)
+            acc_all = jnp.concatenate(accs)
+            pot_all = jnp.concatenate(pots)
+            nia_all = jnp.concatenate(nias)
+        else:
+            # many batches: one traced body scanned over batches instead of
+            # an unrolled python loop — compile time and program size stay
+            # O(1) in N (essential at 10^6-10^8 targets)
+            blks = jnp.arange(nbp, dtype=jnp.int32).reshape(nbatches, bbe)
+            acc_all, pot_all, nia_all = jax.lax.map(
+                lambda blk: ev(tree, gsrc, ent, chk, n_chk, tpos_a, tmass_a,
+                               tgrav_a, tfsoft_a, tgid_a, blk), blks)
+            acc_all = acc_all.reshape(nbp, G, 3)
+            pot_all = pot_all.reshape(nbp, G)
+            nia_all = nia_all.reshape(nbp, G)
         acc, pot, nia = _assemble(
-            jnp.arange(nbp, dtype=jnp.int32), jnp.concatenate(accs),
-            jnp.concatenate(pots), jnp.concatenate(nias), nt)
+            jnp.arange(nbp, dtype=jnp.int32), acc_all, pot_all, nia_all, nt)
         mx_e = jnp.max(n_ent)
         mx_c = jnp.max(n_chk)
         return WalkResult(acc, pot, nia, ovf, mx_e, mx_c, fmax)

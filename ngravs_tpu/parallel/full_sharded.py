@@ -88,7 +88,8 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
                            sph_frontier_cap: int = 1024,
                            opening: str | None = None,
                            sph_maxiter: int = MAXITER,
-                           leaf_factor: float = 4.0):
+                           leaf_factor: float = 4.0,
+                           sph_chunk_blocks: int = 8):
     """Build the jitted full step over the mesh.
 
     Returns step(p, sph, ti_current, ti_next, time_next) ->
@@ -159,18 +160,37 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
             it, hsml, left, right, rho, wngb, dh, dv, rv, conv, ovf = st
             return (it < sph_maxiter) & ~jnp.all(conv | ~active)
 
+        nb, Gs = tgt.shape
+        cb = max(1, min(sph_chunk_blocks, nb))
+        nchunk = nb // cb   # caller pads nb to a multiple of cb
+
         def body(st):
             it, hsml, left, right, _, _, _, _, _, _, ovf = st
-            cands = gather_d(tree, tgt, hsml)
-            rho, wngb, dh, dv, rv = density_pass(
-                tree, tgt, hsml, vpt, cands, vel_pred_all,
-                box_size=box_t, kernel=kern)
+
+            # gather + density sums scanned over block chunks so memory is
+            # O(cb * G * cand_cap), not O(nb * ...) — essential at 10^6+
+            def chunk(args):
+                tgt_c, hsml_c, vpt_c = args
+                cands = gather_d(tree, tgt_c, hsml_c)
+                r = density_pass(tree, tgt_c, hsml_c, vpt_c, cands,
+                                 vel_pred_all, box_size=box_t, kernel=kern)
+                return (*r, cands.overflow)
+
+            rho, wngb, dh, dv, rv, ovs = jax.lax.map(
+                chunk, (tgt.reshape(nchunk, cb, Gs),
+                        hsml.reshape(nchunk, cb, Gs),
+                        vpt.reshape(nchunk, cb, Gs, 3)))
+            rho = rho.reshape(nb, Gs)
+            wngb = wngb.reshape(nb, Gs)
+            dh = dh.reshape(nb, Gs)
+            dv = dv.reshape(nb, Gs)
+            rv = rv.reshape(nb, Gs, 3)
             h2, left, right, conv = hsml_update(
                 hsml, left, right, wngb, dh, rho,
                 float(cfg.des_num_ngb), float(cfg.max_num_ngb_deviation),
                 min_gas_hsml, active, ndims=kern.ndims)
             return (it + 1, h2, left, right, rho, wngb, dh, dv, rv, conv,
-                    ovf | cands.overflow)
+                    ovf | jnp.any(ovs))
 
         init = (jnp.int32(0), hsml0, z, z, z, z, z, z,
                 jnp.zeros(hsml0.shape + (3,), hsml0.dtype),
@@ -237,11 +257,14 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
         act_gas = is_gas & (p.ti_endstep == ti_next)
         my_sorted = inv[tgt_g]                       # [nloc] sorted indices
         tgt_flat = jnp.where(act_gas, my_sorted, -1)
-        pad = (-nloc) % sph_group
+        nb0 = -(-nloc // sph_group)
+        cb = max(1, min(sph_chunk_blocks, nb0))
+        nb = -(-nb0 // cb) * cb          # pad to a chunk multiple
+        pad = nb * sph_group - nloc
         if pad:
             tgt_flat = jnp.concatenate(
                 [tgt_flat, jnp.full((pad,), -1, jnp.int32)])
-        tgt = tgt_flat.reshape(-1, sph_group)        # [nb, Gs]
+        tgt = tgt_flat.reshape(nb, sph_group)        # [nb, Gs]
         active = tgt >= 0
         safe = jnp.maximum(tgt, 0)
 
@@ -304,14 +327,29 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
         else:
             hubble_a2 = fac_mu = fac_egy = fac_vsic_fix = 1.0
 
-        cands = gather_p(tree, tgt, hsml_all[safe])
-        ovf = ovf | cands.overflow
-        hacc, dtent, maxsig = hydro_pass(
-            tree, tgt, cands, hsml_all, rho_all, pres_all, f_all,
-            vel_pred_all, csnd_all, divv_all, curl_all, dt_all, orig,
-            fac_mu, fac_vsic_fix, hubble_a2, cfg.art_bulk_visc_const,
-            box_size=box_t, use_limiter=not cfg.no_viscosity_limiter,
-            kernel=kern)
+        # hydro pair force scanned over block chunks (memory bound as above)
+        def hchunk(args):
+            tgt_c, orig_c = args
+            safe_c = jnp.maximum(tgt_c, 0)
+            cands = gather_p(tree, tgt_c, hsml_all[safe_c])
+            out = hydro_pass(
+                tree, tgt_c, cands, hsml_all, rho_all, pres_all, f_all,
+                vel_pred_all, csnd_all, divv_all, curl_all, dt_all, orig_c,
+                fac_mu, fac_vsic_fix, hubble_a2, cfg.art_bulk_visc_const,
+                box_size=box_t, use_limiter=not cfg.no_viscosity_limiter,
+                kernel=kern)
+            return (*out, cands.overflow)
+
+        nb_h, Gs_h = tgt.shape
+        cb_h = max(1, min(sph_chunk_blocks, nb_h))
+        nch_h = nb_h // cb_h
+        hacc, dtent, maxsig, ovs_h = jax.lax.map(
+            hchunk, (tgt.reshape(nch_h, cb_h, Gs_h),
+                     orig.reshape(nch_h, cb_h, Gs_h)))
+        hacc = hacc.reshape(nb_h, Gs_h, 3)
+        dtent = dtent.reshape(nb_h, Gs_h)
+        maxsig = maxsig.reshape(nb_h, Gs_h)
+        ovf = ovf | jnp.any(ovs_h)
         dtent = dtent * gm1 / (hubble_a2 * fac_egy
                                * rho_all[safe] ** gm1)
         if cfg.sph_bnd_particles:
