@@ -132,13 +132,21 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
         treepm = dict(sr_ftab=sr_ftab, sr_ptab=sr_ptab,
                       asmth=base_pm.asmth, rcut=base_pm.rcut)
 
+    # periodic pure-tree needs the Ewald lattice correction tables
+    # (begrun.c:47-49: lattice_init when PERIODIC && !PMGRID)
+    lattice_tables = None
+    if cfg.periodic and not cfg.pmgrid:
+        from ..ops.lattice import build_lattice_tables
+        lattice_tables = build_lattice_tables(wiring, cfg.ngravs_en,
+                                              cfg.box_size)
+
     walk = make_tree_forces(
         wiring, n_gravs=cfg.n_gravs, group_size=group,
         node_list_cap=node_list_cap, leaf_list_cap=leaf_list_cap,
         bucket=bucket, depth=depth,
         theta=cfg.err_tol_theta, opening=opening, box_size=box,
         block_batch=max(1, min(8, n_local // group)), treepm=treepm,
-        leaf_factor=leaf_factor)
+        leaf_factor=leaf_factor, lattice_tables=lattice_tables)
 
     gather_d = make_sph_gather(depth=depth, bucket=bucket,
                                cand_cap=cand_cap,

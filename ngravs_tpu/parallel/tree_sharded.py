@@ -72,13 +72,21 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
         opening = "bh" if cfg.type_of_opening_criterion == 0 else "relative"
     n_dev = mesh.devices.size
 
+    # periodic pure-tree needs the Ewald lattice correction tables
+    # (begrun.c:47-49: lattice_init when PERIODIC && !PMGRID)
+    lattice_tables = None
+    if cfg.periodic and not cfg.pmgrid:
+        from ..ops.lattice import build_lattice_tables
+        lattice_tables = build_lattice_tables(wiring, cfg.ngravs_en,
+                                              cfg.box_size)
+
     walk = make_tree_forces(
         wiring, n_gravs=cfg.n_gravs, group_size=group,
         node_list_cap=node_list_cap, leaf_list_cap=leaf_list_cap,
         bucket=cfg.tree_bucket_size, depth=depth,
         theta=cfg.err_tol_theta, opening=opening, box_size=box,
         block_batch=max(1, min(8, n_local // group)),
-        leaf_factor=leaf_factor)
+        leaf_factor=leaf_factor, lattice_tables=lattice_tables)
 
     def _step(p, ti_current, ti_next, time_next):
         nloc = p.pos.shape[0]

@@ -435,3 +435,45 @@ def test_sharded_dt_displacement_matches_single_chip():
         mesh=mesh, in_specs=(P(AXIS),), out_specs=P(), check_vma=False))
     got = float(fn(ps))
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_sharded_periodic_puretree_has_ewald():
+    """Periodic pure-tree sharded step must include the lattice (Ewald)
+    correction (begrun.c:47-49): forces match the single-chip solver,
+    and differ from a naive minimum-image tree walk."""
+    from ngravs_tpu.ops.solver import GravitySolver
+    from ngravs_tpu.parallel.tree_sharded import make_sharded_tree_step
+
+    box = 1.0
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=1.0, gravity_constant_internal=1.0,
+        softening=(0.01,) * 6, max_size_timestep=0.01,
+        periodic=True, box_size=box, ngravs_en=16,
+        tree_depth=5, tree_bucket_size=16, tree_group_size=64,
+        tree_block_batch=4, wiring="newton")
+    rng = np.random.default_rng(21)
+    n = 512
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    p = Particles.create(pos, np.zeros((n, 3), np.float32),
+                         np.full(n, 1.0 / n, np.float32), np.arange(n),
+                         np.ones(n, np.int32), cfg.type_to_grav)
+    units = set_units(cfg)
+    wiring = build_wiring(cfg)
+    tables = make_tables(cfg, units)
+
+    solver = GravitySolver(cfg, wiring, np.array(cfg.softening) * SOFTFAC_SPLINE,
+                           np.array(cfg.softening), units.G)
+    p_ref, _, _ = solver.compute(p, 0, n, opening="bh")
+    acc_ref = np.asarray(p_ref.accel)
+
+    mesh = make_mesh(8)
+    ps = shard_particles(p, mesh)
+    step = make_sharded_tree_step(cfg, units, wiring, tables, mesh,
+                                  n_local=ps.pos.shape[0] // 8,
+                                  opening="bh")
+    p_out, _, ovf = step(ps, 0, 0, cfg.time_begin)
+    assert not bool(ovf)
+    acc_sh = np.asarray(jax.device_get(p_out.accel))[:n]
+    scale = np.abs(acc_ref).max()
+    # same tree geometry + same Ewald tables -> near-identical forces
+    np.testing.assert_allclose(acc_sh, acc_ref, atol=3e-3 * scale)
