@@ -65,6 +65,13 @@ class DistributedSimulation:
                  alloc_factor: float = 1.25, cand_cap: int = 2048,
                  fcap: int = 65536, sph_group: int = 64,
                  entropy_is_u: bool = False):
+        if cfg.flexsteps or cfg.pseudosymmetric or cfg.make_glass \
+                or cfg.force_test > 0:
+            raise ValueError(
+                "FLEXSTEPS / PSEUDOSYMMETRIC / MAKEGLASS / FORCETEST are "
+                "single-chip modes — use integrate.runner.Simulation "
+                "(the reference's SYNCHRONIZATION mode is what the sharded "
+                "step implements)")
         self.cfg = cfg
         self.units = set_units(cfg)
         self.wiring = build_wiring(cfg)
