@@ -523,10 +523,9 @@ class HydroSolver:
             hubble_a = units.hubble * math.sqrt(h2)
             hubble_a2 = a * a * hubble_a
             fac_mu = a ** (3 * gm1 / 2) / a
-            fac_egy = a ** (3 * gm1)
             fac_vsic_fix = hubble_a * a ** (3 * gm1)
         else:
-            hubble_a2 = fac_mu = fac_egy = fac_vsic_fix = 1.0
+            hubble_a2 = fac_mu = fac_vsic_fix = 1.0
 
         tgt = self._blocks(tree, p, ti_current, n_active)
         order = tree.order
@@ -562,7 +561,10 @@ class HydroSolver:
         rho_t = rho_all[safe]
         # under IsothermEqs gamma-1 = 0: DtEntropy stays 0 and the
         # entropy variable (= u = c_s^2) never changes (hydra.c:317-320)
-        dtent = dtent * gm1 / (hubble_a2 * fac_egy * rho_t ** gm1)
+        # finalize with the COMOVING density, no fac_egy — the reference
+        # computes fac_egy but never uses it (hydra.c:89 is dead;
+        # hydra.c:319: DtEntropy *= GAMMA_MINUS1/(hubble_a2 * rho^gm1))
+        dtent = dtent * gm1 / (hubble_a2 * rho_t ** gm1)
 
         if cfg.sph_bnd_particles:
             # SPH_BND_PARTICLES (hydra.c:321-328): ID == 0 marks fixed

@@ -330,10 +330,9 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
             hubble_a = units.hubble * jnp.sqrt(h2)
             hubble_a2 = a * a * hubble_a
             fac_mu = a ** (3 * gm1 / 2) / a
-            fac_egy = a ** (3 * gm1)
             fac_vsic_fix = hubble_a * a ** (3 * gm1)
         else:
-            hubble_a2 = fac_mu = fac_egy = fac_vsic_fix = 1.0
+            hubble_a2 = fac_mu = fac_vsic_fix = 1.0
 
         # hydro pair force scanned over block chunks (memory bound as above)
         def hchunk(args):
@@ -358,8 +357,9 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
         dtent = dtent.reshape(nb_h, Gs_h)
         maxsig = maxsig.reshape(nb_h, Gs_h)
         ovf = ovf | jnp.any(ovs_h)
-        dtent = dtent * gm1 / (hubble_a2 * fac_egy
-                               * rho_all[safe] ** gm1)
+        # comoving density, no fac_egy (dead in the reference, hydra.c:89;
+        # finalize per hydra.c:319)
+        dtent = dtent * gm1 / (hubble_a2 * rho_all[safe] ** gm1)
         if cfg.sph_bnd_particles:
             bnd = p.pid[jnp.clip(loc, 0, nloc - 1)] == 0
             hacc = jnp.where(bnd[..., None], 0.0, hacc)
