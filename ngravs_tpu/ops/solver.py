@@ -37,6 +37,75 @@ class ForceResult(NamedTuple):
     n_interactions: jnp.ndarray  # scalar
 
 
+class CosmoCorrections:
+    """Static cosmological correction factors (gravtree.c:302-316,344-358;
+    potential.c:251-258,310-337).  H = 0 (Newtonian units) disables all."""
+
+    def __init__(self, fac_acc_com, fac_acc_lam, fac_pot_r2,
+                 madelung_by_grav):
+        self.fac_acc_com = fac_acc_com
+        self.fac_acc_lam = fac_acc_lam
+        self.fac_pot_r2 = fac_pot_r2
+        self.madelung_by_grav = madelung_by_grav
+
+
+def cosmo_corrections(cfg, G: float, hubble: float,
+                      lattice_tables=None) -> CosmoCorrections:
+    import math as _m
+    H2 = hubble * hubble
+    open_box = not cfg.periodic and not cfg.pmgrid
+    # comoving non-periodic: acc += 0.5 H^2 Omega0 pos (pre-G in the
+    # reference, so it feeds OldAcc; post-G here, same value)
+    fac_acc_com = (0.5 * H2 * cfg.omega0
+                   if open_box and cfg.comoving_integration else 0.0)
+    # Newtonian coordinates with vacuum energy: acc += OmegaLambda H^2 pos
+    # (added after OldAcc in the reference)
+    fac_acc_lam = (cfg.omega_lambda * H2
+                   if open_box and not cfg.comoving_integration else 0.0)
+    # potential r^2 terms (potential.c:310-337): comoving non-periodic
+    # -0.5 Omega0 H^2 r^2; Newtonian -0.5 OmegaLambda H^2 r^2 (any box)
+    if cfg.comoving_integration:
+        fac_pot_r2 = -0.5 * cfg.omega0 * H2 if not cfg.periodic else 0.0
+    else:
+        fac_pot_r2 = -0.5 * cfg.omega_lambda * H2
+    # comoving periodic: per-gravity Madelung ("LatticeZero") potential
+    # term -G * psi0[g,g] * m^(2/3) * (3 Omega0 H^2 / (8 pi G))^(1/3)
+    # (potential.c:251-258); psi0 is the origin value of the rescaled
+    # lattice potential table
+    madelung = None
+    if (cfg.comoving_integration and cfg.periodic
+            and lattice_tables is not None and H2 > 0):
+        ng = cfg.n_gravs
+        # the table origin holds the Madelung constant rescaled by 1/L
+        # (build_lattice_tables); the reference's LatticeZero is the raw
+        # dimensionless value (ngravs.c:133, used potential.c:256)
+        psi0 = np.asarray(lattice_tables).reshape(
+            ng, ng, *lattice_tables.shape[1:])[
+            np.arange(ng), np.arange(ng), 0, 0, 0, 3] * cfg.box_size
+        rho_fac = (cfg.omega0 * 3 * H2 / (8 * _m.pi * G)) ** (1.0 / 3)
+        madelung = jnp.asarray(G * psi0 * rho_fac, jnp.float32)
+    return CosmoCorrections(fac_acc_com, fac_acc_lam, fac_pot_r2, madelung)
+
+
+def apply_cosmo_corrections(c: CosmoCorrections, pos, mass, grav, acc, pot):
+    """Cosmological corrections on G-multiplied (acc, pot) rows.
+
+    Returns (acc, old_acc_magnitude, pot): the comoving Omega0 term is
+    inside OldAcc (reference adds it pre-G, gravtree.c:304-315), the
+    Lambda term is not (added post-OldAcc, gravtree.c:344-358).  Traced
+    code — the factors are static floats so disabled terms vanish."""
+    if c.fac_acc_com:
+        acc = acc + c.fac_acc_com * pos
+    amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
+    if c.fac_acc_lam:
+        acc = acc + c.fac_acc_lam * pos
+    if c.fac_pot_r2:
+        pot = pot + c.fac_pot_r2 * jnp.sum(pos * pos, axis=-1)
+    if c.madelung_by_grav is not None:
+        pot = pot - c.madelung_by_grav[grav] * mass ** (2.0 / 3)
+    return acc, amag, pot
+
+
 def _bucket(n: int, minimum: int = 256) -> int:
     return max(minimum, 1 << math.ceil(math.log2(max(n, 1))))
 
@@ -94,61 +163,14 @@ class GravitySolver:
         self._fns = {}   # (opening, caps-signature, n_targets) -> jitted fn
         self._eval_cache = {}  # phase-E kernels, persistent across re-tunes
 
-        # cosmological correction factors (gravtree.c:302-316,344-358;
-        # potential.c:251-258,310-337).  H = 0 (Newtonian units) disables all.
-        H2 = self.hubble * self.hubble
-        open_box = not cfg.periodic and not cfg.pmgrid
-        # comoving non-periodic: acc += 0.5 H^2 Omega0 pos (pre-G in the
-        # reference, so it feeds OldAcc; post-G here, same value)
-        self.fac_acc_com = (0.5 * H2 * cfg.omega0
-                            if open_box and cfg.comoving_integration else 0.0)
-        # Newtonian coordinates with vacuum energy: acc += OmegaLambda H^2 pos
-        # (added after OldAcc in the reference)
-        self.fac_acc_lam = (cfg.omega_lambda * H2
-                            if open_box and not cfg.comoving_integration
-                            else 0.0)
-        # potential r^2 terms (potential.c:310-337): comoving non-periodic
-        # -0.5 Omega0 H^2 r^2; Newtonian -0.5 OmegaLambda H^2 r^2 (any box)
-        if cfg.comoving_integration:
-            self.fac_pot_r2 = (-0.5 * cfg.omega0 * H2
-                               if not cfg.periodic else 0.0)
-        else:
-            self.fac_pot_r2 = -0.5 * cfg.omega_lambda * H2
-        # comoving periodic: per-gravity Madelung ("LatticeZero") potential
-        # term -G * psi0[g,g] * m^(2/3) * (3 Omega0 H^2 / (8 pi G))^(1/3)
-        # (potential.c:251-258); psi0 is the origin value of the rescaled
-        # lattice potential table
-        self.madelung_by_grav = None
-        if (cfg.comoving_integration and cfg.periodic
-                and self.lattice_tables is not None and H2 > 0):
-            ng = cfg.n_gravs
-            # the table origin holds the Madelung constant rescaled by 1/L
-            # (build_lattice_tables); the reference's LatticeZero is the raw
-            # dimensionless value (ngravs.c:133, used potential.c:256)
-            psi0 = np.asarray(self.lattice_tables).reshape(
-                ng, ng, *self.lattice_tables.shape[1:])[
-                np.arange(ng), np.arange(ng), 0, 0, 0, 3] * cfg.box_size
-            rho_fac = (cfg.omega0 * 3 * H2 / (8 * math.pi * self.G)) ** (1. / 3)
-            self.madelung_by_grav = jnp.asarray(
-                self.G * psi0 * rho_fac, jnp.float32)
+        c = cosmo_corrections(cfg, self.G, self.hubble, self.lattice_tables)
+        self.fac_acc_com, self.fac_acc_lam = c.fac_acc_com, c.fac_acc_lam
+        self.fac_pot_r2, self.madelung_by_grav = \
+            c.fac_pot_r2, c.madelung_by_grav
+        self._corr = c
 
     def _apply_corr(self, pos, mass, grav, acc, pot):
-        """Cosmological corrections on G-multiplied (acc, pot) rows.
-
-        Returns (acc, old_acc_magnitude, pot): the comoving Omega0 term is
-        inside OldAcc (reference adds it pre-G, gravtree.c:304-315), the
-        Lambda term is not (added post-OldAcc, gravtree.c:344-358).  Traced
-        code — the factors are static floats so disabled terms vanish."""
-        if self.fac_acc_com:
-            acc = acc + self.fac_acc_com * pos
-        amag = jnp.sqrt(jnp.sum(acc * acc, axis=-1))
-        if self.fac_acc_lam:
-            acc = acc + self.fac_acc_lam * pos
-        if self.fac_pot_r2:
-            pot = pot + self.fac_pot_r2 * jnp.sum(pos * pos, axis=-1)
-        if self.madelung_by_grav is not None:
-            pot = pot - self.madelung_by_grav[grav] * mass ** (2.0 / 3)
-        return acc, amag, pot
+        return apply_cosmo_corrections(self._corr, pos, mass, grav, acc, pot)
 
     # ------------------------------------------------------------------
     def _walk(self):

@@ -147,6 +147,8 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
         theta=cfg.err_tol_theta, opening=opening, box_size=box,
         block_batch=max(1, min(8, n_local // group)), treepm=treepm,
         leaf_factor=leaf_factor, lattice_tables=lattice_tables)
+    from ..ops.solver import apply_cosmo_corrections, cosmo_corrections
+    corr = cosmo_corrections(cfg, G, units.hubble, lattice_tables)
 
     gather_d = make_sph_gather(depth=depth, bucket=bucket,
                                cand_cap=cand_cap,
@@ -249,14 +251,18 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
         # measured work for the next domain decomposition (GravCost,
         # forcetree.c:1595 / domain.c:859-862)
         grav_cost = jax.lax.dynamic_slice(nia_full, (my * nloc,), (nloc,))
+        # cosmological corrections (gravtree.c:302-358, potential.c:251-337)
+        acc, amag, pot = apply_cosmo_corrections(corr, p.pos, mass, p.grav,
+                                                 acc, pot)
         accel_pm = p.accel_pm
         if pm_sharded is not None:
             # long-range PM forces (pmforce_periodic, pm_periodic.c:204);
-            # the sharded FFT pipeline, inlined in this shard_map context
+            # the sharded FFT pipeline, inlined in this shard_map context.
+            # OldAcc includes the PM part under PMGRID (gravtree.c:322-330)
             accel_pm = pm_sharded._forces_impl(p.pos, mass, p.grav)
+            amag = jnp.linalg.norm(acc + accel_pm, axis=-1)
         p = p.replace(accel=acc, potential=pot, accel_pm=accel_pm,
-                      old_acc=jnp.linalg.norm(acc + accel_pm, axis=-1),
-                      grav_cost=grav_cost)
+                      old_acc=amag, grav_cost=grav_cost)
 
         # ---- SPH (density.c + hydra.c) on local active gas targets --------
         # sorted-index positions of MY original rows

@@ -87,6 +87,8 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
         theta=cfg.err_tol_theta, opening=opening, box_size=box,
         block_batch=max(1, min(8, n_local // group)),
         leaf_factor=leaf_factor, lattice_tables=lattice_tables)
+    from ..ops.solver import apply_cosmo_corrections, cosmo_corrections
+    corr = cosmo_corrections(cfg, G, units.hubble, lattice_tables)
 
     def _step(p, ti_current, ti_next, time_next):
         nloc = p.pos.shape[0]
@@ -130,8 +132,11 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
             .at[tree.order].set(nia_sorted)
         acc = jax.lax.dynamic_slice(acc_full, (my * nloc, 0), (nloc, 3)) * G
         pot = jax.lax.dynamic_slice(pot_full, (my * nloc,), (nloc,)) * G
+        # cosmological corrections (gravtree.c:302-358, potential.c:251-337)
+        acc, amag, pot = apply_cosmo_corrections(corr, p.pos, mass, p.grav,
+                                                 acc, pot)
         p = p.replace(accel=acc, potential=pot,
-                      old_acc=jnp.linalg.norm(acc, axis=-1),
+                      old_acc=amag,
                       # measured work for the next decomposition
                       # (GravCost, forcetree.c:1595 / domain.c:859-862)
                       grav_cost=jax.lax.dynamic_slice(
