@@ -254,6 +254,11 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
         # cosmological corrections (gravtree.c:302-358, potential.c:251-337)
         acc, amag, pot = apply_cosmo_corrections(corr, p.pos, mass, p.grav,
                                                  acc, pot)
+        if pm_sharded is not None and (cfg.output_potential
+                                       or cfg.compute_potential_energy):
+            # long-range PM potential for the POT block / energy statistics
+            # (compute_potential, potential.c:268-306)
+            pot = pot + pm_sharded._potential_impl(p.pos, mass, p.grav)
         accel_pm = p.accel_pm
         if pm_sharded is not None:
             # long-range PM forces (pmforce_periodic, pm_periodic.c:204);

@@ -343,7 +343,7 @@ def test_distributed_simulation_runs(tmp_path):
     cfg, p, sph = _gas_halo_system(n_gas=512, n_halo=512)
     cfg = cfg.replace(time_bet_snapshot=0.001, time_of_first_snapshot=0.001,
                       time_bet_statistics=0.0005, output_dir=str(tmp_path),
-                      time_max=0.02)
+                      time_max=0.02, output_potential=True)
     mesh = make_mesh(8)
     sim = DistributedSimulation(cfg, p, sph=sph, mesh=mesh,
                                 log_dir=str(tmp_path), entropy_is_u=True,
@@ -362,6 +362,9 @@ def test_distributed_simulation_runs(tmp_path):
     data = read_snapshot(os.path.join(tmp_path, snaps[0]))
     assert data.header.npart.sum() == p.pos.shape[0]
     assert np.isfinite(data.u).all() and (data.u > 0).all()
+    # OUTPUTPOTENTIAL: POT block present, finite, includes the PM part
+    assert data.pot is not None and np.isfinite(data.pot).all()
+    assert np.abs(data.pot).max() > 0
     # energy log written
     elines = open(os.path.join(tmp_path, cfg.energy_file)).readlines()
     assert len(elines) >= 1
