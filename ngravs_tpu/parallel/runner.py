@@ -221,10 +221,16 @@ class DistributedSimulation:
             break
         else:
             raise RuntimeError("SPH candidate caps kept overflowing")
+        if "timings" in self._logs:
+            # exact active count for the timings line (one device pull);
+            # headless runs use the n_real upper bound
+            n_act = int(np.sum(
+                np.asarray(jax.device_get(self.p.ti_endstep)) == ti_next))
+        else:
+            n_act = self.n_real
         self.p, self.sph = p2, s2
         self.ti_current = ti_next
         self._min_end = int(min_end)
-        n_act = self.n_real  # upper bound; exact count needs a device pull
         self.num_force_updates += n_act
         self._since_reshard += n_act
         self.step_count += 1
@@ -269,8 +275,8 @@ class DistributedSimulation:
             dt_step = _time.time() - t0
             self._logs["timings"].write(
                 f"Step= {self.step_count - 1}  t= {self.time:g}  "
-                f"parts= {self.n_real}\n"
-                f"part/sec= {self.n_real / max(dt_step, 1e-9):.6g}  "
+                f"parts= {self.n_real}  active= {n_act}\n"
+                f"part/sec= {n_act / max(dt_step, 1e-9):.6g}  "
                 f"ia/part= {tot / max(self.n_real, 1):.6g}\n"
                 f"work-load balance: {bal:.4g}  "
                 f"particle-load balance: "
