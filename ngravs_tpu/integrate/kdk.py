@@ -265,7 +265,10 @@ def drift(cfg, p, sph, tables, ti0, ti1):
         dt_grav = tables.gravkick_factor(ti0, ti1)
         dt_hydro = tables.hydrokick_factor(ti0, ti1)
         dt_drift = dd
-        vel_pred = sph.vel_pred + p.accel * dt_grav + \
+        # under PMGRID the prediction includes the long-range force
+        # (predict.c:58-61)
+        grav_acc = p.accel + p.accel_pm if cfg.pmgrid else p.accel
+        vel_pred = sph.vel_pred + grav_acc * dt_grav + \
             sph.hydro_accel * dt_hydro
         # density/hsml extrapolated via div(v) (predict.c:62-74)
         ex = sph.div_vel * dt_drift

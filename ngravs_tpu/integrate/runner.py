@@ -350,12 +350,29 @@ class Simulation:
 
             self._flex_min = jax.jit(flex_min_fn)
 
-        def pm_kick_fn(p, tstart, tend):
-            """Long-range kick of ALL particles over the PM midpoint window
-            (timestep.c:350-408)."""
+        def pm_kick_fn(p, sph, tstart, tend, ti_current, pm_beg, pm_end):
+            """Long-range kick of ALL particles over the PM midpoint window,
+            plus the gas VelPred re-prediction (timestep.c:350-408)."""
             dt = tables.gravkick_factor(jnp.asarray([tstart], jnp.int32),
                                         jnp.asarray([tend], jnp.int32))[0]
-            return p.replace(vel=p.vel + p.accel_pm * dt)
+            p = p.replace(vel=p.vel + p.accel_pm * dt)
+            if sph is not None:
+                # VelPred = Vel + GravAccel*dtA + Hydro*dtH + GravPM*dtB
+                # (timestep.c:392-406); dtB rewinds to the new PM midpoint
+                mid = (p.ti_begstep + p.ti_endstep) // 2
+                dt_a = tables.gravkick_factor(p.ti_begstep, ti_current) \
+                    - tables.gravkick_factor(p.ti_begstep, mid)
+                dt_h = tables.hydrokick_factor(p.ti_begstep, ti_current) \
+                    - tables.hydrokick_factor(p.ti_begstep, mid)
+                dt_b = -tables.gravkick_factor(
+                    jnp.asarray([pm_beg], jnp.int32),
+                    jnp.asarray([(pm_beg + pm_end) // 2], jnp.int32))[0]
+                vp = p.vel + p.accel * dt_a[:, None] \
+                    + sph.hydro_accel * dt_h[:, None] + p.accel_pm * dt_b
+                is_gas = p.ptype == 0
+                sph = sph.replace(vel_pred=jnp.where(is_gas[:, None], vp,
+                                                     sph.vel_pred))
+            return p, sph
 
         self._pm_kick = jax.jit(pm_kick_fn)
 
@@ -856,13 +873,22 @@ class Simulation:
             ti_step = max(1, min(int(self.dt_displacement / tbi),
                                  C.TIMEBASE - self.ti_current))
             ti_step = int(pow2_floor_i32(jnp.asarray(ti_step, jnp.int32)))
+            # PM step may only grow onto an aligned tick (timestep.c:357-362)
+            old = self.pm_ti_endstep - self.pm_ti_begstep
+            if ti_step > old > 0 \
+                    and ((C.TIMEBASE - self.pm_ti_endstep) % ti_step) > 0:
+                ti_step = old
             if self.ti_current == C.TIMEBASE:
                 ti_step = 0
             tstart = (self.pm_ti_begstep + self.pm_ti_endstep) // 2
             tend = self.pm_ti_endstep + ti_step // 2
-            self.p = self._pm_kick(self.p, tstart, tend)
-            self.pm_ti_begstep = self.pm_ti_endstep
-            self.pm_ti_endstep = self.pm_ti_endstep + ti_step
+            new_beg = self.pm_ti_endstep
+            new_end = self.pm_ti_endstep + ti_step
+            self.p, self.sph = self._pm_kick(
+                self.p, self.sph, tstart, tend, self.ti_current,
+                new_beg, new_end)
+            self.pm_ti_begstep = new_beg
+            self.pm_ti_endstep = new_end
         self.p.vel.block_until_ready()
         self.cpu_timers["timeline"] += _time.time() - t0
 

@@ -389,6 +389,20 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
         p, sph = kick(cfg, units, p, sph, tables, ti_next,
                       sharded_dt_displacement(cfg, units, p, time_next),
                       soft_by_type, time_next)
+        if pm_sharded is not None:
+            # long-range kick (timestep.c:385-388).  The PM force is
+            # refreshed EVERY step here (unlike the reference's separate PM
+            # timeline), so kicking all particles over each sync window
+            # [ti_current, ti_next] integrates the same impulse with a
+            # finer, strictly more accurate cadence.  Active gas had its
+            # VelPred reset from the pre-PM-kick velocity inside kick(), so
+            # only it receives the PM term here; inactive gas already
+            # carries it through the drift prediction (predict.c:58-61).
+            dt_pmk = tables.gravkick_factor(ti_current, ti_next)
+            p = p.replace(vel=p.vel + accel_pm * dt_pmk)
+            sph = sph.replace(vel_pred=jnp.where(
+                act_gas[:, None], sph.vel_pred + accel_pm * dt_pmk,
+                sph.vel_pred))
         min_end = jax.lax.pmin(jnp.min(p.ti_endstep), AXIS)
         ovf = jax.lax.pmax(ovf | walk_ovf, AXIS)
         return p, sph, min_end, ovf

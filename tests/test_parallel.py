@@ -480,3 +480,32 @@ def test_sharded_periodic_puretree_has_ewald():
     scale = np.abs(acc_ref).max()
     # same tree geometry + same Ewald tables -> near-identical forces
     np.testing.assert_allclose(acc_sh, acc_ref, atol=3e-3 * scale)
+
+
+def test_distributed_matches_single_chip_trajectory():
+    """Integrator parity: 6 steps of gas+halo TreePM+SPH through the
+    DistributedSimulation (per-step PM kick) match the single-chip
+    Simulation (PM timeline) to tight tolerances."""
+    from ngravs_tpu.integrate.runner import Simulation
+    from ngravs_tpu.parallel.runner import DistributedSimulation
+
+    cfg, p, sph = _gas_halo_system(n_gas=512, n_halo=512)
+    simA = Simulation(cfg, particles=p, sph=sph, log_dir="")
+    simA.run(max_steps=6)
+    posA = np.asarray(simA.p.pos)
+    velA = np.asarray(simA.p.vel)
+    oA = np.argsort(np.asarray(simA.p.pid))
+
+    cfg2, p2, sph2 = _gas_halo_system(n_gas=512, n_halo=512)
+    simB = DistributedSimulation(cfg2, p2, sph=sph2, mesh=make_mesh(8),
+                                 log_dir="", entropy_is_u=True,
+                                 cand_cap=1024, fcap=16384)
+    simB.run(max_steps=6)
+    pB, _ = simB.gather_ordered()
+    oB = np.argsort(pB.pid)
+
+    assert np.isclose(float(simA.time), simB.time)
+    box = cfg.box_size
+    vscale = np.abs(velA).max()
+    assert np.abs(posA[oA] - pB.pos[oB]).max() < 3e-4 * box
+    assert np.abs(velA[oA] - pB.vel[oB]).max() < 1e-2 * vscale
