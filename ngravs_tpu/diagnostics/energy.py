@@ -33,18 +33,35 @@ class SysState(NamedTuple):
         return self.energy_kin + self.energy_pot + self.energy_int
 
 
-def predicted_velocities(p, tables, ti_current):
+def predicted_velocities(p, tables, ti_current, sph=None, pm_window=None):
     """Velocities advanced from each particle's kick midpoint to ti_current
-    (global.c:52-80)."""
+    (global.c:52-80, io.c:209-240): short-range + gas hydro terms over the
+    particle's own window; the PM term over the PM-timeline window
+    `pm_window = (pm_ti_begstep, pm_ti_endstep)` when given (the single-chip
+    scheme), else over the particle window (the per-step-PM scheme)."""
     mid = (p.ti_begstep + p.ti_endstep) // 2
     dt_grav = tables.gravkick_factor(mid, ti_current)
-    vel = p.vel + (p.accel + p.accel_pm) * dt_grav[:, None]
+    vel = p.vel + p.accel * dt_grav[:, None]
+    if sph is not None:
+        dt_hydro = tables.hydrokick_factor(mid, ti_current)
+        vel = vel + jnp.where((p.ptype == 0)[:, None],
+                              sph.hydro_accel * dt_hydro[:, None], 0.0)
+    if pm_window is not None:
+        pm_beg, pm_end = pm_window
+        pm_mid = jnp.asarray([(pm_beg + pm_end) // 2], jnp.int32)
+        dt_pm = tables.gravkick_factor(
+            pm_mid, jnp.asarray([ti_current], jnp.int32))[0]
+        vel = vel + p.accel_pm * dt_pm
+    else:
+        vel = vel + p.accel_pm * dt_grav[:, None]
     return vel
 
 
 def compute_global_quantities(cfg, p, sph, tables, ti_current,
-                              a3inv=1.0) -> SysState:
-    vel = predicted_velocities(p, tables, ti_current)
+                              a3inv=1.0, pm_window=None,
+                              atime=1.0) -> SysState:
+    vel = predicted_velocities(p, tables, ti_current, sph=sph,
+                               pm_window=pm_window)
     m = p.mass
     v2 = jnp.sum(vel * vel, axis=-1)
 
@@ -52,17 +69,24 @@ def compute_global_quantities(cfg, p, sph, tables, ti_current,
     mass_comp = onehot.T @ m
 
     ekin_i = 0.5 * m * v2
-    epot_i = 0.5 * m * p.potential
+    # potential energy carries a 1/a under comoving (global.c:56)
+    epot_i = 0.5 * m * p.potential / atime
     ekin_comp = onehot.T @ ekin_i
     epot_comp = onehot.T @ epot_i
 
     if sph is not None:
+        # entropy predicted to the current time (global.c:77-78)
+        from ..integrate.timeline import timebase_interval
+        mid = (p.ti_begstep + p.ti_endstep) // 2
+        dt_entr = (ti_current - mid).astype(jnp.float32) \
+            * timebase_interval(cfg)
+        entr = sph.entropy + sph.dt_entropy * dt_entr
         if cfg.isotherm_eqs:
             # ISOTHERM_EQS: the entropy variable IS u (global.c:95-99)
-            egyspec = sph.entropy
+            egyspec = entr
         else:
             gm1 = cfg.gamma_minus1
-            egyspec = sph.entropy / gm1 \
+            egyspec = entr / gm1 \
                 * jnp.maximum(sph.density * a3inv, 1e-30) ** gm1
         eint_i = jnp.where(p.ptype == 0, m * egyspec, 0.0)
     else:

@@ -45,7 +45,8 @@ def _bucket(n: int, minimum: int = 256) -> int:
 
 
 def build_snapshot_data(cfg, units, tables, tbi, p, sph, n_gas,
-                        ti_current, time_now, entropy_is_u=False):
+                        ti_current, time_now, entropy_is_u=False,
+                        pm_window=None):
     """Assemble a SnapshotData from integrator state (fill_write_buffer,
     io.c:129-351): velocities predicted to now with half-kick factors,
     per-type constant masses lifted into the header table, entropy
@@ -56,7 +57,12 @@ def build_snapshot_data(cfg, units, tables, tbi, p, sph, n_gas,
     """
     from ..diagnostics.energy import predicted_velocities
 
-    vel = predicted_velocities(p, tables, ti_current)
+    vel = predicted_velocities(p, tables, ti_current, sph=sph,
+                               pm_window=pm_window)
+    if cfg.comoving_integration:
+        # snapshot velocity convention: file vel = internal vel / a^(3/2)
+        # (io.c:239-240; inverse of init.c:95-101)
+        vel = vel * time_now ** -1.5
     p_np = jax.device_get((p.pos, vel, p.mass, p.pid, p.ptype, p.potential))
     pos, vel, mass, pid, ptype, pot = [np.asarray(x) for x in p_np]
     h = SnapshotHeader()
@@ -128,7 +134,12 @@ def load_initial_conditions(cfg, units, ic_path=None):
     first force computation (init.c:170-174)."""
     path = ic_path or cfg.init_cond_file
     snap = read_snapshot(path, expect_format=cfg.ic_format or None)
-    particles = Particles.create(snap.pos, snap.vel, snap.mass,
+    vel_ic = snap.vel
+    if cfg.comoving_integration:
+        # comoving velocity variable: internal vel = file vel * a^(3/2)
+        # (init.c:95-101)
+        vel_ic = np.asarray(vel_ic) * cfg.time_begin ** 1.5
+    particles = Particles.create(snap.pos, vel_ic, snap.mass,
                                  snap.pid, snap.ptype, cfg.type_to_grav)
     ngas = int(snap.header.npart[0])
     sph = None
@@ -469,9 +480,11 @@ class Simulation:
         else:
             self._min_dt_active = None
 
-        def stats_fn(p, sph, ti_current, a3inv):
-            return compute_global_quantities(cfg, p, sph, tables, ti_current,
-                                             a3inv)
+        def stats_fn(p, sph, ti_current, a3inv, atime, pm_beg, pm_end):
+            return compute_global_quantities(
+                cfg, p, sph, tables, ti_current, a3inv,
+                pm_window=(pm_beg, pm_end) if cfg.pmgrid else None,
+                atime=atime)
 
         self._stats = jax.jit(stats_fn)
 
@@ -652,7 +665,9 @@ class Simulation:
         data = build_snapshot_data(
             cfg, self.units, self.tables, float(self.tbi), self.p, self.sph,
             self.n_gas, self.ti_current, self.time,
-            entropy_is_u=self._entropy_is_u)
+            entropy_is_u=self._entropy_is_u,
+            pm_window=((self.pm_ti_begstep, self.pm_ti_endstep)
+                       if cfg.pmgrid else None))
         if path is None:
             path = os.path.join(self.log_dir or ".",
                                 f"{cfg.snapshot_file_base}_{self.snapshot_count:03d}")
@@ -688,8 +703,11 @@ class Simulation:
             t0 = _time.time()
             self.update_full_potential()
             self.cpu_timers["potential"] += _time.time() - t0
+        com = self.cfg.comoving_integration
         s = self._stats(self.p, self.sph, self.ti_current,
-                        1.0 / self.time ** 3 if self.cfg.comoving_integration else 1.0)
+                        1.0 / self.time ** 3 if com else 1.0,
+                        self.time if com else 1.0,
+                        self.pm_ti_begstep, self.pm_ti_endstep)
         if "energy" in self._logs:
             self._logs["energy"].write(format_energy_line(self.time, s) + "\n")
             self._logs["energy"].flush()

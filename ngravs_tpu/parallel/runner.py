@@ -372,9 +372,11 @@ class DistributedSimulation:
     def energy_statistics(self):
         """energy.txt line (run.c:413-433) from gathered state."""
         p, sph = self.gather_ordered()
+        com = self.cfg.comoving_integration
         s = compute_global_quantities(
             self.cfg, p, sph, self.tables, self.ti_current,
-            1.0 / self.time ** 3 if self.cfg.comoving_integration else 1.0)
+            1.0 / self.time ** 3 if com else 1.0,
+            atime=self.time if com else 1.0)
         if "energy" in self._logs:
             self._logs["energy"].write(
                 format_energy_line(self.time, s) + "\n")

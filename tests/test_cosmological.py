@@ -107,3 +107,32 @@ def test_cosmological_expansion_cools_gas():
     # quasi-uniform box over a few steps
     assert (ent1 >= ent0 * 0.5 - 1e-12).all()
     assert np.median(np.abs(ent1 - ent0) / ent0) < 0.5
+
+
+def test_comoving_snapshot_velocity_convention(tmp_path):
+    """Comoving IO round-trip: snapshot files store vel = v_internal/a^1.5
+    (io.c:239-240), and reading them back as ICs restores the internal
+    velocity variable (init.c:95-101)."""
+    from ngravs_tpu.integrate.runner import load_initial_conditions
+    from ngravs_tpu.io.gadget_format import read_snapshot
+    from ngravs_tpu.units import set_units
+
+    cfg, p, sph = _cosmo_box(n_side=6)
+    sim = Simulation(cfg, particles=p, sph=sph, log_dir="")
+    sim.run(max_steps=2)
+    path = sim.write_snapshot_now(str(tmp_path / "snap"))
+    a = sim.time
+
+    data = read_snapshot(path)
+    # the file holds the predicted velocity / a^1.5; spot-check magnitude
+    from ngravs_tpu.diagnostics.energy import predicted_velocities
+    vexp = np.asarray(predicted_velocities(
+        sim.p, sim.tables, sim.ti_current, sph=sim.sph,
+        pm_window=(sim.pm_ti_begstep, sim.pm_ti_endstep))) * a ** -1.5
+    np.testing.assert_allclose(data.vel, vexp, rtol=2e-5, atol=1e-6)
+
+    # round-trip: load as ICs at time_begin = a
+    cfg2 = cfg.replace(time_begin=float(a))
+    p2, _ = load_initial_conditions(cfg2, set_units(cfg2), ic_path=path)
+    np.testing.assert_allclose(np.asarray(p2.vel),
+                               vexp * a ** 1.5, rtol=2e-5, atol=1e-6)
