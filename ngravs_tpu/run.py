@@ -36,6 +36,16 @@ def main(argv=None):
         write_usedvalues(cfg, paramfile + "-usedvalues")
     except OSError:
         pass  # read-only parameterfile location
+    if cfg.output_dir:
+        try:
+            # copy of the echo into the output dir (begrun.c:678-681)
+            import os
+            os.makedirs(cfg.output_dir, exist_ok=True)
+            write_usedvalues(cfg, os.path.join(
+                cfg.output_dir,
+                os.path.basename(paramfile) + "-usedvalues"))
+        except OSError:
+            pass
     if restartflag == 1:
         # resume from restart files (main.c:47-50, restart.c:35)
         sim = Simulation(cfg)
