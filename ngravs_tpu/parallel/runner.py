@@ -334,6 +334,16 @@ class DistributedSimulation:
                     > self.cfg.cpu_time_bet_restart_file:
                 self.save_restart()
                 last_restart = _time.time()
+        if self.ti_current >= C.TIMEBASE \
+                and self._next_output < float("inf"):
+            self.write_snapshot_now()   # final snapshot (run.c:134-141)
+        for f in self._logs.values():
+            f.flush()
+
+    def close(self):
+        for f in self._logs.values():
+            f.close()
+        self._logs = {}
 
     # ------------------------------------------------------------------
     def gather_ordered(self):
