@@ -60,5 +60,28 @@ def main():
     }))
 
 
+def _watchdog(seconds: float = 900.0):
+    """The axon TPU tunnel can hang backend init indefinitely; emit a
+    parseable failure line and exit rather than timing out silently."""
+    import threading
+
+    def bail():
+        print(json.dumps({
+            "metric": "particle-steps/sec (BENCH ABORTED: TPU backend "
+                      "unreachable within watchdog window)",
+            "value": 0.0,
+            "unit": "particle-steps/s",
+            "vs_baseline": 0.0,
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, bail)
+    t.daemon = True
+    t.start()
+    return t
+
+
 if __name__ == "__main__":
+    wd = _watchdog()
     main()
+    wd.cancel()
