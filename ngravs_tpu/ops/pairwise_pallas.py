@@ -55,7 +55,8 @@ def make_pairwise_kernel(wiring: GravityWiring, n_gravs: int,
                          box_size: float = 0.0,
                          want_pot: bool = True,
                          accumulator: bool | None = None,
-                         treepm_asmth: float = 0.0):
+                         treepm_asmth: float = 0.0,
+                         interpret: bool = False):
     """Returns fn(targets, sources) -> (acc [B*G,3], pot [B*G], nia [B*G]).
 
     targets: dict of [B*G, 1] arrays: x, y, z, mass, grav(i32), fsoft,
@@ -197,6 +198,9 @@ def make_pairwise_kernel(wiring: GravityWiring, n_gravs: int,
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((bg, 8), jnp.float32),
+            # interpret=True runs the kernel through the Pallas interpreter
+            # so the TPU hot path is testable on the CPU suite
+            interpret=interpret,
         )(n_src.reshape(-1).astype(jnp.int32), *targs, spacked)
         return out[:, :3], out[:, 3], out[:, 4].astype(jnp.int32)
 
