@@ -274,6 +274,12 @@ def drift(cfg, p, sph, tables, ti0, ti1):
         ex = sph.div_vel * dt_drift
         density = sph.density * jnp.exp(-ex)
         hsml = sph.hsml * jnp.exp(ex / 3.0)
+        # MinGasHsml floor (predict.c:69-71); only gas rows (hsml > 0 —
+        # zero marks non-gas throughout the tree machinery)
+        min_hsml = cfg.min_gas_hsml_fractional * cfg.softening[0] * 2.8
+        if min_hsml > 0:
+            hsml = jnp.where(sph.hsml > 0,
+                             jnp.maximum(hsml, min_hsml), hsml)
         # re-predicted pressure (predict.c:74): entropy advanced from the
         # particle's own step start to the new current time
         dt_entr = (jnp.asarray(ti1, jnp.float32)
