@@ -27,7 +27,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_PART_STEPS_PER_SEC = 6.4e6  # 64 ranks x ~1e5 part/sec CPU tree
 
 
+def _probe_backend(timeout_s: float = 240.0) -> bool:
+    """Check TPU reachability in a subprocess (the axon tunnel can hang the
+    whole process otherwise).  Returns True if the default backend works."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    platform_note = ""
+    if not _probe_backend():
+        # TPU tunnel down: fall back to CPU so the driver still records a
+        # real (if slow) measurement instead of a hang
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        platform_note = "; CPU FALLBACK - TPU unreachable"
+
     from ngravs_tpu.config import read_parameter_file
     from ngravs_tpu.integrate.runner import Simulation
 
@@ -36,7 +57,22 @@ def main():
         init_cond_file="/root/reference/GalaxyCollision.IC",
         output_dir="", time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
         time_bet_statistics=0.0)
-    sim = Simulation(cfg, log_dir="")
+    if platform_note:
+        # shrink the CPU-fallback workload so the measurement completes:
+        # an honest small number beats a driver timeout
+        import numpy as np
+        from ngravs_tpu.integrate.runner import load_initial_conditions
+        from ngravs_tpu.particles import Particles
+        from ngravs_tpu.units import set_units
+        p_full, _ = load_initial_conditions(cfg, set_units(cfg))
+        sel = np.sort(np.random.default_rng(0).choice(
+            p_full.pos.shape[0], 8192, replace=False))
+        import jax
+        p_sub = jax.tree.map(lambda a: a[sel], p_full)
+        sim = Simulation(cfg, particles=p_sub, log_dir="")
+        platform_note += " (8k subset)"
+    else:
+        sim = Simulation(cfg, log_dir="")
 
     # warmup: compile all kernels on the shapes the loop will use
     for _ in range(8):
@@ -53,7 +89,7 @@ def main():
 
     print(json.dumps({
         "metric": "particle-steps/sec (GalaxyCollision 60k, 2-species "
-                  "gravity, exact fused direct solver)",
+                  f"gravity, exact fused direct solver{platform_note})",
         "value": round(rate, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(rate / BASELINE_PART_STEPS_PER_SEC, 4),
