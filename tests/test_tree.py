@@ -236,3 +236,61 @@ def test_walk_static_matches_adaptive():
     assert not bool(res_a.overflow) and not bool(res_s.overflow)
     np.testing.assert_allclose(np.asarray(res_s.acc), np.asarray(res_a.acc),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_ngravs_accumulator_node_exactness():
+    """NGRAVS_ACCUMULATOR isolation (ngravs.c:163-210, SURVEY §4.3): for
+    the BAM wiring, a node of K co-located equal-mass BAM sources evaluated
+    through the walk's N-counting monopole must reproduce the exact direct
+    sum; with the accumulator off the same monopole is measurably wrong."""
+    from ngravs_tpu.config import SimulationConfig
+    from ngravs_tpu.models.wiring import build_wiring
+    from ngravs_tpu.ops.tree import build_tree, make_tree_forces
+
+    K = 16
+    # K BAM particles co-located (tiny jitter), one distant baryon target
+    rng = np.random.default_rng(4)
+    src = 8.0 + rng.normal(0, 1e-4, (K, 3)).astype(np.float32)
+    tgt = np.array([[1.0, 1.0, 1.0]], np.float32)
+    pos = np.concatenate([tgt, src])
+    n = K + 1
+    mass = np.full(n, 2.0, np.float32)
+    grav = np.concatenate([[0], np.ones(K)]).astype(np.int32)  # baryon, BAM
+    fsoft = np.full(n, 0.05, np.float32)
+
+    def walk_force(accumulator):
+        cfg = SimulationConfig(n_gravs=2, wiring="bam",
+                               ngravs_accumulator=accumulator,
+                               softening=(0.05,) * 6)
+        w = build_wiring(cfg)
+        tree = build_tree(jnp.asarray(pos), jnp.asarray(mass),
+                          jnp.asarray(grav), jnp.asarray(fsoft),
+                          jnp.ones(n), depth=4, n_gravs=2, bucket=2)
+        walk = make_tree_forces(w, n_gravs=2, group_size=8,
+                                node_list_cap=256, leaf_list_cap=256,
+                                bucket=2, depth=4, theta=0.7, opening="bh",
+                                block_batch=1, use_pallas=False)
+        # target is index 0 in original order; find its sorted slot
+        order = np.asarray(tree.order)
+        slot = int(np.nonzero(order == 0)[0][0])
+        res = walk.static(tree, jnp.asarray([slot], jnp.int32), fcap=4096)
+        return np.asarray(res.acc)[0], w
+
+    acc_on, w = walk_force(True)
+    acc_off, _ = walk_force(False)
+
+    # exact direct sum: K individual (mass, N=1) contributions
+    law = w.law(0, 1)      # BAM source -> baryon target
+    exact = np.zeros(3)
+    for j in range(K):
+        d = src[j] - tgt[0]
+        r = float(np.linalg.norm(d))
+        fac = float(law.force_factor(2.0, 2.0, r * r, r, 0.05 * 2.8, 1))
+        exact += fac * d
+
+    err_on = np.linalg.norm(acc_on - exact) / np.linalg.norm(exact)
+    err_off = np.linalg.norm(acc_off - exact) / np.linalg.norm(exact)
+    assert err_on < 1e-4, (acc_on, exact)
+    # without the accumulator the monopole treats the node as ONE particle
+    # of the summed mass -> a systematically different BAM force
+    assert err_off > 10 * max(err_on, 1e-6), (err_on, err_off)
