@@ -121,3 +121,46 @@ def test_restart_timemax_shrink(tmp_path):
     sim2.run()
     # at most one step of overshoot past TimeMax (loop-top check, run.c:32)
     assert sim2.time <= 0.25 + 0.05
+
+
+def test_yukawa_forcetest_two_body_exact():
+    """NGRAVS_YUKAWA_FORCETEST wiring (ngravs.c:213-282): same-type force
+    is off, cross force is pure Yukawa, so the two-body answer is known in
+    closed form — the reference's pathological TreePM-transition config."""
+    import jax.numpy as jnp
+
+    from ngravs_tpu.config import SimulationConfig
+    from ngravs_tpu.models.wiring import build_wiring
+    from ngravs_tpu.ops.solver import GravitySolver
+    from ngravs_tpu.particles import Particles
+    from ngravs_tpu.units import set_units
+
+    box = 10000.0
+    cfg = SimulationConfig(
+        n_gravs=2, type_to_grav=(0, 0, 1, 0, 0, 0), wiring="yukawa",
+        softening=(1.0,) * 6, gravity_constant_internal=1.0,
+        box_size=box)
+    units = set_units(cfg)
+    w = build_wiring(cfg)
+    d = 50.0
+    pos = np.array([[100.0, 100, 100], [100 + d, 100, 100]], np.float32)
+    p = Particles.create(pos, np.zeros((2, 3)), [3.0, 5.0], [1, 2], [1, 2],
+                         cfg.type_to_grav)
+    solver = GravitySolver(cfg, w, np.array(cfg.softening) * 2.8,
+                           np.array(cfg.softening), units.G)
+    p2, _, _ = solver.compute(p, 0, 2)
+    acc = np.asarray(p2.accel)
+
+    law = w.law(0, 1)
+    fac = float(law.force_factor(3.0, 5.0, d * d, d, 1.0 * 2.8, 1))
+    expect0 = fac * np.array([d, 0, 0])          # target 0 <- source 1
+    np.testing.assert_allclose(acc[0], expect0, rtol=2e-5, atol=1e-12)
+    # Newton's 3rd law across the cross pair (mass-symmetric Yukawa)
+    np.testing.assert_allclose(acc[1] * 5.0, -acc[0] * 3.0,
+                               rtol=2e-5, atol=1e-10)
+
+    # same-type pair: force off
+    p_same = Particles.create(pos, np.zeros((2, 3)), [3.0, 5.0], [1, 2],
+                              [1, 1], cfg.type_to_grav)
+    p3, _, _ = solver.compute(p_same, 0, 2)
+    assert np.abs(np.asarray(p3.accel)).max() < 1e-12
