@@ -89,12 +89,14 @@ def main():
         fcap = 131072 if args.n >= 500_000 else 16384
         step = make_sharded_tree_step(cfg, units, wiring, tables, mesh,
                                       n_local=nloc, fcap=fcap,
-                                      node_list_cap=8192, leaf_list_cap=8192)
-        out = step(ps, 0, 0, cfg.time_begin)   # compile + warm
+                                      node_list_cap=8192, leaf_list_cap=8192,
+                                      pm_step=bool(cfg.pmgrid))
+        pm_args = (0, 0) if cfg.pmgrid else ()
+        out = step(ps, 0, 0, cfg.time_begin, *pm_args)   # compile + warm
         jax.block_until_ready(out[0].accel)
         t0 = time.time()
         for _ in range(args.reps):
-            out = step(ps, 0, 0, cfg.time_begin)
+            out = step(ps, 0, 0, cfg.time_begin, *pm_args)
         jax.block_until_ready(out[0].accel)
         dt = (time.time() - t0) / args.reps
         label = f"sharded tree step ({n_dev} devices)"

@@ -42,10 +42,16 @@ def force_test(sim, fraction: float | None = None, seed: int = 42,
     if sim.cfg.adaptive_gravsoft_forgas and sim.sph is not None:
         fsoft = jnp.where(p.ptype == 0, sim.sph.hsml, fsoft)
     box = cfg.box_size if cfg.periodic else 0.0
+    # exact periodic oracle: the Ewald tables built for FORCETEST even
+    # under PMGRID (begrun.c:47-49; force_treeevaluate_direct,
+    # forcetree.c:3471-3530)
+    lat = getattr(sim.solver, "oracle_lattice_tables", None)
+    if lat is None:
+        lat = getattr(sim.solver, "lattice_tables", None)
     acc_d, _ = direct_forces(
         sim.wiring, p.pos, p.mass, p.grav, fsoft,
         tgt_idx=jnp.asarray(idx), box=box,
-        lattice_tables=getattr(sim.solver, "lattice_tables", None))
+        lattice_tables=lat)
     acc_d = np.asarray(acc_d) * sim.units.G
 
     acc_s = np.asarray(p.accel)[idx]

@@ -50,3 +50,31 @@ def pow2_floor_i32(x):
     x = x | (x >> 8)
     x = x | (x >> 16)
     return x - (x >> 1)
+
+
+def pm_window_update(ti_next, pm_beg, pm_end, dt_disp, tbi: float):
+    """Advance the PM (long-range) integer-timeline window at a PM step
+    (timestep.c:350-408): the new PM step is the power-of-two floor of the
+    displacement constraint, may only grow onto an aligned tick
+    (timestep.c:357-362), and the long-range kick covers the midpoint window
+    [old midpoint, new midpoint].
+
+    Traceable (all jnp scalars).  Returns (tstart, tend, new_beg, new_end):
+    kick velocity by accel_pm * gravkick_factor(tstart, tend).
+    """
+    import jax.numpy as jnp
+    ti_next = jnp.asarray(ti_next, jnp.int32)
+    pm_beg = jnp.asarray(pm_beg, jnp.int32)
+    pm_end = jnp.asarray(pm_end, jnp.int32)
+    ti_step = jnp.maximum(1, jnp.minimum(
+        (jnp.asarray(dt_disp, jnp.float32) / tbi).astype(jnp.int32),
+        TIMEBASE - ti_next))
+    ti_step = pow2_floor_i32(ti_step)
+    old = pm_end - pm_beg
+    misaligned = ((TIMEBASE - pm_end) % jnp.maximum(ti_step, 1)) > 0
+    ti_step = jnp.where((ti_step > old) & (old > 0) & misaligned,
+                        old, ti_step)
+    ti_step = jnp.where(ti_next >= TIMEBASE, 0, ti_step)
+    tstart = (pm_beg + pm_end) // 2
+    tend = pm_end + ti_step // 2
+    return tstart, tend, pm_end, pm_end + ti_step

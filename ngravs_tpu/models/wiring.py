@@ -146,6 +146,24 @@ def wire_coloyuk(cfg: SimulationConfig) -> GravityWiring:
     return GravityWiring([[cy] * n for _ in range(n)])
 
 
+def wire_three_species(cfg: SimulationConfig) -> GravityWiring:
+    """Three distinct diagonal laws (Newton / Yukawa / Coulomb+Yukawa) with
+    symmetric Yukawa cross-interactions — the BASELINE config-5 N_GRAVS>=3
+    interaction matrix.  Every law has a k-space Green's function, so the
+    full TreePM pipeline (N_GRAVS^2 PM rounds, per-pair transition tables)
+    is exercised."""
+    if cfg.n_gravs < 3:
+        raise ValueError("three_species wiring requires n_gravs >= 3")
+    n = cfg.n_gravs
+    box = cfg.box_size if cfg.box_size > 0 else 1.0
+    newton = L.Newtonian()
+    yuk = L.Yukawa(YUKAWA_IMASS, box, cfg.pmgrid, cfg.asmth)
+    cy = L.ColoYuk(YUKAWA_IMASS, box, cfg.pmgrid, cfg.asmth)
+    diag = [newton, yuk, cy] + [newton] * (n - 3)
+    return GravityWiring(
+        [[diag[i] if i == j else yuk for j in range(n)] for i in range(n)])
+
+
 WIRINGS = {
     "newton": wire_newton,
     "stock": wire_newton,
@@ -153,6 +171,7 @@ WIRINGS = {
     "yukawa": wire_yukawa,
     "newton_yukawa": wire_newton_yukawa,
     "coloyuk": wire_coloyuk,
+    "three_species": wire_three_species,
 }
 
 

@@ -130,12 +130,19 @@ class GravitySolver:
         self._tree_cache = None
         self._forces_since_build = 0
         # periodic pure-tree runs need the lattice (Ewald) correction tables
-        # (begrun.c:47-49: lattice_init when PERIODIC && !PMGRID)
+        # (begrun.c:47-49: lattice_init when PERIODIC && !PMGRID); periodic
+        # FORCETEST runs need them too — for the exact direct-sum oracle —
+        # even under PMGRID (the `|| defined(FORCETEST)` in begrun.c:47),
+        # but the short-range walk must NOT apply them (the mesh carries
+        # the periodicity), so the oracle set is kept separate
         self.lattice_tables = None
-        if cfg.periodic and not cfg.pmgrid:
+        self.oracle_lattice_tables = None
+        if cfg.periodic and (not cfg.pmgrid or cfg.force_test > 0):
             from .lattice import build_lattice_tables
-            self.lattice_tables = build_lattice_tables(
-                wiring, cfg.ngravs_en, cfg.box_size)
+            tabs = build_lattice_tables(wiring, cfg.ngravs_en, cfg.box_size)
+            self.oracle_lattice_tables = tabs
+            if not cfg.pmgrid:
+                self.lattice_tables = tabs
         # TreePM: PM solver + short-range transition tables
         # (long_range_init, longrange.c:20; tabulation forcetree.c:3274)
         self.pm = None

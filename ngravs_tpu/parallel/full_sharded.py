@@ -89,13 +89,29 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
                            opening: str | None = None,
                            sph_maxiter: int = MAXITER,
                            leaf_factor: float = 4.0,
-                           sph_chunk_blocks: int = 8):
+                           sph_chunk_blocks: int = 8,
+                           pm_step: bool = True):
     """Build the jitted full step over the mesh.
 
-    Returns step(p, sph, ti_current, ti_next, time_next) ->
+    Without PMGRID (or with it, see below) returns
+    step(p, sph, ti_current, ti_next, time_next) ->
     (p, sph, min_endstep, sph_overflow).  `n_local` is the per-shard
     particle count (static); particles must be padded/sharded by
     `mesh.shard_particles` and SPH state sharded identically.
+
+    Under PMGRID the long-range force lives on its own integer timeline
+    exactly like the reference (timestep.c:350-408, run.c:175-181), so two
+    program variants exist, selected by the static `pm_step` flag:
+      * pm_step=True  — a PM step: recompute the sharded-FFT long-range
+        force and apply the midpoint-window PM kick.  Signature gains the
+        PM window scalars:
+        step(p, sph, ti_current, ti_next, time_next, pm_beg, pm_end) ->
+        (p, sph, min_endstep, overflow, pm_beg', pm_end').
+      * pm_step=False — between PM steps: hold p.accel_pm, skip the FFT
+        and the PM kick (signature/returns as without PMGRID).
+    The driver must force ti_next <= pm_end (a PM step is a full
+    synchronization point) and use the pm_step=True program exactly when
+    ti_next == pm_end.
     """
     box = cfg.box_size if cfg.periodic else 0.0
     box_t = cfg.box_sizes
@@ -209,7 +225,9 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
         _, hsml, _, _, rho, wngb, dh, dv, rv, _, ovf = st
         return hsml, rho, wngb, dh, dv, rv, ovf
 
-    def _step(p, sph, ti_current, ti_next, time_next):
+    pm_update = bool(cfg.pmgrid) and pm_step
+
+    def _step(p, sph, ti_current, ti_next, time_next, pm_beg, pm_end):
         nloc = p.pos.shape[0]
         my = jax.lax.axis_index(AXIS)
         gath = lambda a: jax.lax.all_gather(a, AXIS, tiled=True)
@@ -261,10 +279,11 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
             pot = pot + pm_sharded._potential_impl(p.pos, mass, p.grav)
         accel_pm = p.accel_pm
         if pm_sharded is not None:
-            # long-range PM forces (pmforce_periodic, pm_periodic.c:204);
-            # the sharded FFT pipeline, inlined in this shard_map context.
+            if pm_update:
+                # long-range PM forces (pmforce_periodic, pm_periodic.c:204);
+                # the sharded FFT pipeline, inlined in this shard_map context
+                accel_pm = pm_sharded._forces_impl(p.pos, mass, p.grav)
             # OldAcc includes the PM part under PMGRID (gravtree.c:322-330)
-            accel_pm = pm_sharded._forces_impl(p.pos, mass, p.grav)
             amag = jnp.linalg.norm(acc + accel_pm, axis=-1)
         p = p.replace(accel=acc, potential=pot, accel_pm=accel_pm,
                       old_acc=amag, grav_cost=grav_cost)
@@ -386,29 +405,52 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
 
         # ---- kick + sync point (timestep.c; run.c:165), with the
         # cross-shard RMS-displacement constraint (timestep.c:587-651) ----
-        p, sph = kick(cfg, units, p, sph, tables, ti_next,
-                      sharded_dt_displacement(cfg, units, p, time_next),
+        dt_disp = sharded_dt_displacement(cfg, units, p, time_next)
+        p, sph = kick(cfg, units, p, sph, tables, ti_next, dt_disp,
                       soft_by_type, time_next)
-        if pm_sharded is not None:
-            # long-range kick (timestep.c:385-388).  The PM force is
-            # refreshed EVERY step here (unlike the reference's separate PM
-            # timeline), so kicking all particles over each sync window
-            # [ti_current, ti_next] integrates the same impulse with a
-            # finer, strictly more accurate cadence.  Active gas had its
-            # VelPred reset from the pre-PM-kick velocity inside kick(), so
-            # only it receives the PM term here; inactive gas already
-            # carries it through the drift prediction (predict.c:58-61).
-            dt_pmk = tables.gravkick_factor(ti_current, ti_next)
+        new_beg = new_end = pm_beg
+        if pm_update:
+            # PM long-range kick over the PM midpoint window
+            # (timestep.c:350-408): advance the PM window by the
+            # power-of-two-floored displacement constraint, kick ALL
+            # particles by accel_pm over [old midpoint, new midpoint], and
+            # re-predict the gas velocities (timestep.c:392-406)
+            from ..integrate.timeline import pm_window_update
+            tstart, tend, new_beg, new_end = pm_window_update(
+                ti_next, pm_beg, pm_end, dt_disp, float(tbi))
+            dt_pmk = tables.gravkick_factor(tstart, tend)
             p = p.replace(vel=p.vel + accel_pm * dt_pmk)
+            mid = (p.ti_begstep + p.ti_endstep) // 2
+            dt_a = tables.gravkick_factor(p.ti_begstep, ti_next) \
+                - tables.gravkick_factor(p.ti_begstep, mid)
+            dt_h = tables.hydrokick_factor(p.ti_begstep, ti_next) \
+                - tables.hydrokick_factor(p.ti_begstep, mid)
+            dt_b = -tables.gravkick_factor(new_beg, (new_beg + new_end) // 2)
+            vp = p.vel + p.accel * dt_a[:, None] \
+                + sph.hydro_accel * dt_h[:, None] + accel_pm * dt_b
             sph = sph.replace(vel_pred=jnp.where(
-                act_gas[:, None], sph.vel_pred + accel_pm * dt_pmk,
-                sph.vel_pred))
+                is_gas[:, None], vp, sph.vel_pred))
         min_end = jax.lax.pmin(jnp.min(p.ti_endstep), AXIS)
         ovf = jax.lax.pmax(ovf | walk_ovf, AXIS)
+        if pm_update:
+            return p, sph, min_end, ovf, new_beg, new_end
         return p, sph, min_end, ovf
 
+    if pm_update:
+        step = jax.shard_map(
+            _step, mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P(), P()),
+            out_specs=(P(AXIS), P(AXIS), P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(step)
+
+    def _step_nopm(p, sph, ti_current, ti_next, time_next):
+        return _step(p, sph, ti_current, ti_next, time_next,
+                     jnp.int32(0), jnp.int32(0))
+
     step = jax.shard_map(
-        _step, mesh=mesh,
+        _step_nopm, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(), P(), P()),
         out_specs=(P(AXIS), P(AXIS), P(), P()),
         check_vma=False,

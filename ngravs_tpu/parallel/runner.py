@@ -55,23 +55,24 @@ class DistributedSimulation:
     `entropy_is_u=True`, in which case an init-time density pass converts
     it exactly like init.c:170-174.
 
-    Notes vs the single-chip Simulation: the PM force is refreshed every
-    step (not on the separate PM timeline) — strictly more accurate, and
-    on-mesh the FFT is a small fraction of the walk; the FORCETEST /
-    MAKEGLASS / fast-direct special modes stay single-chip.
+    Notes vs the single-chip Simulation: the FORCETEST / MAKEGLASS /
+    fast-direct special modes stay single-chip.  Under PMGRID the
+    long-range force lives on its own integer timeline exactly like the
+    reference (timestep.c:350-408): PM steps force a full synchronization
+    (run.c:175-181) and run a separate compiled program variant that
+    includes the sharded FFT + midpoint-window PM kick; between PM steps
+    the held accel_pm is integrated through the drift prediction.
     """
 
     def __init__(self, cfg, particles, sph=None, mesh=None, log_dir=None,
                  alloc_factor: float = 1.25, cand_cap: int = 2048,
                  fcap: int = 65536, sph_group: int = 64,
                  entropy_is_u: bool = False):
-        if cfg.flexsteps or cfg.pseudosymmetric or cfg.make_glass \
-                or cfg.force_test > 0:
+        if cfg.flexsteps or cfg.pseudosymmetric or cfg.make_glass:
             raise ValueError(
-                "FLEXSTEPS / PSEUDOSYMMETRIC / MAKEGLASS / FORCETEST are "
-                "single-chip modes — use integrate.runner.Simulation "
-                "(the reference's SYNCHRONIZATION mode is what the sharded "
-                "step implements)")
+                "FLEXSTEPS / PSEUDOSYMMETRIC / MAKEGLASS are single-chip "
+                "modes — use integrate.runner.Simulation (the reference's "
+                "SYNCHRONIZATION mode is what the sharded step implements)")
         self.cfg = cfg
         self.units = set_units(cfg)
         self.wiring = build_wiring(cfg)
@@ -114,6 +115,9 @@ class DistributedSimulation:
 
         self.ti_current = 0
         self._min_end = 0       # next global sync point (run.c:165)
+        # PM (long-range) integer-timeline window (timestep.c:350-408)
+        self.pm_ti_begstep = 0
+        self.pm_ti_endstep = 0
         self.time_max_ti = C.TIMEBASE
         self.step_count = 0
         self.num_force_updates = 0
@@ -141,21 +145,33 @@ class DistributedSimulation:
     # ------------------------------------------------------------------
     def _build_step(self):
         cfg = self.cfg
-        if self.has_gas:
-            self._step_fn = make_sharded_full_step(
-                cfg, self.units, self.wiring, self.tables, self.mesh,
-                n_local=self.n_local, sph_group=self.sph_group,
-                cand_cap=self.cand_cap, fcap=self.fcap,
-                node_list_cap=self.node_list_cap,
-                leaf_list_cap=self.leaf_list_cap,
-                leaf_factor=self.leaf_factor)
+        # under PMGRID two program variants exist: the PM-step one
+        # (recomputes the long-range force + PM kick, carries the PM
+        # window) and the in-between one (holds accel_pm) — the TPU analog
+        # of the reference's conditional long_range_force (accel.c:34-42)
+        variants = (True, False) if cfg.pmgrid else (False,)
+        fns = []
+        for pm in variants:
+            if self.has_gas:
+                fns.append(make_sharded_full_step(
+                    cfg, self.units, self.wiring, self.tables, self.mesh,
+                    n_local=self.n_local, sph_group=self.sph_group,
+                    cand_cap=self.cand_cap, fcap=self.fcap,
+                    node_list_cap=self.node_list_cap,
+                    leaf_list_cap=self.leaf_list_cap,
+                    leaf_factor=self.leaf_factor, pm_step=pm))
+            else:
+                fns.append(make_sharded_tree_step(
+                    cfg, self.units, self.wiring, self.tables, self.mesh,
+                    n_local=self.n_local, fcap=self.fcap,
+                    node_list_cap=self.node_list_cap,
+                    leaf_list_cap=self.leaf_list_cap,
+                    leaf_factor=self.leaf_factor, pm_step=pm))
+        if cfg.pmgrid:
+            self._step_pm_fn, self._step_fn = fns
         else:
-            self._step_fn = make_sharded_tree_step(
-                cfg, self.units, self.wiring, self.tables, self.mesh,
-                n_local=self.n_local, fcap=self.fcap,
-                node_list_cap=self.node_list_cap,
-                leaf_list_cap=self.leaf_list_cap,
-                leaf_factor=self.leaf_factor)
+            self._step_pm_fn = None
+            self._step_fn = fns[0]
 
     @property
     def time(self) -> float:
@@ -198,29 +214,44 @@ class DistributedSimulation:
         cfg = self.cfg
         t0 = _time.time()
         ti_next = self._min_end
+        if cfg.pmgrid and ti_next > self.pm_ti_endstep:
+            # a PM step forces a full synchronization (run.c:175-181)
+            ti_next = self.pm_ti_endstep
         # drift exactly onto a pending snapshot time (run.c:206-225)
         wrote_snapshot = False
         if self._next_output < float("inf"):
             ti_out = time_to_ti(cfg, self._next_output)
             if self.ti_current < ti_out < ti_next:
                 ti_next = ti_out
+        pm_due = bool(cfg.pmgrid) and ti_next == self.pm_ti_endstep
 
         time_next = ti_to_time(cfg, ti_next)
+        pm_beg2 = pm_end2 = None
         for _ in range(6):
+            fn = self._step_pm_fn if pm_due else self._step_fn
+            extra = (self.pm_ti_begstep, self.pm_ti_endstep) if pm_due \
+                else ()
             if self.has_gas:
-                out = self._step_fn(self.p, self.sph, self.ti_current,
-                                    ti_next, time_next)
-                p2, s2, min_end, ovf = out
-                if bool(ovf):
-                    self._grow_caps()   # re-run same step, state retained
-                    continue
+                out = fn(self.p, self.sph, self.ti_current, ti_next,
+                         time_next, *extra)
+                if pm_due:
+                    p2, s2, min_end, ovf, pm_beg2, pm_end2 = out
+                else:
+                    p2, s2, min_end, ovf = out
             else:
-                p2, min_end = self._step_fn(self.p, self.ti_current,
-                                            ti_next, time_next)
+                out = fn(self.p, self.ti_current, ti_next, time_next,
+                         *extra)
                 s2 = self.sph
+                if pm_due:
+                    p2, min_end, ovf, pm_beg2, pm_end2 = out
+                else:
+                    p2, min_end, ovf = out
+            if bool(ovf):
+                self._grow_caps()   # re-run same step, state retained
+                continue
             break
         else:
-            raise RuntimeError("SPH candidate caps kept overflowing")
+            raise RuntimeError("walk/SPH candidate caps kept overflowing")
         if "timings" in self._logs:
             # exact active count for the timings line (one device pull);
             # headless runs use the n_real upper bound
@@ -231,9 +262,19 @@ class DistributedSimulation:
         self.p, self.sph = p2, s2
         self.ti_current = ti_next
         self._min_end = int(min_end)
+        if pm_due:
+            self.pm_ti_begstep = int(pm_beg2)
+            self.pm_ti_endstep = int(pm_end2)
         self.num_force_updates += n_act
         self._since_reshard += n_act
         self.step_count += 1
+
+        # FORCETEST: direct-sum accuracy rows on the gathered state
+        # (gravtree_forcetest.c:28; under PMGRID only on PM steps, :46-49;
+        # off under NOGRAVITY, :34)
+        if cfg.force_test > 0 and not cfg.no_gravity \
+                and (not cfg.pmgrid or pm_due):
+            self.force_test()
 
         # outputs due exactly now (we drifted onto them); write every
         # pending output like the reference's while loop (run.c:206-225)
@@ -283,6 +324,37 @@ class DistributedSimulation:
                 f"{live.sum(axis=1).max() * self.n_dev / max(live.sum(), 1):.4g}\n\n")
             self._logs["timings"].flush()
 
+    def force_test(self, fraction=None, write=True):
+        """gravity_forcetest (gravtree_forcetest.c:28) over the mesh: the
+        distributed analog of the reference's export-everything direct test
+        (gravtree_forcetest.c:94-96) — the state is gathered once and fed to
+        the same O(N*Nsel) direct-summation oracle + forcetest.txt writer as
+        the single-chip driver (Ewald-corrected when periodic, even under
+        PMGRID — begrun.c:47-49)."""
+        from types import SimpleNamespace
+
+        from ..constants import SOFTFAC_SPLINE
+        from ..diagnostics.forcetest import force_test as _ft
+
+        if not hasattr(self, "_oracle_lat"):
+            self._oracle_lat = None
+            if self.cfg.periodic:
+                from ..ops.lattice import build_lattice_tables
+                self._oracle_lat = build_lattice_tables(
+                    self.wiring, self.cfg.ngravs_en, self.cfg.box_size)
+        p, sph = self.gather_ordered()
+        pj = jax.tree.map(jnp.asarray, p)
+        sj = jax.tree.map(jnp.asarray, sph) if sph is not None else None
+        shim = SimpleNamespace(
+            cfg=self.cfg, p=pj, sph=sj, wiring=self.wiring,
+            units=self.units,
+            force_soft=np.array(self.cfg.softening, np.float32)
+            * SOFTFAC_SPLINE,
+            solver=SimpleNamespace(oracle_lattice_tables=self._oracle_lat),
+            ti_current=self.ti_current, step_count=self.step_count,
+            log_dir=self.log_dir)
+        return _ft(shim, fraction=fraction, write=write)
+
     def domain_decomposition(self):
         """Re-split by measured work (domain_Decomposition, domain.c:62)."""
         self.p, self.sph = reshard_by_cost(
@@ -327,6 +399,9 @@ class DistributedSimulation:
                     > 0.85 * self.cfg.time_limit_cpu:
                 if self.log_dir:
                     self.save_restart()
+                if self.cfg.resubmit_on and self.cfg.resubmit_command:
+                    # self-resubmission (run.c:99-103)
+                    os.system(self.cfg.resubmit_command)
                 break
             # periodic safety restart writes (run.c:108-125)
             if self.log_dir and self.cfg.cpu_time_bet_restart_file > 0 \
@@ -410,6 +485,8 @@ class DistributedSimulation:
                  num_force_updates=self.num_force_updates,
                  snapshot_count=self.snapshot_count,
                  next_output=self._next_output, next_stats=self._next_stats,
+                 pm_ti_begstep=self.pm_ti_begstep,
+                 pm_ti_endstep=self.pm_ti_endstep,
                  **payload)
         return path
 
@@ -438,6 +515,9 @@ class DistributedSimulation:
             self._build_step()
         self.ti_current = int(z["ti_current"])
         self._min_end = int(z["min_end"])
+        if "pm_ti_begstep" in z.files:
+            self.pm_ti_begstep = int(z["pm_ti_begstep"])
+            self.pm_ti_endstep = int(z["pm_ti_endstep"])
         self.step_count = int(z["step_count"])
         self.num_force_updates = int(z["num_force_updates"])
         self.snapshot_count = int(z["snapshot_count"])

@@ -51,13 +51,23 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
                            leaf_list_cap: int = 4096,
                            fcap: int = 65536,
                            opening: str | None = None,
-                           leaf_factor: float = 4.0):
+                           leaf_factor: float = 4.0,
+                           pm_step: bool = True):
     """Build a jitted full simulation step over the mesh with tree forces:
     drift(all) -> all_gather sources -> replicated tree build -> per-shard
     static walk of the local target slice -> kick -> pmin sync point.
 
     `n_local` is the per-shard particle count (static).  Returns
-    step(p, ti_current, ti_next, time_next) -> (p, min_endstep).
+    step(p, ti_current, ti_next, time_next) -> (p, min_endstep, overflow).
+
+    Under PMGRID the walk is the Rcut-truncated short-range walk and the
+    long-range force lives on its own integer timeline (timestep.c:350-408),
+    with two program variants selected by the static `pm_step` flag exactly
+    as in make_sharded_full_step: pm_step=True recomputes the sharded-FFT
+    PM force and applies the midpoint-window PM kick, with signature
+    step(p, ti_current, ti_next, time_next, pm_beg, pm_end) ->
+    (p, min_endstep, overflow, pm_beg', pm_end'); pm_step=False holds
+    p.accel_pm (base signature).
     """
     box = cfg.box_size if cfg.periodic else 0.0
     depth = depth if depth is not None else cfg.tree_depth
@@ -71,6 +81,24 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
     if opening is None:
         opening = "bh" if cfg.type_of_opening_criterion == 0 else "relative"
     n_dev = mesh.devices.size
+    from ..integrate.timeline import timebase_interval
+    tbi = timebase_interval(cfg)
+
+    # --- gravity: short-range (TreePM) or full tree walk -----------------
+    pm_sharded = None
+    treepm = None
+    if cfg.pmgrid:
+        from ..ops.pm import PMSolver
+        from ..ops.shortrange import shortrange_tables
+        from .pm_sharded import ShardedPMSolver
+        base_pm = PMSolver(wiring, cfg.pmgrid, cfg.box_size, cfg.n_gravs,
+                           G, asmth_cells=cfg.asmth)
+        base_pm.rcut = cfg.rcut * base_pm.asmth
+        pm_sharded = ShardedPMSolver(base_pm, mesh, cfg.n_gravs)
+        sr_ftab, sr_ptab = shortrange_tables(wiring, ntab=cfg.ntab)
+        treepm = dict(sr_ftab=sr_ftab, sr_ptab=sr_ptab,
+                      asmth=base_pm.asmth, rcut=base_pm.rcut)
+    pm_update = bool(cfg.pmgrid) and pm_step
 
     # periodic pure-tree needs the Ewald lattice correction tables
     # (begrun.c:47-49: lattice_init when PERIODIC && !PMGRID)
@@ -86,11 +114,12 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
         bucket=cfg.tree_bucket_size, depth=depth,
         theta=cfg.err_tol_theta, opening=opening, box_size=box,
         block_batch=max(1, min(8, n_local // group)),
-        leaf_factor=leaf_factor, lattice_tables=lattice_tables)
+        leaf_factor=leaf_factor, lattice_tables=lattice_tables,
+        treepm=treepm)
     from ..ops.solver import apply_cosmo_corrections, cosmo_corrections
     corr = cosmo_corrections(cfg, G, units.hubble, lattice_tables)
 
-    def _step(p, ti_current, ti_next, time_next):
+    def _step(p, ti_current, ti_next, time_next, pm_beg, pm_end):
         nloc = p.pos.shape[0]
         my = jax.lax.axis_index(AXIS)
 
@@ -135,7 +164,17 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
         # cosmological corrections (gravtree.c:302-358, potential.c:251-337)
         acc, amag, pot = apply_cosmo_corrections(corr, p.pos, mass, p.grav,
                                                  acc, pot)
-        p = p.replace(accel=acc, potential=pot,
+        accel_pm = p.accel_pm
+        if pm_sharded is not None:
+            if pm_update:
+                # long-range PM forces (pmforce_periodic, pm_periodic.c:204)
+                accel_pm = pm_sharded._forces_impl(p.pos, mass, p.grav)
+            if cfg.output_potential or cfg.compute_potential_energy:
+                # long-range PM potential (potential.c:268-306)
+                pot = pot + pm_sharded._potential_impl(p.pos, mass, p.grav)
+            # OldAcc includes the PM part under PMGRID (gravtree.c:322-330)
+            amag = jnp.linalg.norm(acc + accel_pm, axis=-1)
+        p = p.replace(accel=acc, potential=pot, accel_pm=accel_pm,
                       old_acc=amag,
                       # measured work for the next decomposition
                       # (GravCost, forcetree.c:1595 / domain.c:859-862)
@@ -144,15 +183,39 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
 
         # kick the active set (timestep.c) — purely local, masked, with
         # the cross-shard RMS-displacement constraint (timestep.c:587-651)
-        p, _ = kick(cfg, units, p, None, tables, ti_next,
-                    sharded_dt_displacement(cfg, units, p, time_next),
+        dt_disp = sharded_dt_displacement(cfg, units, p, time_next)
+        p, _ = kick(cfg, units, p, None, tables, ti_next, dt_disp,
                     soft_by_type, time_next)
+        new_beg = new_end = pm_beg
+        if pm_update:
+            # PM long-range kick over the PM midpoint window
+            # (timestep.c:350-408)
+            from ..integrate.timeline import pm_window_update
+            tstart, tend, new_beg, new_end = pm_window_update(
+                ti_next, pm_beg, pm_end, dt_disp, float(tbi))
+            dt_pmk = tables.gravkick_factor(tstart, tend)
+            p = p.replace(vel=p.vel + accel_pm * dt_pmk)
         min_end = jax.lax.pmin(jnp.min(p.ti_endstep), AXIS)
         ovf = jax.lax.pmax(res.overflow, AXIS)
+        if pm_update:
+            return p, min_end, ovf, new_beg, new_end
         return p, min_end, ovf
 
+    if pm_update:
+        step = jax.shard_map(
+            _step, mesh=mesh,
+            in_specs=(P(AXIS), P(), P(), P(), P(), P()),
+            out_specs=(P(AXIS), P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(step)
+
+    def _step_nopm(p, ti_current, ti_next, time_next):
+        return _step(p, ti_current, ti_next, time_next,
+                     jnp.int32(0), jnp.int32(0))
+
     step = jax.shard_map(
-        _step, mesh=mesh,
+        _step_nopm, mesh=mesh,
         in_specs=(P(AXIS), P(), P(), P()),
         out_specs=(P(AXIS), P(), P()),
         check_vma=False,

@@ -124,3 +124,56 @@ def test_unique_laws_grouping():
     assert len(w2.unique_laws()) == 2
     m = w2.pair_index_matrix()
     assert m[0, 0] == m[1, 1] and m[0, 1] == m[1, 0] and m[0, 0] != m[0, 1]
+
+
+def test_three_species_wiring_forces_match_direct():
+    """BASELINE config-5 interaction matrix (N_GRAVS=3: Newton / Yukawa /
+    Coulomb+Yukawa diagonals, symmetric Yukawa cross terms): L3 symmetry
+    holds, the tree walk matches the direct oracle, and cross-species
+    momentum is conserved."""
+    import jax.numpy as jnp
+
+    from ngravs_tpu.constants import SOFTFAC_SPLINE
+    from ngravs_tpu.ops.direct import direct_forces
+    from ngravs_tpu.ops.solver import GravitySolver
+    from ngravs_tpu.particles import Particles
+    from ngravs_tpu.units import set_units
+
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=1.0, gravity_constant_internal=1.0,
+        softening=(0.02,) * 6, n_gravs=3, type_to_grav=(0, 0, 1, 2, 0, 0),
+        wiring="three_species", box_size=20.0,
+        tree_depth=6, tree_bucket_size=16, tree_group_size=64,
+        tree_block_batch=4)
+    w = build_wiring(cfg)  # includes the L3 probe (ngravs_core.c:367-421)
+    assert w.n_gravs == 3
+    assert len(w.unique_laws()) == 3
+
+    rng = np.random.default_rng(11)
+    n = 768
+    pos = rng.uniform(0, 6, (n, 3)).astype(np.float32)
+    ptype = rng.integers(2, 5, n).astype(np.int32)  # types 2,3,4 -> gravities
+    p = Particles.create(pos, np.zeros((n, 3), np.float32),
+                         rng.uniform(0.5, 1.5, n).astype(np.float32),
+                         np.arange(n), ptype, cfg.type_to_grav)
+    assert len(np.unique(np.asarray(p.grav))) == 3
+
+    units = set_units(cfg)
+    solver = GravitySolver(cfg, w, np.array(cfg.softening) * SOFTFAC_SPLINE,
+                           np.array(cfg.softening), units.G)
+    p_out, _, _ = solver.compute(p, 0, n, opening="bh")
+    acc_tree = np.asarray(p_out.accel)
+
+    fsoft = jnp.full(n, 0.02 * SOFTFAC_SPLINE)
+    acc_d, _ = direct_forces(w, p.pos, p.mass, p.grav, fsoft, chunk=256)
+    acc_d = np.asarray(acc_d) * units.G
+
+    scale = np.abs(acc_d).max()
+    err = np.linalg.norm(acc_tree - acc_d, axis=1) / np.maximum(
+        np.linalg.norm(acc_d, axis=1), 1e-30 * scale)
+    assert np.sqrt((err ** 2).mean()) < 0.01
+
+    # Newton's 3rd law end-to-end: total momentum change vanishes
+    mom = np.abs((np.asarray(p.mass)[:, None] * acc_d).sum(0))
+    mscale = (np.asarray(p.mass)[:, None] * np.abs(acc_d)).sum(0)
+    assert (mom / mscale < 1e-4).all()

@@ -234,9 +234,12 @@ def _run_full_step(cfg, p, sph, n_dev):
     nloc = ps.pos.shape[0] // n_dev
     step = make_sharded_full_step(cfg, units, wiring, tables, mesh,
                                   n_local=nloc, node_list_cap=16384,
-                                  leaf_list_cap=16384, leaf_factor=8.0)
-    p2, sph2, min_end, ovf = step(ps, sphs, 0, 0, cfg.time_begin)
+                                  leaf_list_cap=16384, leaf_factor=8.0,
+                                  pm_step=True)
+    p2, sph2, min_end, ovf, pm_beg, pm_end = step(ps, sphs, 0, 0,
+                                                  cfg.time_begin, 0, 0)
     assert not bool(ovf), "SPH candidate caps overflowed"
+    assert int(pm_end) > 0  # PM window advanced (timestep.c:350-408)
     return (jax.device_get(p2), jax.device_get(sph2), int(min_end))
 
 
@@ -343,7 +346,8 @@ def test_distributed_simulation_runs(tmp_path):
     cfg, p, sph = _gas_halo_system(n_gas=512, n_halo=512)
     cfg = cfg.replace(time_bet_snapshot=0.001, time_of_first_snapshot=0.001,
                       time_bet_statistics=0.0005, output_dir=str(tmp_path),
-                      time_max=0.02, output_potential=True)
+                      time_max=0.02, output_potential=True,
+                      force_test=0.05, ngravs_en=16)
     mesh = make_mesh(8)
     sim = DistributedSimulation(cfg, p, sph=sph, mesh=mesh,
                                 log_dir=str(tmp_path), entropy_is_u=True,
@@ -368,6 +372,17 @@ def test_distributed_simulation_runs(tmp_path):
     # energy log written
     elines = open(os.path.join(tmp_path, cfg.energy_file)).readlines()
     assert len(elines) >= 1
+    # distributed FORCETEST: direct-oracle rows written on PM steps, and
+    # the short-range + PM split reproduces the exact periodic force
+    ft = os.path.join(tmp_path, "forcetest.txt")
+    assert os.path.exists(ft)
+    rows = np.loadtxt(ft).reshape(-1, 12)
+    assert rows.shape[0] >= 1
+    ad = rows[:, 5:8]
+    at = rows[:, 8:11]
+    rel = np.linalg.norm(at - ad, axis=1) \
+        / np.maximum(np.linalg.norm(ad, axis=1), 1e-30)
+    assert np.sqrt((rel ** 2).mean()) < 0.05, rel
     # restart dump round-trips through numpy
     path = sim.save_restart()
     z = np.load(path)
@@ -482,10 +497,55 @@ def test_sharded_periodic_puretree_has_ewald():
     np.testing.assert_allclose(acc_sh, acc_ref, atol=3e-3 * scale)
 
 
+def test_sharded_tree_step_treepm_collisionless():
+    """Collisionless distributed TreePM: the sharded tree step under PMGRID
+    must do the Rcut-truncated short-range walk + sharded-FFT long-range
+    force (pm_periodic.c:204 + forcetree.c:1623), matching the single-chip
+    TreePM solver — not a full-range tree walk."""
+    from ngravs_tpu.ops.solver import GravitySolver
+    from ngravs_tpu.parallel.tree_sharded import make_sharded_tree_step
+
+    box = 1.0
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=1.0, gravity_constant_internal=1.0,
+        softening=(0.005,) * 6, max_size_timestep=0.01,
+        periodic=True, box_size=box, pmgrid=16,
+        tree_depth=5, tree_bucket_size=16, tree_group_size=64,
+        tree_block_batch=4, wiring="newton")
+    rng = np.random.default_rng(33)
+    n = 1024
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    p = Particles.create(pos, np.zeros((n, 3), np.float32),
+                         np.full(n, 1.0 / n, np.float32), np.arange(n),
+                         np.ones(n, np.int32), cfg.type_to_grav)
+    units = set_units(cfg)
+    wiring = build_wiring(cfg)
+    tables = make_tables(cfg, units)
+
+    solver = GravitySolver(cfg, wiring,
+                           np.array(cfg.softening) * SOFTFAC_SPLINE,
+                           np.array(cfg.softening), units.G)
+    p_ref, _, _ = solver.compute(p, 0, n, opening="bh")
+    acc_ref = np.asarray(p_ref.accel) + np.asarray(solver.pm_forces(p))
+
+    mesh = make_mesh(8)
+    ps = shard_particles(p, mesh)
+    step = make_sharded_tree_step(cfg, units, wiring, tables, mesh,
+                                  n_local=ps.pos.shape[0] // 8,
+                                  opening="bh", pm_step=True)
+    p_out, _, ovf, pm_beg, pm_end = step(ps, 0, 0, cfg.time_begin, 0, 0)
+    assert not bool(ovf)
+    assert int(pm_end) > 0
+    acc_sh = (np.asarray(jax.device_get(p_out.accel))
+              + np.asarray(jax.device_get(p_out.accel_pm)))[:n]
+    scale = np.abs(acc_ref).max()
+    np.testing.assert_allclose(acc_sh, acc_ref, atol=3e-3 * scale)
+
+
 def test_distributed_matches_single_chip_trajectory():
     """Integrator parity: 6 steps of gas+halo TreePM+SPH through the
-    DistributedSimulation (per-step PM kick) match the single-chip
-    Simulation (PM timeline) to tight tolerances."""
+    DistributedSimulation match the single-chip Simulation (both on the
+    reference's PM integer timeline) to tight tolerances."""
     from ngravs_tpu.integrate.runner import Simulation
     from ngravs_tpu.parallel.runner import DistributedSimulation
 
