@@ -69,19 +69,25 @@ def main():
             p_full.pos.shape[0], 8192, replace=False))
         import jax
         p_sub = jax.tree.map(lambda a: a[sel], p_full)
-        sim = Simulation(cfg, particles=p_sub, log_dir="")
+        sim = Simulation(cfg, particles=p_sub, log_dir="", segment_steps=64)
         platform_note += " (8k subset)"
     else:
-        sim = Simulation(cfg, log_dir="")
+        sim = Simulation(cfg, log_dir="", segment_steps=64)
 
     # warmup: compile all kernels on the shapes the loop will use
-    for _ in range(8):
+    warm = sim.step_count
+    while sim.step_count - warm < 8:
         sim.step()
 
+    import ngravs_tpu.constants as C
     n0 = sim.num_force_updates
+    s0 = sim.step_count
     t0 = time.time()
-    target_steps = 40
-    for _ in range(target_steps):
+    # measure a fixed sync-point budget (each step() call may advance a
+    # whole device-resident segment of steps)
+    target_steps = 256
+    while sim.step_count - s0 < target_steps \
+            and sim.ti_current < C.TIMEBASE:
         sim.step()
     dt = time.time() - t0
     updates = sim.num_force_updates - n0

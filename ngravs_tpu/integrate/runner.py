@@ -195,7 +195,14 @@ class Simulation:
 
     def __init__(self, cfg: SimulationConfig, particles: Particles | None = None,
                  sph: SphState | None = None, ic_path: str | None = None,
-                 log_dir: str | None = None):
+                 log_dir: str | None = None, segment_steps: int = 1):
+        # segment_steps > 1 opts into the device-resident multi-step
+        # segment for the fused fast path (headless runs only): up to that
+        # many consecutive sync points run inside one lax.while_loop
+        # dispatch.  Physics is bitwise-identical to single stepping (the
+        # non-comoving kick ignores wall time); step()'s granularity
+        # coarsens, which is why it is opt-in.
+        self._segment_cap = max(1, int(segment_steps))
         self.cfg = cfg
         self.units = set_units(cfg)
         self.wiring = build_wiring(cfg)
@@ -497,7 +504,7 @@ class Simulation:
         G = units.G
         box = cfg.box_size if cfg.periodic else 0.0
 
-        def fused_step_fn(s, p, ti_from, min_glob, time_now, dt_disp):
+        def fused_one(s, p, ti_from, min_glob, time_now, dt_disp):
             p, _ = drift_fn(p, None, ti_from, min_glob)
             fsoft = fsoft_by_type[p.ptype]
             mask = p.ti_endstep == min_glob
@@ -518,11 +525,58 @@ class Simulation:
             min_next = jnp.min(p.ti_endstep)
             n_active = jnp.sum(mask)
             n_next = jnp.sum(p.ti_endstep == min_next)
+            return p, n_active, min_next, n_next
+
+        def fused_step_fn(s, p, ti_from, min_glob, time_now, dt_disp):
+            p, n_active, min_next, n_next = fused_one(
+                s, p, ti_from, min_glob, time_now, dt_disp)
             return p, jnp.stack([n_active.astype(jnp.int32), min_next,
                                  n_next.astype(jnp.int32)])
 
         self._fused_step = jax.jit(fused_step_fn, static_argnums=0)
         self._fused_info = None  # (min_glob, n_active) from the last call
+
+        # --- device-resident multi-step segment ------------------------
+        # The reference's main loop is paced by the host (run.c:32-132);
+        # with a tunneled/remote accelerator each step pays a full host
+        # round trip.  This variant runs consecutive fused steps inside
+        # one lax.while_loop while (a) the next sync point stays strictly
+        # before ti_stop (the next snapshot/statistics boundary), (b) its
+        # active set fits the static `s` bucket, and (c) the segment cap
+        # isn't hit — one dispatch per segment instead of per step.
+        # Non-comoving only (the fast path already excludes comoving), so
+        # the sync-point time is ti-linear and computable on device.
+        tbi_f = float(self.tbi)
+        seg_cap = self._segment_cap
+
+        def fused_multistep_fn(s, p, ti_from, min_glob, n_act, ti_stop,
+                               dt_disp):
+            def cond(c):
+                p, ti_cur, min_nxt, n_nxt, updates, steps, last_act = c
+                return ((steps < seg_cap) & (min_nxt <= ti_stop)
+                        & ((steps == 0) | (min_nxt > ti_cur))
+                        & (n_nxt <= s))
+
+            def body(c):
+                p, ti_cur, min_nxt, n_nxt, updates, steps, last_act = c
+                time_now = jnp.float32(cfg.time_begin) \
+                    + min_nxt.astype(jnp.float32) * jnp.float32(tbi_f)
+                p, n_active, min2, n2 = fused_one(
+                    s, p, ti_cur, min_nxt, time_now, dt_disp)
+                return (p, min_nxt, min2, n2,
+                        updates + n_active.astype(jnp.int32),
+                        steps + jnp.int32(1), n_active.astype(jnp.int32))
+
+            c0 = (p, jnp.asarray(ti_from, jnp.int32),
+                  jnp.asarray(min_glob, jnp.int32),
+                  jnp.asarray(n_act, jnp.int32), jnp.int32(0),
+                  jnp.int32(0), jnp.int32(0))
+            p, ti_cur, min_nxt, n_nxt, updates, steps, last_act = \
+                jax.lax.while_loop(cond, body, c0)
+            return p, jnp.stack([ti_cur, min_nxt, n_nxt, updates, steps,
+                                 last_act])
+
+        self._fused_multi = jax.jit(fused_multistep_fn, static_argnums=0)
 
     # ------------------------------------------------------------------
     def _first_output_time(self):
@@ -738,6 +792,36 @@ class Simulation:
             self._fused_info = None
             return False
         s = min(_bucket(max(n_act, 1)), _bucket(self.p.n))
+
+        if self._segment_cap > 1 and not self._logs:
+            # headless (no per-step log lines wanted): run a whole segment
+            # of steps on-device, bounded by the next snapshot/statistics
+            # time — one host round trip for up to segment_steps steps
+            t_bound = self._next_output
+            if cfg.time_bet_statistics > 0:
+                t_bound = min(t_bound, self._next_stats)
+            if t_bound < float("inf"):
+                ti_stop = min(time_to_ti(cfg, t_bound), C.TIMEBASE)
+                while ti_stop > 0 \
+                        and t_bound <= self.time_at(ti_stop) + 1e-12:
+                    ti_stop -= 1
+            else:
+                ti_stop = C.TIMEBASE
+            if min_glob <= ti_stop:
+                self.p, info = self._fused_multi(
+                    s, self.p, self.ti_current, min_glob, n_act, ti_stop,
+                    self.dt_displacement)
+                ti_cur, min_next, n_next, updates, steps, last_act = (
+                    int(x) for x in jax.device_get(info))
+                self.ti_current = ti_cur
+                self.flag_fullstep = last_act == self.p.n
+                self.num_force_updates += updates
+                self.step_count += steps
+                self._fused_info = (min_next, n_next)
+                return True
+            self._fused_info = None
+            return False
+
         self.p, info = self._fused_step(s, self.p, self.ti_current,
                                         min_glob, t_sync,
                                         self.dt_displacement)
@@ -931,17 +1015,18 @@ class Simulation:
         self._fused_info = None  # cached sync-point hint is stale
         return load_restart(self, path)
 
-    def _interrupt_requested(self) -> bool:
-        """stop-file and CPU-limit checks (run.c:67-103)."""
+    def _interrupt_requested(self) -> str | None:
+        """stop-file and CPU-limit checks (run.c:67-103).  Returns the
+        reason ("stop" / "cpulimit") or None."""
         if self.log_dir and os.path.exists(os.path.join(self.log_dir,
                                                         "stop")):
             os.remove(os.path.join(self.log_dir, "stop"))
-            return True
+            return "stop"
         if self.cfg.time_limit_cpu > 0:
             elapsed = _time.time() - self._wall_start
             if elapsed > 0.85 * self.cfg.time_limit_cpu:
-                return True
-        return False
+                return "cpulimit"
+        return None
 
     def run(self, max_steps: int | None = None):
         """run() (run.c:20): loop to TimeMax.  At entry, all particles have
@@ -975,9 +1060,15 @@ class Simulation:
             steps += 1
             if max_steps is not None and steps >= max_steps:
                 break
-            if self._interrupt_requested():
+            reason = self._interrupt_requested()
+            if reason:
                 if self.log_dir:
                     self.save_restart()
+                if reason == "cpulimit" and self.cfg.resubmit_on \
+                        and self.cfg.resubmit_command:
+                    # self-resubmission on the CPU-limit interruption
+                    # (run.c:99-103)
+                    os.system(self.cfg.resubmit_command)
                 break
             if self.log_dir and self.cfg.cpu_time_bet_restart_file > 0 \
                     and _time.time() - last_restart \

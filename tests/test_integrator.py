@@ -396,3 +396,43 @@ def test_pseudosymmetric(tmp_path):
     assert (np.bitwise_and(steps, steps - 1) == 0).all()
     assert np.isfinite(np.asarray(sim.p.aphys_old)).all()
     assert np.asarray(sim.p.aphys_old).max() > 0
+
+
+def test_segment_steps_bitwise_parity():
+    """The device-resident multi-step segment (segment_steps>1: consecutive
+    fused steps inside one lax.while_loop dispatch) is bitwise identical to
+    single-stepping — the non-comoving kick ignores wall time, so the only
+    difference is host pacing."""
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=1.0, gravity_constant_internal=1.0,
+        softening=(0.05,) * 6, max_size_timestep=0.01,
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0, wiring="newton", solver="direct")
+    rng = np.random.default_rng(0)
+    n = 128
+    pos = rng.uniform(0, 4, (n, 3)).astype(np.float32)
+    vel = rng.normal(0, 0.05, (n, 3)).astype(np.float32)
+    p = Particles.create(pos, vel, np.full(n, 1e-3, np.float32),
+                         np.arange(n), np.ones(n, np.int32),
+                         cfg.type_to_grav)
+    simA = Simulation(cfg, particles=p, log_dir="")
+    simB = Simulation(cfg, particles=p, log_dir="", segment_steps=16)
+    for _ in range(48):
+        simA.step()
+        if simA.ti_current >= TIMEBASE:
+            break
+    segments = 0
+    while simB.step_count < simA.step_count and simB.ti_current < TIMEBASE:
+        simB.step()
+        segments += 1
+    assert simB.step_count == simA.step_count
+    assert simB.ti_current == simA.ti_current
+    # the whole point: far fewer dispatches than steps
+    assert segments < simA.step_count / 2
+    np.testing.assert_array_equal(np.asarray(simA.p.pos),
+                                  np.asarray(simB.p.pos))
+    np.testing.assert_array_equal(np.asarray(simA.p.vel),
+                                  np.asarray(simB.p.vel))
+    np.testing.assert_array_equal(np.asarray(simA.p.ti_endstep),
+                                  np.asarray(simB.p.ti_endstep))
+    assert simA.num_force_updates == simB.num_force_updates
