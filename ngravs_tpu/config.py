@@ -213,6 +213,15 @@ class SimulationConfig:
     tree_leaf_list_cap: int = 8192   # per-block leaf list cap
     tree_frontier_cap: int = 2048    # per-block frontier cap
     tree_block_batch: int = 32       # blocks walked per batched device call
+    # fused single-dispatch walk (ops/walk.py): all caps static, grown on
+    # measured overflow like TreeAllocFactor (forcetree.c:3176)
+    walk_group_size: int = 64        # targets per Morton-contiguous block
+    walk_batch_blocks: int = 128     # blocks per traversal batch
+    walk_ent_cap: int = 2048         # per-block accepted (node,grav) rows
+    walk_chunk_cap: int = 2048       # per-block leaf 8-row chunks
+    walk_flat_chunks_cap: int = 8192   # per-batch flat eval chunks
+    walk_frontier_cap: int = 1 << 18   # per-batch frontier width
+    walk_ec: int = 512               # eval chunk length (sources per step)
     mesh_shape: Optional[tuple] = None  # device mesh (n_shards,) or None
 
     # ------------------------------------------------------------------

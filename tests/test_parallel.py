@@ -99,6 +99,7 @@ def test_padding_particles_inert(rng):
                                atol=3e-5 * scale * units.G)
 
 
+@pytest.mark.slow
 def test_sharded_tree_step_matches_direct(system):
     """Replicated-tree target-parallel walk (tree_sharded): BH forces on the
     8-device mesh must match the single-device direct sum to tree accuracy."""
@@ -243,6 +244,7 @@ def _run_full_step(cfg, p, sph, n_dev):
     return (jax.device_get(p2), jax.device_get(sph2), int(min_end))
 
 
+@pytest.mark.slow
 def test_sharded_full_step_treepm_sph():
     """The single-program sharded TreePM+SPH step (BASELINE config-5
     structure): 8-device result must match the 1-device result, hydro
@@ -274,6 +276,7 @@ def test_sharded_full_step_treepm_sph():
     assert np.abs(np.asarray(p8.accel_pm)).max() > 0
 
 
+@pytest.mark.slow
 def test_reshard_by_cost_balances_work(system):
     """domain_findSplit analog: shards get contiguous Morton ranges with
     near-equal measured work; padding rows are inert; forces per particle
@@ -335,6 +338,7 @@ def test_reshard_by_cost_balances_work(system):
                                        atol=3e-3 * scale)
 
 
+@pytest.mark.slow
 def test_distributed_simulation_runs(tmp_path):
     """Pod-sharded main loop: multi-step TreePM+SPH run over the 8-device
     mesh with snapshot + energy output and timeline advance."""
@@ -390,6 +394,7 @@ def test_distributed_simulation_runs(tmp_path):
     assert z["p_pos"].shape == (p.pos.shape[0], 3)
 
 
+@pytest.mark.slow
 def test_distributed_restart_roundtrip(tmp_path):
     """Distributed restart: save after k steps, resume in a fresh driver,
     and the continued trajectory matches an uninterrupted run."""
@@ -497,6 +502,7 @@ def test_sharded_periodic_puretree_has_ewald():
     np.testing.assert_allclose(acc_sh, acc_ref, atol=3e-3 * scale)
 
 
+@pytest.mark.slow
 def test_sharded_tree_step_treepm_collisionless():
     """Collisionless distributed TreePM: the sharded tree step under PMGRID
     must do the Rcut-truncated short-range walk + sharded-FFT long-range
@@ -542,6 +548,7 @@ def test_sharded_tree_step_treepm_collisionless():
     np.testing.assert_allclose(acc_sh, acc_ref, atol=3e-3 * scale)
 
 
+@pytest.mark.slow
 def test_distributed_matches_single_chip_trajectory():
     """Integrator parity: 6 steps of gas+halo TreePM+SPH through the
     DistributedSimulation match the single-chip Simulation (both on the
