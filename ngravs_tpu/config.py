@@ -217,10 +217,13 @@ class SimulationConfig:
     # measured overflow like TreeAllocFactor (forcetree.c:3176)
     walk_group_size: int = 64        # targets per Morton-contiguous block
     walk_batch_blocks: int = 128     # blocks per traversal batch
-    walk_ent_cap: int = 2048         # per-block accepted (node,grav) rows
-    walk_chunk_cap: int = 2048       # per-block leaf 8-row chunks
-    walk_flat_chunks_cap: int = 8192   # per-batch flat eval chunks
-    walk_frontier_cap: int = 1 << 18   # per-batch frontier width
+    # initial caps: deliberately modest — the solver clamps them to
+    # theoretical maxima for small N and grows them to measured demand on
+    # overflow (a few recompiles at most per run)
+    walk_ent_cap: int = 16384        # per-BATCH accepted (node,grav) rows
+    walk_chunk_cap: int = 32768      # per-BATCH leaf 8-row chunks
+    walk_flat_chunks_cap: int = 4096   # per-batch flat eval chunks
+    walk_frontier_cap: int = 1 << 16   # per-batch frontier width
     walk_ec: int = 512               # eval chunk length (sources per step)
     mesh_shape: Optional[tuple] = None  # device mesh (n_shards,) or None
 

@@ -577,6 +577,196 @@ class Simulation:
                                  last_act])
 
         self._fused_multi = jax.jit(fused_multistep_fn, static_argnums=0)
+        self._tree_multi_cache = {}
+
+    # ------------------------------------------------------------------
+    def _get_tree_multi(self, s: int):
+        """Device-resident multi-step segment for the TREE/TreePM solver.
+
+        One jitted while_loop running consecutive KDK steps with the fused
+        walk (ops/walk.py): drift -> [PM when due] -> build/refresh octree
+        -> walk -> scatter+corrections -> kick [-> PM window/kick].  The
+        TPU analog of the reference's whole main loop (run.c:32-132) with
+        zero host round trips per step.  Walk-cap overflow freezes the
+        state *before* the offending step (per-leaf select), stops the
+        loop, and reports demands so the caller can grow caps and resume.
+        """
+        cfg, units, tables = self.cfg, self.units, self.tables
+        solver = self.solver
+        key = (s, solver.depth, solver.leaf_factor,
+               tuple(sorted(solver.fcaps.items())))
+        if key in self._tree_multi_cache:
+            return self._tree_multi_cache[key]
+        from ..ops.tree import build_tree, refresh_tree
+        from .timeline import pm_window_update
+
+        walk = solver._walk(want_pot=False)
+        fsoft_by_type = jnp.asarray(self.force_soft)
+        soft_by_type = jnp.asarray(self.soft_table)
+        G = units.G
+        err_tol = cfg.err_tol_force_acc
+        box_t = cfg.tree_box_size
+        depth = solver.depth
+        seg_cap = self._segment_cap
+        tbi_f = float(self.tbi)
+        rebuild_every = max(1, int(cfg.tree_domain_update_frequency
+                                   * self.p.n))
+        rel = jnp.asarray(cfg.type_of_opening_criterion == 1)
+        comoving = cfg.comoving_integration
+
+        def time_at_dev(ti):
+            tf = ti.astype(jnp.float32) * jnp.float32(tbi_f)
+            if comoving:
+                return jnp.float32(cfg.time_begin) * jnp.exp(tf)
+            return jnp.float32(cfg.time_begin) + tf
+
+        def make_tree(p, tree_c, do_build):
+            fsoft = fsoft_by_type[p.ptype]
+            aold = err_tol * p.old_acc / G
+            zero_h = jnp.zeros_like(p.mass)
+
+            def _build(tc):
+                return build_tree(p.pos, p.mass, p.grav, fsoft, aold,
+                                  zero_h, depth=depth, n_gravs=cfg.n_gravs,
+                                  bucket=cfg.tree_bucket_size,
+                                  box_size=box_t)
+
+            def _refresh(tc):
+                return refresh_tree(tc, p.pos, p.mass, p.grav, fsoft, aold,
+                                    zero_h, depth=depth,
+                                    n_gravs=cfg.n_gravs,
+                                    bucket=cfg.tree_bucket_size)
+
+            return jax.lax.cond(do_build, _build, _refresh, tree_c)
+
+        def tree_one(p, ti_from, min_glob, time_now, dt_disp, tree_c,
+                     since, pm_beg, pm_end):
+            p, _ = self._drift(p, None, ti_from, min_glob)
+            if cfg.pmgrid:
+                def pm_on(p):
+                    return p.replace(accel_pm=solver.pm.forces(
+                        p.pos, p.mass, p.grav))
+                p = jax.lax.cond(min_glob == pm_end, pm_on, lambda p: p, p)
+            mask = p.ti_endstep == min_glob
+            n_active = jnp.sum(mask)
+            do_build = since >= rebuild_every
+            tree = make_tree(p, tree_c, do_build)
+            since = jnp.where(do_build, 0, since) \
+                + n_active.astype(jnp.int32)
+            mask_s = mask[tree.order]
+            tgt = jnp.nonzero(mask_s, size=s, fill_value=-1)[0] \
+                .astype(jnp.int32)
+            res = walk(tree, tgt, rel=rel)
+            valid = tgt >= 0
+            orig = jnp.where(valid, tree.order[jnp.maximum(tgt, 0)], p.n)
+            safe = jnp.minimum(orig, p.n - 1)
+            acc, amag, _ = solver._apply_corr(
+                p.pos[safe], p.mass[safe], p.grav[safe], res.acc * G,
+                jnp.zeros_like(res.pot))
+            p = p.replace(
+                accel=p.accel.at[orig].set(acc, mode="drop"),
+                old_acc=p.old_acc.at[orig].set(amag, mode="drop"),
+                grav_cost=p.grav_cost.at[orig].set(
+                    res.ninteract.astype(p.grav_cost.dtype), mode="drop"))
+            if comoving and not cfg.no_pmstep_adjustment:
+                # displacement constraint refresh on full steps
+                # (timestep.c:63-68)
+                full = n_active == p.n
+                dt_disp = jnp.where(full, self._dt_disp(p, time_now),
+                                    dt_disp)
+            p, _ = kick(cfg, units, p, None, tables, min_glob, dt_disp,
+                        soft_by_type, time_now)
+            if cfg.pmgrid:
+                def pm_kick_on(args):
+                    p, pm_beg, pm_end = args
+                    tstart, tend, nb, ne = pm_window_update(
+                        min_glob, pm_beg, pm_end, dt_disp, tbi_f)
+                    dt = tables.gravkick_factor(
+                        jnp.asarray([tstart], jnp.int32),
+                        jnp.asarray([tend], jnp.int32))[0]
+                    return (p.replace(vel=p.vel + p.accel_pm * dt), nb, ne)
+
+                p, pm_beg, pm_end = jax.lax.cond(
+                    min_glob == pm_end, pm_kick_on, lambda a: a,
+                    (p, pm_beg, pm_end))
+            min_next = jnp.min(p.ti_endstep)
+            n_next = jnp.sum(p.ti_endstep == min_next)
+            return (p, n_active, min_next, n_next, tree, since, pm_beg,
+                    pm_end, dt_disp, res.overflow,
+                    jnp.stack([res.max_ent, res.max_chunk, res.max_rows,
+                               res.max_frontier]))
+
+        def tree_multi_fn(p, ti_from, min_glob, n_act, ti_stop, dt_disp,
+                          pm_beg, pm_end):
+            fsoft = fsoft_by_type[p.ptype]
+            aold = err_tol * p.old_acc / G
+            tree0 = build_tree(p.pos, p.mass, p.grav, fsoft, aold,
+                               jnp.zeros_like(p.mass), depth=depth,
+                               n_gravs=cfg.n_gravs,
+                               bucket=cfg.tree_bucket_size, box_size=box_t)
+            stats0 = jnp.zeros((4,), jnp.int32)
+
+            def cond(c):
+                (p, ti_cur, min_nxt, n_nxt, updates, steps, last_act,
+                 tree, since, pm_b, pm_e, dtd, ovf, stats) = c
+                go = ((steps < seg_cap) & (min_nxt <= ti_stop)
+                      & ((steps == 0) | (min_nxt > ti_cur))
+                      & (n_nxt <= s) & ~ovf)
+                if cfg.pmgrid:
+                    # a PM step forces full sync (run.c:175-181): segments
+                    # stop right before a PM boundary crossing would be
+                    # mishandled — min_nxt > pm_e can't happen (PM is a sync
+                    # point for everyone), but guard anyway
+                    go = go & (min_nxt <= pm_e)
+                return go
+
+            def body(c):
+                (p0, ti_cur, min_nxt, n_nxt, updates, steps, last_act,
+                 tree0_, since0, pm_b0, pm_e0, dtd0, ovf, stats) = c
+                time_now = time_at_dev(min_nxt)
+                (p1, n_active, min2, n2, tree1, since1, pm_b1, pm_e1,
+                 dtd1, ovf1, st1) = tree_one(
+                    p0, ti_cur, min_nxt, time_now, dtd0, tree0_, since0,
+                    pm_b0, pm_e0)
+                keep = ~ovf1
+                sel = lambda a, b: jax.tree_util.tree_map(
+                    lambda x, y: jnp.where(keep, x, y), a, b)
+                p = sel(p1, p0)
+                tree = sel(tree1, tree0_)
+                since = jnp.where(keep, since1, since0)
+                pm_b = jnp.where(keep, pm_b1, pm_b0)
+                pm_e = jnp.where(keep, pm_e1, pm_e0)
+                dtd = jnp.where(keep, dtd1, dtd0)
+                return (p, jnp.where(keep, min_nxt, ti_cur),
+                        jnp.where(keep, min2, min_nxt),
+                        jnp.where(keep, n2, n_nxt),
+                        updates + jnp.where(keep,
+                                            n_active.astype(jnp.int32), 0),
+                        steps + jnp.where(keep, 1, 0),
+                        jnp.where(keep, n_active.astype(jnp.int32),
+                                  last_act),
+                        tree, since, pm_b, pm_e, dtd,
+                        ovf | ovf1, jnp.maximum(stats, st1))
+
+            c0 = (p, jnp.asarray(ti_from, jnp.int32),
+                  jnp.asarray(min_glob, jnp.int32),
+                  jnp.asarray(n_act, jnp.int32), jnp.int32(0),
+                  jnp.int32(0), jnp.int32(0), tree0, jnp.int32(0),
+                  jnp.asarray(pm_beg, jnp.int32),
+                  jnp.asarray(pm_end, jnp.int32),
+                  jnp.asarray(dt_disp, jnp.float32),
+                  jnp.zeros((), bool), stats0)
+            (p, ti_cur, min_nxt, n_nxt, updates, steps, last_act, _tree,
+             _since, pm_b, pm_e, dtd, ovf, stats) = \
+                jax.lax.while_loop(cond, body, c0)
+            info = jnp.stack([ti_cur, min_nxt, n_nxt, updates, steps,
+                              last_act, pm_b, pm_e,
+                              ovf.astype(jnp.int32)])
+            return p, info, dtd, stats
+
+        fn = jax.jit(tree_multi_fn)
+        self._tree_multi_cache[key] = fn
+        return fn
 
     # ------------------------------------------------------------------
     def _first_output_time(self):
@@ -768,16 +958,100 @@ class Simulation:
         return s
 
     # ------------------------------------------------------------------
-    def _try_fast_step(self) -> bool:
-        """Fused single-call step for the pure-N-body direct-solver case.
-        Returns True if it handled the step."""
+    def _segment_bounds(self):
+        """(ti_stop, ok): largest tick strictly before the next snapshot /
+        statistics boundary, or (0, False) when a boundary is due now."""
         cfg = self.cfg
-        if (not self.solver.uses_direct(self.p.n) or cfg.pmgrid
-                or cfg.make_glass or cfg.force_test > 0
+        t_bound = self._next_output
+        if cfg.time_bet_statistics > 0:
+            t_bound = min(t_bound, self._next_stats)
+        if t_bound < float("inf"):
+            ti_stop = min(time_to_ti(cfg, t_bound), C.TIMEBASE)
+            while ti_stop > 0 and t_bound <= self.time_at(ti_stop) + 1e-12:
+                ti_stop -= 1
+        else:
+            ti_stop = C.TIMEBASE
+        return ti_stop
+
+    def _try_tree_segment(self) -> bool:
+        """Device-resident multi-step segment on the TREE/TreePM solver
+        (the production path).  Returns True if it advanced the state."""
+        cfg = self.cfg
+        if self._fused_info is None:
+            min_glob, n_act = (int(x) for x in
+                               self._next_sync_info(self.p))
+        else:
+            min_glob, n_act = self._fused_info
+        t_sync = self.time_at(min_glob)
+        if self._next_output <= t_sync + 1e-12:
+            self._fused_info = None
+            return False
+        if cfg.time_bet_statistics > 0 and t_sync >= self._next_stats:
+            self._fused_info = None
+            return False
+        s = min(_bucket(max(n_act, 1)), _bucket(self.p.n))
+        ti_stop = self._segment_bounds()
+        if min_glob > ti_stop:
+            self._fused_info = None
+            return False
+        self.solver.clamp_caps(self.p.n)
+        for _attempt in range(6):
+            fn = self._get_tree_multi(s)
+            p2, info, dtd, stats = fn(
+                self.p, self.ti_current, min_glob, n_act, ti_stop,
+                self.dt_displacement, self.pm_ti_begstep,
+                self.pm_ti_endstep)
+            (ti_cur, min_next, n_next, updates, steps, last_act, pm_b,
+             pm_e, ovf) = (int(x) for x in jax.device_get(info))
+            # commit whatever completed cleanly (overflow freezes the
+            # state before the offending step)
+            self.p = p2
+            self.ti_current = ti_cur
+            self.dt_displacement = float(jax.device_get(dtd))
+            self.pm_ti_begstep, self.pm_ti_endstep = pm_b, pm_e
+            self.num_force_updates += updates
+            self.step_count += steps
+            if steps:
+                self.flag_fullstep = last_act == self.p.n
+            self._fused_info = (min_next, n_next)
+            self.solver._tree_cache = None  # segment trees are not cached
+            if not ovf:
+                return steps > 0
+            # grow the walk caps to the measured demand and recompile
+            me, mc, mr, mf = (int(x) for x in jax.device_get(stats))
+            fc = self.solver.fcaps
+            grow = lambda cur, mx: max(cur, _bucket(int(mx) * 5 // 4, 64))
+            fc["ent"] = grow(fc["ent"], me)
+            fc["chunk"] = grow(fc["chunk"], mc)
+            fc["flat"] = grow(fc["flat"], mr)
+            if mf >= fc["frontier"]:
+                fc["frontier"] *= 2
+            fc["frontier"] = grow(fc["frontier"], mf)
+            min_glob, n_act = min_next, n_next
+        raise RuntimeError(
+            f"fused tree segment caps still overflowing at "
+            f"{self.solver.fcaps}")
+
+    # ------------------------------------------------------------------
+    def _try_fast_step(self) -> bool:
+        """Fused single-call step (direct solver) or device-resident
+        segment (tree/TreePM solver).  Returns True if it handled the
+        step."""
+        cfg = self.cfg
+        if (cfg.make_glass or cfg.force_test > 0
                 or cfg.no_gravity or cfg.selective_no_gravity
-                or cfg.comoving_integration or cfg.pseudosymmetric
+                or cfg.pseudosymmetric or cfg.flexsteps
                 or self._min_dt_active is not None
                 or (self.sph is not None and self.n_gas > 0)):
+            return False
+        if not self.solver.uses_direct(self.p.n):
+            # tree/TreePM production path: headless segment runs only
+            if (self._segment_cap <= 1 or self._logs
+                    or not self._forces_bootstrapped
+                    or self.ti_current >= C.TIMEBASE):
+                return False
+            return self._try_tree_segment()
+        if cfg.pmgrid or cfg.comoving_integration:
             return False
         if self._fused_info is None:
             min_glob, n_act = (int(x) for x in

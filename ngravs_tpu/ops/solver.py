@@ -25,7 +25,7 @@ import numpy as np
 from ..config import SimulationConfig
 from ..models.wiring import GravityWiring
 from .direct import direct_forces
-from .tree import build_tree, make_tree_forces, refresh_tree
+from .tree import build_tree, refresh_tree
 
 
 class ForceResult(NamedTuple):
@@ -162,13 +162,14 @@ class GravitySolver:
                 dump_transition_tables(wiring, sr_ftab, sr_ptab,
                                        self.pm.asmth, cfg.box_size,
                                        cfg.output_dir or ".")
-        self.caps = dict(
-            ent=_bucket(cfg.tree_node_list_cap * cfg.n_gravs, 256),
-            chunk=_bucket(cfg.tree_leaf_list_cap, 256),
-            frontier=cfg.tree_frontier_cap)
+        # fused single-dispatch walk caps (ops/walk.py)
+        self.fcaps = dict(
+            ent=_bucket(cfg.walk_ent_cap, 256),
+            chunk=_bucket(cfg.walk_chunk_cap, 256),
+            flat=_bucket(cfg.walk_flat_chunks_cap, 512),
+            frontier=_bucket(cfg.walk_frontier_cap, 4096))
         self.leaf_factor = 2.0  # leaf-chunk table rows per particle
         self._fns = {}   # (opening, caps-signature, n_targets) -> jitted fn
-        self._eval_cache = {}  # phase-E kernels, persistent across re-tunes
 
         c = cosmo_corrections(cfg, self.G, self.hubble, self.lattice_tables)
         self.fac_acc_com, self.fac_acc_lam = c.fac_acc_com, c.fac_acc_lam
@@ -180,29 +181,62 @@ class GravitySolver:
         return apply_cosmo_corrections(self._corr, pos, mass, grav, acc, pot)
 
     # ------------------------------------------------------------------
-    def _walk(self):
-        """The demand-adaptive two-phase walk (cached per caps)."""
+    def clamp_caps(self, n: int):
+        """Clamp the fused-walk caps to theoretical maxima for an
+        n-particle tree.  The config defaults target production sizes;
+        small problems would otherwise pay full static shapes (the flatten
+        stage materializes flat_cap*ec rows every pass).  Demand can never
+        exceed these bounds, so measured-demand growth is unaffected.
+
+        ent/chunk caps are per-BATCH totals (walk.py appends to batch-
+        global lists): bounded by live-blocks x per-block worst case."""
+        from .tree import level_caps
         cfg = self.cfg
-        key = ("walk", self.depth, self.leaf_factor) \
-            + tuple(sorted(self.caps.items()))
+        ng, g = cfg.n_gravs, cfg.walk_group_size
+        b, ec = cfg.walk_batch_blocks, cfg.walk_ec
+        caps_l = level_caps(n, self.depth)
+        m = int(np.sum(caps_l))                # total node rows
+        cap2 = ((int(n * self.leaf_factor) + 8 + 7) // 8) * 8
+        nb = min(b, (n + g - 1) // g)          # live blocks per batch
+        fc = self.fcaps
+        fc["ent"] = min(fc["ent"], _bucket(nb * m * ng))
+        fc["chunk"] = min(fc["chunk"], _bucket(nb * (cap2 // 8 + 1)))
+        rows_batch = min(fc["ent"], nb * m * ng) \
+            + 8 * min(fc["chunk"], nb * (cap2 // 8 + 1))
+        fc["flat"] = min(fc["flat"],
+                         _bucket((rows_batch + ec - 1) // ec + nb, 512))
+        init_lvl = min(2, self.depth)
+        f_need = b * caps_l[init_lvl]          # initial frontier fill
+        fc["frontier"] = min(fc["frontier"],
+                             _bucket(max(f_need, nb * max(caps_l)), 4096))
+
+    # ------------------------------------------------------------------
+    def _walk(self, want_pot: bool = True):
+        """The fused single-dispatch walk (ops/walk.py), cached per caps."""
+        cfg = self.cfg
+        key = ("fwalk", self.depth, self.leaf_factor, want_pot) \
+            + tuple(sorted(self.fcaps.items()))
         if key in self._fns:
             return self._fns[key]
-        walk = make_tree_forces(
+        from .walk import make_fused_walk
+        walk = make_fused_walk(
             self.wiring, n_gravs=cfg.n_gravs,
-            group_size=cfg.tree_group_size,
-            frontier_cap=self.caps["frontier"],
-            ent_cap=self.caps["ent"],
-            chunk_cap=self.caps["chunk"],
-            bucket=cfg.tree_bucket_size,
             depth=self.depth,
+            bucket=cfg.tree_bucket_size,
+            group_size=cfg.walk_group_size,
+            batch_blocks=cfg.walk_batch_blocks,
+            ent_cap=self.fcaps["ent"],
+            chunk_cap=self.fcaps["chunk"],
+            flat_chunks_cap=self.fcaps["flat"],
+            frontier_cap=self.fcaps["frontier"],
+            ec=cfg.walk_ec,
             theta=cfg.err_tol_theta,
             opening="relative",
             box_size=cfg.box_size if cfg.periodic else 0.0,
-            block_batch=cfg.tree_block_batch,
             leaf_factor=self.leaf_factor,
+            want_pot=want_pot,
             lattice_tables=self.lattice_tables,
-            treepm=self.treepm,
-            eval_cache=self._eval_cache)
+            treepm=self.treepm)
         self._fns[key] = walk
         return walk
 
@@ -365,6 +399,7 @@ class GravitySolver:
             else:
                 self._rel_ready = True
         from .morton import MAX_DEPTH
+        self.clamp_caps(p.n)
         can_refresh = (self._tree_cache is not None
                        and self._forces_since_build
                        < self.cfg.tree_domain_update_frequency * p.n)
@@ -396,20 +431,26 @@ class GravitySolver:
             self.depth = min(self.depth + 3, MAX_DEPTH)
         for _ in range(6):
             res = self._walk()(tree, tgt_sorted, opening_override=opening)
-            if not bool(res.overflow):
+            ovf, me, mc, mr, mf = (int(x) for x in jax.device_get(
+                (res.overflow, res.max_ent, res.max_chunk,
+                 res.max_rows, res.max_frontier)))
+            if not ovf:
                 break
             # resize each cap to the measured peak demand (+25% margin,
-            # rounded to a power of two) and recompile once.  Frontier
-            # demand may itself be truncated when it overflows, so that cap
-            # at least doubles per round.
+            # rounded to a power of two) and recompile once.  Frontier and
+            # flat demand may themselves be truncated when they overflow,
+            # so those caps at least double per round.
             grow = lambda cur, mx: max(cur, _bucket(int(mx) * 5 // 4, 64))
-            self.caps["ent"] = grow(self.caps["ent"], res.max_ent)
-            self.caps["chunk"] = grow(self.caps["chunk"], res.max_chunk)
-            self.caps["frontier"] = grow(self.caps["frontier"] * 2,
-                                         res.max_frontier)
+            self.fcaps["ent"] = grow(self.fcaps["ent"], me)
+            self.fcaps["chunk"] = grow(self.fcaps["chunk"], mc)
+            self.fcaps["flat"] = grow(self.fcaps["flat"], mr)
+            # frontier demand is itself truncated when it overflows: double
+            if mf >= self.fcaps["frontier"]:
+                self.fcaps["frontier"] *= 2
+            self.fcaps["frontier"] = grow(self.fcaps["frontier"], mf)
         else:
             raise RuntimeError(
-                f"tree walk caps still overflowing at {self.caps}")
+                f"tree walk caps still overflowing at {self.fcaps}")
         p, n_ia = self._tree_scatter_fn(s)(p, tree.order, tgt_sorted,
                                            res.acc, res.pot, res.ninteract)
         if can_refresh:

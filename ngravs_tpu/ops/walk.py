@@ -70,8 +70,8 @@ class FusedWalkResult(NamedTuple):
     pot: jnp.ndarray        # [Nt]
     ninteract: jnp.ndarray  # [Nt] rows accepted for the target's block
     overflow: jnp.ndarray   # scalar bool — any cap exceeded
-    max_ent: jnp.ndarray    # scalar int32 peak per-block node entries
-    max_chunk: jnp.ndarray  # scalar int32 peak per-block leaf chunks
+    max_ent: jnp.ndarray    # scalar int32 peak per-BATCH node entries
+    max_chunk: jnp.ndarray  # scalar int32 peak per-BATCH leaf chunks
     max_rows: jnp.ndarray   # scalar int32 peak per-batch flat chunks
     max_frontier: jnp.ndarray  # scalar int32 peak per-batch frontier
 
@@ -99,12 +99,12 @@ def pack_source_table(tree: Octree, n_gravs: int, leaf_factor: float,
         n, m, n_gravs, leaf_factor)
     bc = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.int32),
                                                 jnp.float32)
-    neg1f = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
+    neg1f = np.array(-1, np.int32).view(np.float32)
 
     prow = jnp.stack(
         [tree.pos_s[:, 0], tree.pos_s[:, 1], tree.pos_s[:, 2],
          tree.mass_s, tree.fsoft_s, jnp.ones_like(tree.mass_s),
-         bc(tree.grav_s), bc(jnp.arange(n, dtype=jnp.int32))], axis=1)
+         bc(tree.grav_s), bc(np.arange(n, dtype=np.int32))], axis=1)
 
     cm = tree.node_cm.reshape(m * n_gravs, 3)
     nmass = tree.node_mass.reshape(m * n_gravs)
@@ -113,12 +113,12 @@ def pack_source_table(tree: Octree, n_gravs: int, leaf_factor: float,
     else:
         ncount = jnp.ones_like(nmass)
     nsoft = jnp.repeat(tree.node_maxsoft, n_gravs)
-    ngrav = jnp.tile(jnp.arange(n_gravs, dtype=jnp.int32), m)
+    ngrav = np.tile(np.arange(n_gravs, dtype=np.int32), m)
     nrow = jnp.stack(
         [cm[:, 0], cm[:, 1], cm[:, 2], nmass, nsoft, ncount,
-         bc(ngrav), bc(jnp.full((m * n_gravs,), -2, jnp.int32))], axis=1)
+         bc(ngrav), bc(np.full((m * n_gravs,), -2, np.int32))], axis=1)
 
-    tbl = jnp.zeros((rows, 8), jnp.float32).at[:, IGID].set(neg1f)
+    tbl = jnp.asarray(np.zeros((rows, 8), np.float32)).at[:, IGID].set(neg1f)
     lr = jnp.where(tree.leaf_row < cap2, tree.leaf_row, rows - 8)
     tbl = tbl.at[lr].set(prow, mode="drop")
     tbl = jax.lax.dynamic_update_slice(tbl, nrow, (nstart, 0))
@@ -163,7 +163,8 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                     lattice_tables=None,
                     treepm: dict | None = None,
                     use_pallas: bool | None = None,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    stage_limit: int = 3):
     """Build the fused walk.  Returns fn(tree, tgt_sorted, rel) ->
     FusedWalkResult — fully traceable (usable under jit / while_loop /
     shard_map).  All caps are static; exceeding any sets .overflow and the
@@ -222,6 +223,14 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
     # ------------------------------------------------------------------
     # Stage 1: traversal for one batch of B blocks (same opening logic as
     # tree.py's _t_queue; see that docstring for the criteria citations).
+    #
+    # Accepted (node,gravity) entries and leaf chunks are appended to
+    # BATCH-GLOBAL compact lists at exact-demand positions (one cumsum
+    # over the frontier per level), then grouped per block with one
+    # stable sort.  This keeps every scatter and the final flatten gather
+    # demand-proportional: per-block capped buffers would make every
+    # block pay the worst block's cap (measured 0.5 GB/batch of random
+    # gathers at N=3e5 — the round-1 bottleneck).
     # ------------------------------------------------------------------
     def _traverse(tree, wtab, layout, tpos, tgid, taold, rel, n_static: int):
         F = frontier_cap
@@ -239,11 +248,14 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         max_chunk_id = cap2 // 8
         clamp_chk = lambda c: jnp.where(c < max_chunk_id, c, null_chunk)
         bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
-        garange = jnp.arange(NG, dtype=jnp.int32)
-        jc = jnp.arange(cpl, dtype=jnp.int32)
-        j8 = jnp.arange(8, dtype=jnp.int32)
-        biota = jnp.arange(B, dtype=jnp.int32)
-        big = jnp.asarray(1e30, tpos.dtype)
+        # static constants stay numpy: trace-time eager jnp ops each pay a
+        # device round trip (+~1 s first-time compile on a tunneled TPU);
+        # np literals embed into the jaxpr for free
+        garange = np.arange(NG, dtype=np.int32)
+        jc = np.arange(cpl, dtype=np.int32)
+        j8 = np.arange(8, dtype=np.int32)
+        biota = np.arange(B, dtype=np.int32)
+        big = np.float32(1e30)
 
         ovf0 = tree.n_chunk_rows > cap2
 
@@ -253,50 +265,54 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         hi_b = jnp.max(jnp.where(tvalid[..., None], tpos, -big), axis=1)
         aold_b = jnp.min(jnp.where(tvalid, taold, big), axis=1)
 
-        fblk0 = jnp.full((F,), -1, jnp.int32).at[:B * n_init].set(
-            jnp.repeat(jnp.where(blk_ok, biota, -1), n_init))
-        fnode0 = jnp.zeros((F,), jnp.int32).at[:B * n_init].set(
-            jnp.tile(off0 + jnp.arange(n_init, dtype=jnp.int32), B))
+        fblk0 = jnp.concatenate(
+            [jnp.repeat(jnp.where(blk_ok, biota, -1), n_init),
+             np.full((F - B * n_init,), -1, np.int32)])
+        fnode0 = np.zeros((F,), np.int32)
+        fnode0[:B * n_init] = np.tile(
+            off0 + np.arange(n_init, dtype=np.int32), B)
 
-        ent_buf = jnp.full((B, ent_cap), null_row, jnp.int32)
-        chk_buf = jnp.full((B, chunk_cap), null_chunk, jnp.int32)
-        ent_n = jnp.zeros((B,), jnp.int32)
-        chk_n = jnp.zeros((B,), jnp.int32)
+        # batch-global lists; blk sentinel B sorts junk last
+        ent_val = np.full((ent_cap,), null_row, np.int32)
+        ent_blk = np.full((ent_cap,), B, np.int32)
+        chk_val = np.full((chunk_cap,), null_chunk, np.int32)
+        chk_blk = np.full((chunk_cap,), B, np.int32)
+        e_tot = np.int32(0)
+        c_tot = np.int32(0)
 
         if n_sh:
             # shallow real leaves (above the init level) go straight to
             # exact summation
+            chk_val = jnp.asarray(chk_val)
+            chk_blk = jnp.asarray(chk_blk)
             s_blk = jnp.repeat(jnp.where(blk_ok, biota, -1), n_sh)
-            s_node = jnp.tile(jnp.arange(n_sh, dtype=jnp.int32), B)
+            s_node = np.tile(np.arange(n_sh, dtype=np.int32), B)
             swn = wtab[s_node]
             s_ch0 = bc(swn[:, 6])
             s_nch = bc(swn[:, 7])
-            sc_blk = jnp.broadcast_to(
-                s_blk[:, None], (B * n_sh, cpl)).reshape(-1)
             sc_val = (s_ch0[:, None] + jc).reshape(-1)
             sc_ok = ((s_blk >= 0)[:, None] & (jc < s_nch[:, None])) \
                 .reshape(-1)
-            sc_blk = jnp.where(sc_ok, sc_blk, -1)
             v = sc_ok.astype(jnp.int32)
             grank = jnp.cumsum(v) - v
-            blk_ff = jax.lax.cummax(sc_blk)
-            bnd = jnp.concatenate(
-                [jnp.ones((1,), bool), blk_ff[1:] != blk_ff[:-1]])
-            start = jax.lax.cummax(jnp.where(bnd, grank, -1))
-            sc_pos = jnp.where(sc_ok, grank - start, chunk_cap)
-            chk_buf = chk_buf.at[jnp.maximum(sc_blk, 0), sc_pos].set(
+            sc_pos = jnp.where(sc_ok, grank, chunk_cap)
+            chk_val = chk_val.at[sc_pos].set(
                 jnp.where(sc_val < max_chunk_id, sc_val, null_chunk),
                 mode="drop")
-            chk_n = jax.ops.segment_sum(v, jnp.maximum(sc_blk, 0), B)
+            chk_blk = chk_blk.at[sc_pos].set(
+                jnp.broadcast_to(s_blk[:, None],
+                                 (B * n_sh, cpl)).reshape(-1), mode="drop")
+            c_tot = jnp.sum(v)
 
-        fcnt0 = jnp.asarray(B * n_init, jnp.int32)
-        carry0 = (fblk0, fnode0, ent_buf, ent_n, chk_buf, chk_n,
-                  ovf0, jnp.zeros((), jnp.int32), fcnt0)
+        fcnt0 = np.int32(B * n_init)
+        carry0 = tuple(jnp.asarray(x) for x in (
+            fblk0, fnode0, ent_val, ent_blk, chk_val, chk_blk,
+            e_tot, c_tot, ovf0, np.int32(0), fcnt0))
 
         def body(k, carry):
             def live(c):
-                (fblk, fnode, ent_buf, ent_n, chk_buf, chk_n, ovf,
-                 fmax, fcnt) = c
+                (fblk, fnode, ent_val, ent_blk, chk_val, chk_blk,
+                 e_tot, c_tot, ovf, fmax, fcnt) = c
                 lvl = init_lvl + k
                 cell_len = tree.root_len * jnp.exp2(-lvl.astype(tpos.dtype))
                 valid = fblk >= 0
@@ -339,38 +355,34 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                 leaf_here = rest & terminal
                 expand = rest & ~terminal
 
-                blk_ff = jax.lax.cummax(fblk)
-                bnd = jnp.concatenate(
-                    [jnp.ones((1,), bool), blk_ff[1:] != blk_ff[:-1]])
-
-                def wrank(w):
-                    tot = jnp.cumsum(w) - w
-                    start = jax.lax.cummax(jnp.where(bnd, tot, -1))
-                    return tot - start
-
+                # batch-global appends (frontier rows are block-sorted,
+                # so per-level segments stay block-major)
                 gbits = jnp.where(
                     accept[:, None],
                     (flags[:, None] >> (1 + garange)) & 1, 0)
                 e_w = jnp.sum(gbits, axis=1)
-                e_base = ent_n[fb] + wrank(e_w)
+                e_run = jnp.cumsum(e_w)
+                e_base = e_tot + e_run - e_w
                 goff = jnp.cumsum(gbits, axis=1) - gbits
                 e_ok = gbits > 0
                 e_pos = jnp.where(e_ok, e_base[:, None] + goff, ent_cap)
                 e_val = nstart + fnode[:, None] * NG + garange
-                ent_buf = ent_buf.at[
-                    jnp.broadcast_to(fb[:, None], (F, NG)),
-                    e_pos].set(e_val, mode="drop")
-                ent_n = ent_n + jax.ops.segment_sum(e_w, fb, B)
+                ent_val = ent_val.at[e_pos].set(e_val, mode="drop")
+                ent_blk = ent_blk.at[e_pos].set(
+                    jnp.broadcast_to(fb[:, None], (F, NG)), mode="drop")
+                e_tot = e_tot + e_run[-1]
 
                 ch0 = bc(wn[:, 6])
                 c_w = jnp.where(leaf_here, nch, 0)
-                c_base = chk_n[fb] + wrank(c_w)
+                c_run = jnp.cumsum(c_w)
+                c_base = c_tot + c_run - c_w
                 c_ok = leaf_here[:, None] & (jc < nch[:, None])
                 c_pos = jnp.where(c_ok, c_base[:, None] + jc, chunk_cap)
-                chk_buf = chk_buf.at[
-                    jnp.broadcast_to(fb[:, None], (F, cpl)),
-                    c_pos].set(clamp_chk(ch0[:, None] + jc), mode="drop")
-                chk_n = chk_n + jax.ops.segment_sum(c_w, fb, B)
+                chk_val = chk_val.at[c_pos].set(
+                    clamp_chk(ch0[:, None] + jc), mode="drop")
+                chk_blk = chk_blk.at[c_pos].set(
+                    jnp.broadcast_to(fb[:, None], (F, cpl)), mode="drop")
+                c_tot = c_tot + c_run[-1]
 
                 c0 = bc(wn[:, 4])
                 ncc = bc(wn[:, 5])
@@ -379,28 +391,39 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                 fcount = (x_base[-1] + x_w[-1]).astype(jnp.int32)
                 x_ok = expand[:, None] & (j8 < ncc[:, None])
                 x_pos = jnp.where(x_ok, x_base[:, None] + j8, F)
-                nfblk = jnp.full((F,), -1, jnp.int32).at[x_pos].set(
+                nfblk = jnp.full_like(fblk, -1).at[x_pos].set(
                     jnp.broadcast_to(fblk[:, None], (F, 8)), mode="drop")
-                nfnode = jnp.zeros((F,), jnp.int32).at[x_pos].set(
+                nfnode = jnp.zeros_like(fnode).at[x_pos].set(
                     c0[:, None] + j8, mode="drop")
-                return (nfblk, nfnode, ent_buf, ent_n, chk_buf, chk_n,
-                        ovf | (fcount > F),
+                return (nfblk, nfnode, ent_val, ent_blk, chk_val, chk_blk,
+                        e_tot, c_tot, ovf | (fcount > F),
                         jnp.maximum(fmax, fcount), fcount)
 
             return jax.lax.cond(carry[-1] > 0, live, lambda c: c, carry)
 
         carry = jax.lax.fori_loop(0, n_lvls, body, carry0)
-        (_, _, ent_buf, ent_n, chk_buf, chk_n, ovf, fmax, _) = carry
-        ovf = ovf | jnp.any(ent_n > ent_cap) | jnp.any(chk_n > chunk_cap)
-        return ent_buf, chk_buf, ent_n, chk_n, ovf, fmax
+        (_, _, ent_val, ent_blk, chk_val, chk_blk, e_tot, c_tot,
+         ovf, fmax, _) = carry
+        ovf = ovf | (e_tot > ent_cap) | (c_tot > chunk_cap)
+
+        # group per block: stable sort by block id (junk blk=B sorts last)
+        eord = jnp.argsort(ent_blk, stable=True)
+        cord = jnp.argsort(chk_blk, stable=True)
+        return (ent_val[eord], ent_blk[eord], chk_val[cord],
+                chk_blk[cord], e_tot, c_tot, ovf, fmax)
 
     # ------------------------------------------------------------------
     # Stage 2: flatten one batch's lists into the chunked source buffer.
+    # Index-only scatters (int32) at demand positions, then ONE gather
+    # from the packed source table at flat-buffer volume.
     # ------------------------------------------------------------------
-    def _flatten(gsrc, layout, ent, chk, n_ent, n_chk, blk_live):
+    def _flatten(gsrc, layout, ent_val, ent_blk, chk_val, chk_blk,
+                 e_tot, c_tot, blk_live):
         cap2, nstart, rows, null_row = layout
-        ne = jnp.minimum(n_ent, ent_cap)
-        nc = jnp.minimum(n_chk, chunk_cap)
+        blkc = jnp.minimum(ent_blk, B)         # junk -> segment B
+        ne = jax.ops.segment_sum(jnp.ones_like(blkc), blkc, B + 1)[:B]
+        blkk = jnp.minimum(chk_blk, B)
+        nc = jax.ops.segment_sum(jnp.ones_like(blkk), blkk, B + 1)[:B]
         ne8 = _rup_t(ne)                       # node rows padded to 8
         rows_b = ne8 + 8 * nc
         n_ck = (rows_b + EC - 1) // EC
@@ -409,27 +432,35 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         c_used = jnp.sum(n_ck)
         ovf = c_used > CCAP
 
-        neg1f = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
-        fsrc = jnp.zeros((CCAP * EC, 8), jnp.float32).at[:, IGID].set(neg1f)
+        # flat row ids: node entries at row granularity
+        starts_e = (jnp.cumsum(ne) - ne)       # sorted-list start per block
+        iarang = np.arange(ent_cap, dtype=np.int32)
+        eb = jnp.minimum(ent_blk, B - 1)
+        erank = iarang - starts_e[eb]
+        epos = ck_off[eb] * EC + erank
+        epos = jnp.where((iarang < jnp.minimum(e_tot, ent_cap))
+                         & (ent_blk < B), epos, CCAP * EC)
+        frow = jnp.asarray(np.full((CCAP * EC,), null_row, np.int32)) \
+            .at[epos].set(ent_val, mode="drop")
 
-        # node-entry rows
-        iarang = jnp.arange(ent_cap, dtype=jnp.int32)
-        epos = ck_off[:, None] * EC + iarang
-        epos = jnp.where(iarang < ne[:, None], epos, CCAP * EC)
-        erows = gsrc[ent]                      # [B, ent_cap, 8]
-        fsrc = fsrc.at[epos].set(erows, mode="drop")
+        # leaf chunks at chunk granularity
+        starts_c = (jnp.cumsum(nc) - nc)
+        jarang = np.arange(chunk_cap, dtype=np.int32)
+        cb = jnp.minimum(chk_blk, B - 1)
+        crank = jarang - starts_c[cb]
+        cpos = ck_off[cb] * (EC // 8) + ne8[cb] // 8 + crank
+        cpos = jnp.where((jarang < jnp.minimum(c_tot, chunk_cap))
+                         & (chk_blk < B), cpos, CCAP * EC // 8)
+        fchk = jnp.asarray(np.full((CCAP * EC // 8,), -1, np.int32)) \
+            .at[cpos].set(chk_val, mode="drop")
+        j8 = np.arange(8, dtype=np.int32)
+        fexp = (fchk[:, None] * 8 + j8).reshape(-1)
+        frow = jnp.where(fexp >= 0, fexp, frow)
 
-        # leaf chunks as aligned 8-row copies
-        fsrc8 = fsrc.reshape(CCAP * EC // 8, 8, 8)
-        jarang = jnp.arange(chunk_cap, dtype=jnp.int32)
-        cpos = (ck_off[:, None] * EC + ne8[:, None]) // 8 + jarang
-        cpos = jnp.where(jarang < nc[:, None], cpos, CCAP * EC // 8)
-        crows = gsrc.reshape(-1, 8, 8)[chk]    # [B, chunk_cap, 8, 8]
-        fsrc8 = fsrc8.at[cpos].set(crows, mode="drop")
-        fsrc = fsrc8.reshape(CCAP * EC, 8)
+        fsrc = gsrc[frow]                      # ONE gather, [CCAP*EC, 8]
 
         # block id per chunk: blk[c] = rightmost b with ck_off[b] <= c
-        carang = jnp.arange(CCAP, dtype=jnp.int32)
+        carang = np.arange(CCAP, dtype=np.int32)
         blk_ids = jnp.searchsorted(ck_off, carang, side="right") \
             .astype(jnp.int32) - 1
         blk_ids = jnp.clip(blk_ids, 0, B - 1)
@@ -579,9 +610,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         f64-tabulated transition tables instead)."""
         from .shortrange import longrange_force_factor, longrange_pot_factor
 
-        def chunk_fn(carry, xs):
-            out = carry
-            spc, blk, cidx = xs
+        def chunk_math(spc, blk):
             t = tpack[blk]                           # [G, 8]
             tx = t[:, FX:FX + 1]
             ty = t[:, FY:FY + 1]
@@ -623,20 +652,28 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                 fac, pot = _dispatch(tgv, sgv, tm, smass, r2, r, h, scount)
             valid = (sgid != -1) & (tgid >= 0) & (sgid != tgid)
             fac = jnp.where(valid, fac, 0.0)
-            live = cidx < c_used
-            fac = jnp.where(live, fac, 0.0)
-            delta = jnp.stack(
+            return jnp.stack(
                 [jnp.sum(fac * dx, axis=1), jnp.sum(fac * dy, axis=1),
                  jnp.sum(fac * dz, axis=1),
-                 (jnp.sum(jnp.where(valid & live, pot, 0.0), axis=1)
-                  if want_pot else jnp.zeros((G,), jnp.float32)),
-                 jnp.sum(jnp.where(valid & live, 1.0, 0.0), axis=1)],
+                 (jnp.sum(jnp.where(valid, pot, 0.0), axis=1)
+                  if want_pot else np.zeros((G,), np.float32)),
+                 jnp.sum(jnp.where(valid, 1.0, 0.0), axis=1)],
                 axis=-1)                              # [G, 5]
+
+        def chunk_fn(carry, xs):
+            out = carry
+            spc, blk, cidx = xs
+            # chunks past the demand are genuinely skipped (lax.cond), so
+            # the fallback's cost is demand-proportional like the kernel's
+            delta = jax.lax.cond(
+                cidx < c_used,
+                lambda: chunk_math(spc, blk),
+                lambda: np.zeros((G, 5), np.float32))
             out = out.at[blk, :, :5].add(delta)
             return out, None
 
-        out0 = jnp.zeros((B, G, 8), jnp.float32)
-        cidx = jnp.arange(CCAP, dtype=jnp.int32)
+        out0 = jnp.asarray(np.zeros((B, G, 8), np.float32))
+        cidx = np.arange(CCAP, dtype=np.int32)
         out, _ = jax.lax.scan(chunk_fn, out0, (fsrc_t, blk_ids, cidx))
         return out
 
@@ -645,9 +682,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         (the reference's second walk, forcetree.c:2077-2432)."""
         from .lattice import lattice_correction
 
-        def chunk_fn(carry, xs):
-            out = carry
-            spc, blk, cidx = xs
+        def chunk_math(spc, blk):
             t = tpack[blk]
             bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
             tgv = bc(t[:, IGRAV:IGRAV + 1])
@@ -660,28 +695,35 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             pidx = tgv * NG + sgv
             fcx, fcy, fcz, pc = lattice_correction(
                 lattice_tables, fac_intp, dx, dy, dz, pidx)
-            valid = (sgid != -1) & (tgid >= 0) & (sgid != tgid) \
-                & (cidx < c_used)
+            valid = (sgid != -1) & (tgid >= 0) & (sgid != tgid)
             sm = jnp.where(valid, spc[FMASS:FMASS + 1, :], 0.0)
-            delta = jnp.stack(
+            return jnp.stack(
                 [jnp.sum(sm * fcx, axis=1), jnp.sum(sm * fcy, axis=1),
                  jnp.sum(sm * fcz, axis=1),
                  (jnp.sum(sm * pc, axis=1) if want_pot
-                  else jnp.zeros((G,), jnp.float32)),
-                 jnp.zeros((G,), jnp.float32)], axis=-1)
+                  else np.zeros((G,), np.float32)),
+                 np.zeros((G,), np.float32)], axis=-1)
+
+        def chunk_fn(carry, xs):
+            out = carry
+            spc, blk, cidx = xs
+            delta = jax.lax.cond(
+                cidx < c_used,
+                lambda: chunk_math(spc, blk),
+                lambda: np.zeros((G, 5), np.float32))
             out = out.at[blk, :, :5].add(delta)
             return out, None
 
-        out0 = jnp.zeros((B, G, 8), jnp.float32)
-        cidx = jnp.arange(CCAP, dtype=jnp.int32)
+        out0 = jnp.asarray(np.zeros((B, G, 8), np.float32))
+        cidx = np.arange(CCAP, dtype=np.int32)
         out, _ = jax.lax.scan(chunk_fn, out0, (fsrc_t, blk_ids, cidx))
         return out
 
     # ------------------------------------------------------------------
     # Composition.
     # ------------------------------------------------------------------
-    rel_true = jnp.asarray(True)
-    rel_false = jnp.asarray(False)
+    rel_true = np.bool_(True)
+    rel_false = np.bool_(False)
     rel_default = rel_true if opening == "relative" else rel_false
 
     def fused_forces(tree: Octree, tgt_sorted: jnp.ndarray,
@@ -705,7 +747,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         nbp = nbatch * B
         pad = nbp * G - nt
         tgt = jnp.concatenate(
-            [tgt_sorted, jnp.full((pad,), -1, jnp.int32)]) if pad \
+            [tgt_sorted, np.full((pad,), -1, np.int32)]) if pad \
             else tgt_sorted
         tgt_b = tgt.reshape(nbp, G)
         safe = jnp.maximum(tgt_b, 0)
@@ -724,12 +766,26 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             ta = jax.lax.dynamic_slice_in_dim(taold_all, bi * B, B, axis=0)
             tpos = tp[..., 0:3]
             tg = jax.lax.bitcast_convert_type(tp[..., IGID], jnp.int32)
-            ent, chk, ne, nc, ovf1, fmax = _traverse(
-                tree, wtab, layout, tpos, tg, ta, rel, n)
+            (ent_val, ent_blk, chk_val, chk_blk, e_tot, c_tot, ovf1,
+             fmax) = _traverse(tree, wtab, layout, tpos, tg, ta, rel, n)
+            if stage_limit <= 1:   # profiling aid: traversal only
+                out = jnp.asarray(np.zeros((B, G, 8), np.float32)) \
+                    .at[0, 0, 0].add((e_tot + c_tot).astype(jnp.float32))
+                nia = jnp.asarray(np.zeros((B, G), np.int32))
+                return out, nia, ovf1, jnp.stack(
+                    [e_tot, c_tot, jnp.zeros_like(e_tot), fmax])
             blk_live = jnp.any(tg >= 0, axis=1)
             fsrc_t, blk_ids, c_used, rows_b, ovf2 = _flatten(
-                gsrc, layout, ent, chk, ne, nc, blk_live)
+                gsrc, layout, ent_val, ent_blk, chk_val, chk_blk,
+                e_tot, c_tot, blk_live)
             c_eff = jnp.minimum(c_used, CCAP)
+            if stage_limit <= 2:   # profiling aid: traversal + flatten
+                out = jnp.asarray(np.zeros((B, G, 8), np.float32)) \
+                    .at[0, 0, 0].add(jnp.sum(fsrc_t[:, FMASS]))
+                nia = jnp.broadcast_to(rows_b[:, None],
+                                       (B, G)).astype(jnp.int32)
+                stats = jnp.stack([e_tot, c_tot, c_used, fmax])
+                return out, nia, ovf1 | ovf2, stats
             if use_pallas:
                 out = _eval_pallas(fsrc_t, blk_ids, c_eff, tp)
             else:
@@ -738,7 +794,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                 out = out + _lattice_pass(fsrc_t, blk_ids, c_eff, tp)
             # per-target interaction count = the block's accepted rows
             nia = jnp.broadcast_to(rows_b[:, None], (B, G)).astype(jnp.int32)
-            stats = jnp.stack([jnp.max(ne), jnp.max(nc), c_used, fmax])
+            stats = jnp.stack([e_tot, c_tot, c_used, fmax])
             return out, nia, ovf1 | ovf2, stats
 
         if nbatch == 1:
@@ -747,7 +803,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             ovfs, statss = ovf[None], stats[None]
         else:
             outs, nias, ovfs, statss = jax.lax.map(
-                batch_fn, jnp.arange(nbatch, dtype=jnp.int32))
+                batch_fn, np.arange(nbatch, dtype=np.int32))
         out_all = outs.reshape(nbp * G, 8)[:nt]
         nia_all = nias.reshape(nbp * G)[:nt]
         ovf = jnp.any(ovfs)

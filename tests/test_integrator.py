@@ -436,3 +436,48 @@ def test_segment_steps_bitwise_parity():
     np.testing.assert_array_equal(np.asarray(simA.p.ti_endstep),
                                   np.asarray(simB.p.ti_endstep))
     assert simA.num_force_updates == simB.num_force_updates
+
+
+def test_tree_segment_parity():
+    """The TREE-solver device-resident segment (_try_tree_segment: the
+    production fast path, run.c:32-132 analog) advances the same timeline
+    and produces trajectories consistent with host-paced single-stepping
+    of the same tree solver."""
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=1.0, gravity_constant_internal=1.0,
+        softening=(0.05,) * 6, max_size_timestep=0.01,
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0, wiring="newton", solver="tree",
+        tree_depth=6, err_tol_theta=0.6, type_of_opening_criterion=0)
+    rng = np.random.default_rng(1)
+    n = 256
+    pos = rng.uniform(0, 4, (n, 3)).astype(np.float32)
+    vel = rng.normal(0, 0.05, (n, 3)).astype(np.float32)
+    p = Particles.create(pos, vel, np.full(n, 1e-3, np.float32),
+                         np.arange(n), np.ones(n, np.int32),
+                         cfg.type_to_grav)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, time_max=0.05)
+    simA = Simulation(cfg, particles=p, log_dir="")
+    simB = Simulation(cfg, particles=p, log_dir="", segment_steps=16)
+    stepsA = 0
+    while simA.ti_current < TIMEBASE and simA.time <= cfg.time_max:
+        simA.step()
+        stepsA += 1
+        assert stepsA < 2000
+    segments = 0
+    while simB.ti_current < TIMEBASE and simB.time <= cfg.time_max:
+        simB.step()
+        segments += 1
+        assert segments < 2000
+    assert simB.step_count == simA.step_count
+    assert simB.ti_current == simA.ti_current
+    assert segments < simA.step_count / 2
+    assert simA.num_force_updates == simB.num_force_updates
+    np.testing.assert_array_equal(np.asarray(simA.p.ti_endstep),
+                                  np.asarray(simB.p.ti_endstep))
+    # same walk, same summation order -> trajectories agree to f32 noise
+    np.testing.assert_allclose(np.asarray(simA.p.pos),
+                               np.asarray(simB.p.pos), rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(simA.p.vel),
+                               np.asarray(simB.p.vel), rtol=0, atol=5e-4)
