@@ -130,12 +130,15 @@ def pack_source_table(tree: Octree, n_gravs: int, leaf_factor: float,
 @functools.partial(jax.jit, static_argnames=("n_gravs",))
 def pack_walk_table(tree: Octree, n_gravs: int):
     """[M, 8+4*NG] traversal rows: center xyz, flags, child0, nchild,
-    chunk0, nchunk, then per-gravity (cm xyz, mass)."""
+    chunk0, nchunk, then per-gravity (cm xyz, mass).  flags layout:
+    bit0 terminal, bits 1..NG per-gravity mass>0, bits 8..12 node level
+    (the work-queue traversal mixes levels in one dequeue)."""
     bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     flags = tree.node_terminal.astype(jnp.int32)
     for g in range(n_gravs):
         flags = flags | ((tree.node_mass[:, g] > 0).astype(jnp.int32)
                          << (1 + g))
+    flags = flags | (tree.node_level << 8)
     cols = [tree.node_center[:, 0], tree.node_center[:, 1],
             tree.node_center[:, 2], bc(flags),
             bc(tree.node_child0), bc(tree.node_nchild),
@@ -224,16 +227,22 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
     # Stage 1: traversal for one batch of B blocks (same opening logic as
     # tree.py's _t_queue; see that docstring for the criteria citations).
     #
-    # Accepted (node,gravity) entries and leaf chunks are appended to
-    # BATCH-GLOBAL compact lists at exact-demand positions (one cumsum
-    # over the frontier per level), then grouped per block with one
-    # stable sort.  This keeps every scatter and the final flatten gather
-    # demand-proportional: per-block capped buffers would make every
-    # block pay the worst block's cap (measured 0.5 GB/batch of random
-    # gathers at N=3e5 — the round-1 bottleneck).
+    # WORK-QUEUE traversal: (block, node) visits live in a queue of
+    # capacity `frontier_cap`; each while_loop iteration dequeues a fixed
+    # window of K visits (all levels mixed — the node's level rides in
+    # its flags), applies the opening criteria, appends accepted
+    # (node,gravity) entries / leaf chunks to BATCH-GLOBAL compact lists
+    # at exact-demand cumsum positions, and pushes opened children back
+    # onto the queue.  Iteration count is ceil(total_visits / K): fully
+    # demand-proportional, unlike a level-synchronous frontier whose
+    # static width every level must pay (measured 657 ms -> 166 ms at
+    # N=6e4 just from halving that width).  The lists are grouped per
+    # block afterwards with one stable sort.
     # ------------------------------------------------------------------
     def _traverse(tree, wtab, layout, tpos, tgid, taold, rel, n_static: int):
-        F = frontier_cap
+        F = frontier_cap            # queue capacity (total visits cap)
+        K = min(8192, F)            # dequeue window per iteration
+        M = wtab.shape[0]           # node rows (continuation encoding base)
         init_lvl = min(2, depth)
         caps_l = level_caps(n_static, depth)
         offs_l = np.concatenate([[0], np.cumsum(caps_l)]).astype(np.int32)
@@ -241,7 +250,6 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         n_init = int(offs_l[init_lvl + 1] - offs_l[init_lvl])
         off0 = int(offs_l[init_lvl])
         assert B * n_init <= F, (B, n_init, F)
-        n_lvls = depth + 1 - init_lvl
 
         cap2, nstart, rows, null_row = layout
         null_chunk = null_row // 8
@@ -265,11 +273,11 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         hi_b = jnp.max(jnp.where(tvalid[..., None], tpos, -big), axis=1)
         aold_b = jnp.min(jnp.where(tvalid, taold, big), axis=1)
 
-        fblk0 = jnp.concatenate(
+        qblk0 = jnp.concatenate(
             [jnp.repeat(jnp.where(blk_ok, biota, -1), n_init),
              np.full((F - B * n_init,), -1, np.int32)])
-        fnode0 = np.zeros((F,), np.int32)
-        fnode0[:B * n_init] = np.tile(
+        qnode0 = np.zeros((F,), np.int32)
+        qnode0[:B * n_init] = np.tile(
             off0 + np.arange(n_init, dtype=np.int32), B)
 
         # batch-global lists; blk sentinel B sorts junk last
@@ -304,107 +312,133 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                                  (B * n_sh, cpl)).reshape(-1), mode="drop")
             c_tot = jnp.sum(v)
 
-        fcnt0 = np.int32(B * n_init)
         carry0 = tuple(jnp.asarray(x) for x in (
-            fblk0, fnode0, ent_val, ent_blk, chk_val, chk_blk,
-            e_tot, c_tot, ovf0, np.int32(0), fcnt0))
+            qblk0, qnode0, ent_val, ent_blk, chk_val, chk_blk,
+            e_tot, c_tot, ovf0, np.int32(0), np.int32(B * n_init)))
+        karange = np.arange(K, dtype=np.int32)
 
-        def body(k, carry):
-            def live(c):
-                (fblk, fnode, ent_val, ent_blk, chk_val, chk_blk,
-                 e_tot, c_tot, ovf, fmax, fcnt) = c
-                lvl = init_lvl + k
-                cell_len = tree.root_len * jnp.exp2(-lvl.astype(tpos.dtype))
-                valid = fblk >= 0
-                wn = wtab[jnp.maximum(fnode, 0)]
-                fb = jnp.maximum(fblk, 0)
-                lo = lo_b[fb]
-                hi = hi_b[fb]
-                aold_min = aold_b[fb]
-                center = wn[:, 0:3]
-                flags = bc(wn[:, 3])
-                valid = valid & (flags != 0)
-                terminal = (flags & 1) > 0
-                nch = bc(wn[:, 7])
-                if init_lvl > 0:
-                    valid = valid & ~(terminal & (nch == 0) & (k == 0))
-                cg = wn[:, 8:8 + 4 * NG].reshape(F, NG, 4)
-                cm = cg[..., 0:3]
-                m_g = cg[..., 3]
+        def cond(c):
+            head, tail = c[-2], c[-1]
+            return head < jnp.minimum(tail, F)
 
-                d = jnp.maximum(
-                    _bbox_gap(cm, lo[:, None, :], hi[:, None, :]), 0.0)
-                r2g = jnp.sum(d * d, axis=-1)
-                r2min = jnp.min(jnp.where(m_g > 0, r2g, big), axis=-1)
-                mtot = jnp.sum(m_g, axis=-1)
+        def body(c):
+            (qblk, qnode, ent_val, ent_blk, chk_val, chk_blk,
+             e_tot, c_tot, ovf, head, tail) = c
+            # consume min(K, tail-head) entries; head advances only past
+            # LIVE entries — children pushed at `tail` may land inside
+            # this window's dead range [head+nlive, head+K) and must
+            # still be processed by a later iteration
+            nlive = jnp.minimum(K, tail - head)
+            idx = jnp.minimum(head + karange, F - 1)
+            live = karange < nlive
+            fblk = jnp.where(live, qblk[idx], -1)
+            fnode = jnp.where(live, qnode[idx], 0)
 
-                open_bh = cell_len * cell_len > r2min * (theta * theta)
-                open_rel = (mtot * cell_len * cell_len
-                            > r2min * r2min * aold_min)
-                must_open = jnp.where(rel, open_rel, open_bh)
-                gap = _bbox_gap(center, lo, hi)
-                intersects = jnp.all(gap < 0.6 * cell_len, axis=-1)
-                must_open = must_open | intersects
+            valid = fblk >= 0
+            # continuation visits for depth-capped leaves with more than
+            # cpl chunks are encoded as fnode + M*k (k = cpl-batches of
+            # chunks already appended by earlier visits)
+            kextra = fnode // M
+            fnode = fnode - kextra * M
+            wn = wtab[fnode]
+            fb = jnp.maximum(fblk, 0)
+            lo = lo_b[fb]
+            hi = hi_b[fb]
+            aold_min = aold_b[fb]
+            center = wn[:, 0:3]
+            flags = bc(wn[:, 3])
+            lvl = (flags >> 8) & 31
+            cell_len = tree.root_len * jnp.exp2(-lvl.astype(tpos.dtype))
+            valid = valid & ((flags & 255) != 0)
+            terminal = (flags & 1) > 0
+            nch = bc(wn[:, 7])
+            # nodes of the complete shallow levels under a real shallow
+            # leaf carry moments but no chunks; the preamble already
+            # summed those leaves directly — never re-count them
+            valid = valid & ~(terminal & (nch == 0))
+            cg = wn[:, 8:8 + 4 * NG].reshape(K, NG, 4)
+            cm = cg[..., 0:3]
+            m_g = cg[..., 3]
 
-                if rcut > 0:
-                    beyond = jnp.any(gap - 0.5 * cell_len > rcut, axis=-1)
-                    valid = valid & ~beyond
+            d = jnp.maximum(
+                _bbox_gap(cm, lo[:, None, :], hi[:, None, :]), 0.0)
+            r2g = jnp.sum(d * d, axis=-1)
+            r2min = jnp.min(jnp.where(m_g > 0, r2g, big), axis=-1)
+            mtot = jnp.sum(m_g, axis=-1)
 
-                accept = valid & ~must_open
-                rest = valid & must_open
-                leaf_here = rest & terminal
-                expand = rest & ~terminal
+            open_bh = cell_len * cell_len > r2min * (theta * theta)
+            open_rel = (mtot * cell_len * cell_len
+                        > r2min * r2min * aold_min)
+            must_open = jnp.where(rel, open_rel, open_bh)
+            gap = _bbox_gap(center, lo, hi)
+            intersects = jnp.all(gap < 0.6 * cell_len[:, None], axis=-1)
+            must_open = must_open | intersects
 
-                # batch-global appends (frontier rows are block-sorted,
-                # so per-level segments stay block-major)
-                gbits = jnp.where(
-                    accept[:, None],
-                    (flags[:, None] >> (1 + garange)) & 1, 0)
-                e_w = jnp.sum(gbits, axis=1)
-                e_run = jnp.cumsum(e_w)
-                e_base = e_tot + e_run - e_w
-                goff = jnp.cumsum(gbits, axis=1) - gbits
-                e_ok = gbits > 0
-                e_pos = jnp.where(e_ok, e_base[:, None] + goff, ent_cap)
-                e_val = nstart + fnode[:, None] * NG + garange
-                ent_val = ent_val.at[e_pos].set(e_val, mode="drop")
-                ent_blk = ent_blk.at[e_pos].set(
-                    jnp.broadcast_to(fb[:, None], (F, NG)), mode="drop")
-                e_tot = e_tot + e_run[-1]
+            if rcut > 0:
+                beyond = jnp.any(
+                    gap - 0.5 * cell_len[:, None] > rcut, axis=-1)
+                valid = valid & ~beyond
 
-                ch0 = bc(wn[:, 6])
-                c_w = jnp.where(leaf_here, nch, 0)
-                c_run = jnp.cumsum(c_w)
-                c_base = c_tot + c_run - c_w
-                c_ok = leaf_here[:, None] & (jc < nch[:, None])
-                c_pos = jnp.where(c_ok, c_base[:, None] + jc, chunk_cap)
-                chk_val = chk_val.at[c_pos].set(
-                    clamp_chk(ch0[:, None] + jc), mode="drop")
-                chk_blk = chk_blk.at[c_pos].set(
-                    jnp.broadcast_to(fb[:, None], (F, cpl)), mode="drop")
-                c_tot = c_tot + c_run[-1]
+            accept = valid & ~must_open
+            rest = valid & must_open
+            leaf_here = rest & terminal
+            expand = rest & ~terminal
 
-                c0 = bc(wn[:, 4])
-                ncc = bc(wn[:, 5])
-                x_w = jnp.where(expand, ncc, 0)
-                x_base = jnp.cumsum(x_w) - x_w
-                fcount = (x_base[-1] + x_w[-1]).astype(jnp.int32)
-                x_ok = expand[:, None] & (j8 < ncc[:, None])
-                x_pos = jnp.where(x_ok, x_base[:, None] + j8, F)
-                nfblk = jnp.full_like(fblk, -1).at[x_pos].set(
-                    jnp.broadcast_to(fblk[:, None], (F, 8)), mode="drop")
-                nfnode = jnp.zeros_like(fnode).at[x_pos].set(
-                    c0[:, None] + j8, mode="drop")
-                return (nfblk, nfnode, ent_val, ent_blk, chk_val, chk_blk,
-                        e_tot, c_tot, ovf | (fcount > F),
-                        jnp.maximum(fmax, fcount), fcount)
+            # batch-global appends at exact-demand cumsum positions
+            gbits = jnp.where(
+                accept[:, None],
+                (flags[:, None] >> (1 + garange)) & 1, 0)
+            e_w = jnp.sum(gbits, axis=1)
+            e_run = jnp.cumsum(e_w)
+            e_base = e_tot + e_run - e_w
+            goff = jnp.cumsum(gbits, axis=1) - gbits
+            e_ok = gbits > 0
+            e_pos = jnp.where(e_ok, e_base[:, None] + goff, ent_cap)
+            e_val = nstart + fnode[:, None] * NG + garange
+            ent_val = ent_val.at[e_pos].set(e_val, mode="drop")
+            ent_blk = ent_blk.at[e_pos].set(
+                jnp.broadcast_to(fb[:, None], (K, NG)), mode="drop")
+            e_tot = e_tot + e_run[-1]
 
-            return jax.lax.cond(carry[-1] > 0, live, lambda c: c, carry)
+            ch0 = bc(wn[:, 6]) + kextra * cpl      # continuation offset
+            nch_here = jnp.clip(nch - kextra * cpl, 0, cpl)
+            c_w = jnp.where(leaf_here, nch_here, 0)
+            c_run = jnp.cumsum(c_w)
+            c_base = c_tot + c_run - c_w
+            c_ok = leaf_here[:, None] & (jc < nch_here[:, None])
+            c_pos = jnp.where(c_ok, c_base[:, None] + jc, chunk_cap)
+            chk_val = chk_val.at[c_pos].set(
+                clamp_chk(ch0[:, None] + jc), mode="drop")
+            chk_blk = chk_blk.at[c_pos].set(
+                jnp.broadcast_to(fb[:, None], (K, cpl)), mode="drop")
+            c_tot = c_tot + c_run[-1]
 
-        carry = jax.lax.fori_loop(0, n_lvls, body, carry0)
+            # push opened children onto the queue; a depth-capped leaf
+            # with chunks beyond this visit's cpl batch re-enqueues
+            # itself as a continuation (fnode + (kextra+1)*M)
+            c0 = bc(wn[:, 4])
+            ncc = bc(wn[:, 5])
+            more = leaf_here & (nch - kextra * cpl > cpl)
+            x_w = jnp.where(expand, ncc, 0) + more.astype(jnp.int32)
+            x_run = jnp.cumsum(x_w)
+            x_base = tail + x_run - x_w
+            x_ok = expand[:, None] & (j8 < ncc[:, None])
+            x_pos = jnp.where(x_ok, x_base[:, None] + j8, F)
+            qblk = qblk.at[x_pos].set(
+                jnp.broadcast_to(fblk[:, None], (K, 8)), mode="drop")
+            qnode = qnode.at[x_pos].set(c0[:, None] + j8, mode="drop")
+            m_pos = jnp.where(more, x_base + jnp.where(expand, ncc, 0), F)
+            qblk = qblk.at[m_pos].set(fblk, mode="drop")
+            qnode = qnode.at[m_pos].set(fnode + (kextra + 1) * M,
+                                        mode="drop")
+            return (qblk, qnode, ent_val, ent_blk, chk_val, chk_blk,
+                    e_tot, c_tot, ovf, head + nlive, tail + x_run[-1])
+
+        carry = jax.lax.while_loop(cond, body, carry0)
         (_, _, ent_val, ent_blk, chk_val, chk_blk, e_tot, c_tot,
-         ovf, fmax, _) = carry
-        ovf = ovf | (e_tot > ent_cap) | (c_tot > chunk_cap)
+         ovf, _head, tail) = carry
+        fmax = tail                 # total visits = queue demand
+        ovf = ovf | (e_tot > ent_cap) | (c_tot > chunk_cap) | (tail > F)
 
         # group per block: stable sort by block id (junk blk=B sorts last)
         eord = jnp.argsort(ent_blk, stable=True)
