@@ -83,7 +83,8 @@ for attempt in range(6):
         box_size=box if TREEPM else 0.0, treepm=treepm,
         stage_limit=STAGE)
     walk = jax.jit(lambda tr, tg: walk_raw(tr, tg))
-    tgt = jnp.arange(N, dtype=jnp.int32)
+    NT = int(os.environ.get("NT_LIMIT", N))
+    tgt = jnp.arange(NT, dtype=jnp.int32)
     t0 = time.time()
     res = walk(tree, tgt)
     ovf, me, mc, mr, mf = (int(x) for x in jax.device_get(
@@ -109,6 +110,6 @@ for _ in range(3):
 jax.block_until_ready(res.acc)
 dt = (time.time() - t0) / 3
 nia = float(jnp.sum(res.ninteract.astype(jnp.float32)))
-print(f"N={N} pallas={USE_PALLAS} stage={STAGE} treepm={TREEPM}: "
-      f"{dt*1e3:.1f} ms/pass -> {N/dt:.3g} part/s; "
+print(f"N={N} NT={NT} pallas={USE_PALLAS} stage={STAGE} treepm={TREEPM}: "
+      f"{dt*1e3:.1f} ms/pass -> {NT/dt:.3g} part/s; "
       f"rows/target={nia/max(N,1):.0f}", flush=True)

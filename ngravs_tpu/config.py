@@ -223,7 +223,7 @@ class SimulationConfig:
     walk_ent_cap: int = 65536        # per-BATCH accepted (node,grav) rows
     walk_chunk_cap: int = 65536      # per-BATCH leaf 8-row chunks
     walk_flat_chunks_cap: int = 2048   # per-batch flat eval chunks
-    walk_frontier_cap: int = 1 << 17   # per-batch visit-queue capacity
+    walk_frontier_cap: int = 1 << 17   # per-level visit-list capacity
     walk_ec: int = 512               # eval chunk length (sources per step)
     mesh_shape: Optional[tuple] = None  # device mesh (n_shards,) or None
 

@@ -9,12 +9,14 @@ TPU every sync costs tens of milliseconds).
 
 Three stages, all shapes static, all demand adaptivity via learned caps:
 
- 1. **Traverse** — level-synchronous frontier expansion for a batch of B
-    Morton-contiguous target blocks (the same conservative block-opening
-    rules as tree.py: a node accepted for the block satisfies the
-    per-target criterion of forcetree.c:1437-1473 for every member).
-    Emits per-block interaction lists at (node, gravity)-entry / 8-row
-    leaf-chunk granularity.
+ 1. **Traverse** — level-synchronous compact-list expansion for a batch
+    of B Morton-contiguous target blocks (the same conservative
+    block-opening rules as tree.py: a node accepted for the block
+    satisfies the per-target criterion of forcetree.c:1437-1473 for
+    every member).  A static Python loop over tree levels; each level is
+    ONE set of wide vectorized ops over the compacted (block, node)
+    visit list.  Emits (node, gravity) entries and (block, chunk0,
+    nchunk) leaf-hit ranges into batch-global compact lists.
 
  2. **Flatten** — per-block lists are packed into ONE flat generalized
     source buffer `[C*Ec, 8]` (block-major, each block's rows padded to a
@@ -132,7 +134,8 @@ def pack_walk_table(tree: Octree, n_gravs: int):
     """[M, 8+4*NG] traversal rows: center xyz, flags, child0, nchild,
     chunk0, nchunk, then per-gravity (cm xyz, mass).  flags layout:
     bit0 terminal, bits 1..NG per-gravity mass>0, bits 8..12 node level
-    (the work-queue traversal mixes levels in one dequeue)."""
+    (informational; the level-synchronous traversal knows the level
+    statically)."""
     bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     flags = tree.node_terminal.astype(jnp.int32)
     for g in range(n_gravs):
@@ -183,7 +186,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
     B = batch_blocks
     EC = ec
     CCAP = flat_chunks_cap
-    cpl = (bucket + 7) // 8
+
     assert G % 8 == 0 and EC % 128 == 0
     periodic = box_size > 0
     groups = wiring.unique_laws()
@@ -227,45 +230,42 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
     # Stage 1: traversal for one batch of B blocks (same opening logic as
     # tree.py's _t_queue; see that docstring for the criteria citations).
     #
-    # WORK-QUEUE traversal: (block, node) visits live in a queue of
-    # capacity `frontier_cap`; each while_loop iteration dequeues a fixed
-    # window of K visits (all levels mixed — the node's level rides in
-    # its flags), applies the opening criteria, appends accepted
-    # (node,gravity) entries / leaf chunks to BATCH-GLOBAL compact lists
-    # at exact-demand cumsum positions, and pushes opened children back
-    # onto the queue.  Iteration count is ceil(total_visits / K): fully
-    # demand-proportional, unlike a level-synchronous frontier whose
-    # static width every level must pay (measured 657 ms -> 166 ms at
-    # N=6e4 just from halving that width).  The lists are grouped per
-    # block afterwards with one stable sort.
+    # LEVEL-SYNCHRONOUS SCATTER-FREE traversal: a static Python loop over
+    # the <= depth-1 tree levels; each level processes the compacted
+    # (block, node) visit list in ONE set of wide vectorized ops.  TPU
+    # scatters serialize at ~element/cycle (profiled: the scatter-based
+    # appends were >95%% of traversal time at N=1e6), so NOTHING here
+    # scatters:
+    #  - accepted (node,gravity) entries and terminal (block, chunk0,
+    #    nchunk) leaf-hit RANGES are emitted as per-level candidate
+    #    arrays (dead slots carry the blk=B sentinel) that are
+    #    concatenated and grouped by ONE lax.sort at the end — sorts are
+    #    ~100x cheaper than the equivalent scatter on TPU;
+    #  - opened children compact into the next level's visit list by
+    #    cumsum + searchsorted INVERSION (destination slot j gathers its
+    #    source), i.e. gathers instead of scatter.
+    # Ranges (not per-chunk ids) mean oversized depth-capped leaves need
+    # no continuation revisits; flatten expands them.
     # ------------------------------------------------------------------
     def _traverse(tree, wtab, layout, tpos, tgid, taold, rel, n_static: int):
-        F = frontier_cap            # queue capacity (total visits cap)
-        K = min(8192, F)            # dequeue window per iteration
-        M = wtab.shape[0]           # node rows (continuation encoding base)
+        V = frontier_cap            # per-level visit list cap
         init_lvl = min(2, depth)
         caps_l = level_caps(n_static, depth)
         offs_l = np.concatenate([[0], np.cumsum(caps_l)]).astype(np.int32)
         n_sh = int(offs_l[init_lvl])
         n_init = int(offs_l[init_lvl + 1] - offs_l[init_lvl])
         off0 = int(offs_l[init_lvl])
-        assert B * n_init <= F, (B, n_init, F)
 
         cap2, nstart, rows, null_row = layout
-        null_chunk = null_row // 8
-        max_chunk_id = cap2 // 8
-        clamp_chk = lambda c: jnp.where(c < max_chunk_id, c, null_chunk)
         bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
         # static constants stay numpy: trace-time eager jnp ops each pay a
         # device round trip (+~1 s first-time compile on a tunneled TPU);
         # np literals embed into the jaxpr for free
         garange = np.arange(NG, dtype=np.int32)
-        jc = np.arange(cpl, dtype=np.int32)
-        j8 = np.arange(8, dtype=np.int32)
         biota = np.arange(B, dtype=np.int32)
         big = np.float32(1e30)
 
-        ovf0 = tree.n_chunk_rows > cap2
+        ovf = tree.n_chunk_rows > cap2
 
         tvalid = tgid >= 0
         blk_ok = jnp.any(tvalid, axis=1)
@@ -273,73 +273,45 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         hi_b = jnp.max(jnp.where(tvalid[..., None], tpos, -big), axis=1)
         aold_b = jnp.min(jnp.where(tvalid, taold, big), axis=1)
 
-        qblk0 = jnp.concatenate(
-            [jnp.repeat(jnp.where(blk_ok, biota, -1), n_init),
-             np.full((F - B * n_init,), -1, np.int32)])
-        qnode0 = np.zeros((F,), np.int32)
-        qnode0[:B * n_init] = np.tile(
-            off0 + np.arange(n_init, dtype=np.int32), B)
-
-        # batch-global lists; blk sentinel B sorts junk last
-        ent_val = np.full((ent_cap,), null_row, np.int32)
-        ent_blk = np.full((ent_cap,), B, np.int32)
-        chk_val = np.full((chunk_cap,), null_chunk, np.int32)
-        chk_blk = np.full((chunk_cap,), B, np.int32)
-        e_tot = np.int32(0)
-        c_tot = np.int32(0)
+        # per-level candidate lists, concatenated + sorted at the end
+        ent_vals, ent_blks = [], []
+        rng_c0s, rng_ncs, rng_blks = [], [], []
+        e_tot = jnp.asarray(np.int32(0))
+        c_tot = jnp.asarray(np.int32(0))
+        r_tot = jnp.asarray(np.int32(0))
 
         if n_sh:
             # shallow real leaves (above the init level) go straight to
-            # exact summation
-            chk_val = jnp.asarray(chk_val)
-            chk_blk = jnp.asarray(chk_blk)
+            # exact summation: one range per (block, shallow leaf)
             s_blk = jnp.repeat(jnp.where(blk_ok, biota, -1), n_sh)
             s_node = np.tile(np.arange(n_sh, dtype=np.int32), B)
             swn = wtab[s_node]
-            s_ch0 = bc(swn[:, 6])
             s_nch = bc(swn[:, 7])
-            sc_val = (s_ch0[:, None] + jc).reshape(-1)
-            sc_ok = ((s_blk >= 0)[:, None] & (jc < s_nch[:, None])) \
-                .reshape(-1)
-            v = sc_ok.astype(jnp.int32)
-            grank = jnp.cumsum(v) - v
-            sc_pos = jnp.where(sc_ok, grank, chunk_cap)
-            chk_val = chk_val.at[sc_pos].set(
-                jnp.where(sc_val < max_chunk_id, sc_val, null_chunk),
-                mode="drop")
-            chk_blk = chk_blk.at[sc_pos].set(
-                jnp.broadcast_to(s_blk[:, None],
-                                 (B * n_sh, cpl)).reshape(-1), mode="drop")
-            c_tot = jnp.sum(v)
+            ok = (s_blk >= 0) & (s_nch > 0)
+            rng_c0s.append(bc(swn[:, 6]))
+            rng_ncs.append(jnp.where(ok, s_nch, 0))
+            rng_blks.append(jnp.where(ok, s_blk, B))
+            r_tot = jnp.sum(ok.astype(jnp.int32))
+            c_tot = jnp.sum(jnp.where(ok, s_nch, 0))
 
-        carry0 = tuple(jnp.asarray(x) for x in (
-            qblk0, qnode0, ent_val, ent_blk, chk_val, chk_blk,
-            e_tot, c_tot, ovf0, np.int32(0), np.int32(B * n_init)))
-        karange = np.arange(K, dtype=np.int32)
+        # initial visit list: every live block x every init-level node
+        W0 = B * n_init
+        vblk = jnp.repeat(jnp.where(blk_ok, biota, -1), n_init)
+        vnode = jnp.asarray(np.tile(
+            off0 + np.arange(n_init, dtype=np.int32), B))
+        v_n = jnp.asarray(np.int32(W0))
+        fmax = jnp.asarray(np.int32(W0))
 
-        def cond(c):
-            head, tail = c[-2], c[-1]
-            return head < jnp.minimum(tail, F)
-
-        def body(c):
-            (qblk, qnode, ent_val, ent_blk, chk_val, chk_blk,
-             e_tot, c_tot, ovf, head, tail) = c
-            # consume min(K, tail-head) entries; head advances only past
-            # LIVE entries — children pushed at `tail` may land inside
-            # this window's dead range [head+nlive, head+K) and must
-            # still be processed by a later iteration
-            nlive = jnp.minimum(K, tail - head)
-            idx = jnp.minimum(head + karange, F - 1)
-            live = karange < nlive
-            fblk = jnp.where(live, qblk[idx], -1)
-            fnode = jnp.where(live, qnode[idx], 0)
+        import os as _os
+        _maxlvl = int(_os.environ.get("NGRAVS_TRAV_LVLS", depth + 1))
+        for lvl in range(init_lvl, min(depth, init_lvl + _maxlvl - 1) + 1):
+            W = int(vblk.shape[0])
+            wiota = np.arange(W, dtype=np.int32)
+            live = wiota < v_n
+            fblk = jnp.where(live, vblk, -1)
+            fnode = jnp.where(live, vnode, 0)
 
             valid = fblk >= 0
-            # continuation visits for depth-capped leaves with more than
-            # cpl chunks are encoded as fnode + M*k (k = cpl-batches of
-            # chunks already appended by earlier visits)
-            kextra = fnode // M
-            fnode = fnode - kextra * M
             wn = wtab[fnode]
             fb = jnp.maximum(fblk, 0)
             lo = lo_b[fb]
@@ -347,8 +319,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             aold_min = aold_b[fb]
             center = wn[:, 0:3]
             flags = bc(wn[:, 3])
-            lvl = (flags >> 8) & 31
-            cell_len = tree.root_len * jnp.exp2(-lvl.astype(tpos.dtype))
+            cell_len = tree.root_len * np.float32(2.0 ** -lvl)
             valid = valid & ((flags & 255) != 0)
             terminal = (flags & 1) > 0
             nch = bc(wn[:, 7])
@@ -356,7 +327,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             # leaf carry moments but no chunks; the preamble already
             # summed those leaves directly — never re-count them
             valid = valid & ~(terminal & (nch == 0))
-            cg = wn[:, 8:8 + 4 * NG].reshape(K, NG, 4)
+            cg = wn[:, 8:8 + 4 * NG].reshape(W, NG, 4)
             cm = cg[..., 0:3]
             m_g = cg[..., 3]
 
@@ -371,12 +342,11 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                         > r2min * r2min * aold_min)
             must_open = jnp.where(rel, open_rel, open_bh)
             gap = _bbox_gap(center, lo, hi)
-            intersects = jnp.all(gap < 0.6 * cell_len[:, None], axis=-1)
+            intersects = jnp.all(gap < 0.6 * cell_len, axis=-1)
             must_open = must_open | intersects
 
             if rcut > 0:
-                beyond = jnp.any(
-                    gap - 0.5 * cell_len[:, None] > rcut, axis=-1)
+                beyond = jnp.any(gap - 0.5 * cell_len > rcut, axis=-1)
                 valid = valid & ~beyond
 
             accept = valid & ~must_open
@@ -384,80 +354,91 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             leaf_here = rest & terminal
             expand = rest & ~terminal
 
-            # batch-global appends at exact-demand cumsum positions
+            # entry candidates: [W, NG] rows, dead slots -> blk B
             gbits = jnp.where(
                 accept[:, None],
                 (flags[:, None] >> (1 + garange)) & 1, 0)
-            e_w = jnp.sum(gbits, axis=1)
-            e_run = jnp.cumsum(e_w)
-            e_base = e_tot + e_run - e_w
-            goff = jnp.cumsum(gbits, axis=1) - gbits
             e_ok = gbits > 0
-            e_pos = jnp.where(e_ok, e_base[:, None] + goff, ent_cap)
-            e_val = nstart + fnode[:, None] * NG + garange
-            ent_val = ent_val.at[e_pos].set(e_val, mode="drop")
-            ent_blk = ent_blk.at[e_pos].set(
-                jnp.broadcast_to(fb[:, None], (K, NG)), mode="drop")
-            e_tot = e_tot + e_run[-1]
+            ent_vals.append(nstart + fnode[:, None] * NG + garange)
+            ent_blks.append(jnp.where(
+                e_ok, jnp.broadcast_to(fb[:, None], (W, NG)), B))
+            e_tot = e_tot + jnp.sum(gbits)
 
-            ch0 = bc(wn[:, 6]) + kextra * cpl      # continuation offset
-            nch_here = jnp.clip(nch - kextra * cpl, 0, cpl)
-            c_w = jnp.where(leaf_here, nch_here, 0)
-            c_run = jnp.cumsum(c_w)
-            c_base = c_tot + c_run - c_w
-            c_ok = leaf_here[:, None] & (jc < nch_here[:, None])
-            c_pos = jnp.where(c_ok, c_base[:, None] + jc, chunk_cap)
-            chk_val = chk_val.at[c_pos].set(
-                clamp_chk(ch0[:, None] + jc), mode="drop")
-            chk_blk = chk_blk.at[c_pos].set(
-                jnp.broadcast_to(fb[:, None], (K, cpl)), mode="drop")
-            c_tot = c_tot + c_run[-1]
+            # leaf-hit range candidates (expanded to chunk ids in flatten)
+            rng_c0s.append(bc(wn[:, 6]))
+            rng_ncs.append(jnp.where(leaf_here, nch, 0))
+            rng_blks.append(jnp.where(leaf_here, fb, B))
+            nch_leaf = jnp.sum(jnp.where(leaf_here, nch, 0))
+            r_tot = r_tot + jnp.sum(leaf_here.astype(jnp.int32))
+            c_tot = c_tot + nch_leaf
 
-            # push opened children onto the queue; a depth-capped leaf
-            # with chunks beyond this visit's cpl batch re-enqueues
-            # itself as a continuation (fnode + (kextra+1)*M)
-            c0 = bc(wn[:, 4])
-            ncc = bc(wn[:, 5])
-            more = leaf_here & (nch - kextra * cpl > cpl)
-            x_w = jnp.where(expand, ncc, 0) + more.astype(jnp.int32)
-            x_run = jnp.cumsum(x_w)
-            x_base = tail + x_run - x_w
-            x_ok = expand[:, None] & (j8 < ncc[:, None])
-            x_pos = jnp.where(x_ok, x_base[:, None] + j8, F)
-            qblk = qblk.at[x_pos].set(
-                jnp.broadcast_to(fblk[:, None], (K, 8)), mode="drop")
-            qnode = qnode.at[x_pos].set(c0[:, None] + j8, mode="drop")
-            m_pos = jnp.where(more, x_base + jnp.where(expand, ncc, 0), F)
-            qblk = qblk.at[m_pos].set(fblk, mode="drop")
-            qnode = qnode.at[m_pos].set(fnode + (kextra + 1) * M,
-                                        mode="drop")
-            return (qblk, qnode, ent_val, ent_blk, chk_val, chk_blk,
-                    e_tot, c_tot, ovf, head + nlive, tail + x_run[-1])
+            if lvl == depth:
+                break  # depth-level nodes are terminal by construction
 
-        carry = jax.lax.while_loop(cond, body, carry0)
-        (_, _, ent_val, ent_blk, chk_val, chk_blk, e_tot, c_tot,
-         ovf, _head, tail) = carry
-        fmax = tail                 # total visits = queue demand
-        ovf = ovf | (e_tot > ent_cap) | (c_tot > chunk_cap) | (tail > F)
+            # compact opened children into the next level's list via
+            # cumsum + searchsorted inversion (gathers, no scatter)
+            Wn = min(V, B * caps_l[lvl + 1], 8 * W)
+            ncc = jnp.where(expand, bc(wn[:, 5]), 0)
+            x_run = jnp.cumsum(ncc)
+            total = x_run[-1]
+            jiota = np.arange(Wn, dtype=np.int32)
+            src = jnp.searchsorted(x_run, jiota, side="right") \
+                .astype(jnp.int32)
+            src = jnp.minimum(src, W - 1)
+            k = jiota - (x_run[src] - ncc[src])
+            inside = jiota < total
+            vblk = jnp.where(inside, fblk[src], -1)
+            vnode = jnp.where(inside, bc(wn[:, 4])[src] + k, 0)
+            v_n = jnp.minimum(total, Wn)
+            fmax = jnp.maximum(fmax, total)
+            ovf = ovf | (total > Wn)
 
-        # group per block: stable sort by block id (junk blk=B sorts last)
-        eord = jnp.argsort(ent_blk, stable=True)
-        cord = jnp.argsort(chk_blk, stable=True)
-        return (ent_val[eord], ent_blk[eord], chk_val[cord],
-                chk_blk[cord], e_tot, c_tot, ovf, fmax)
+        # entry/range lists are exact-width (sums of level widths): they
+        # cannot overflow; ent_cap/chunk_cap survive only as demand hints
+
+        # group per block: ONE stable multi-operand sort by block id
+        # (junk blk=B sorts last); widths are exact sums of level widths
+        ent_blk = jnp.concatenate([a.reshape(-1) for a in ent_blks])
+        ent_val = jnp.concatenate([a.reshape(-1) for a in ent_vals])
+        ent_blk, ent_val = jax.lax.sort((ent_blk, ent_val), num_keys=1)
+        rng_blk = jnp.concatenate(rng_blks)
+        rng_c0 = jnp.concatenate(rng_c0s)
+        rng_nc = jnp.concatenate(rng_ncs)
+        rng_blk, rng_c0, rng_nc = jax.lax.sort(
+            (rng_blk, rng_c0, rng_nc), num_keys=1)
+        return (ent_val, ent_blk, rng_c0, rng_nc, rng_blk,
+                e_tot, c_tot, r_tot, ovf, fmax)
 
     # ------------------------------------------------------------------
     # Stage 2: flatten one batch's lists into the chunked source buffer.
-    # Index-only scatters (int32) at demand positions, then ONE gather
-    # from the packed source table at flat-buffer volume.
+    # SCATTER-FREE: every flat slot GATHERS its source (per-block
+    # boundaries from searchsorted over the block-sorted lists; leaf-hit
+    # ranges expanded by a second searchsorted over their cumsum), then
+    # ONE row gather from the packed source table.
     # ------------------------------------------------------------------
-    def _flatten(gsrc, layout, ent_val, ent_blk, chk_val, chk_blk,
+    def _flatten(gsrc, layout, ent_val, ent_blk, rng_c0, rng_nc, rng_blk,
                  e_tot, c_tot, blk_live):
         cap2, nstart, rows, null_row = layout
-        blkc = jnp.minimum(ent_blk, B)         # junk -> segment B
-        ne = jax.ops.segment_sum(jnp.ones_like(blkc), blkc, B + 1)[:B]
-        blkk = jnp.minimum(chk_blk, B)
-        nc = jax.ops.segment_sum(jnp.ones_like(blkk), blkk, B + 1)[:B]
+        null_chunk = null_row // 8
+        max_chunk_id = cap2 // 8
+        EW = int(ent_blk.shape[0])
+        RW = int(rng_blk.shape[0])
+        bp1 = np.arange(B + 1, dtype=np.int32)
+
+        # per-block entry counts / first-index from sorted-list boundaries
+        ebnd = jnp.searchsorted(ent_blk, bp1).astype(jnp.int32)   # [B+1]
+        ne = ebnd[1:] - ebnd[:-1]
+        starts_e = ebnd[:-1]
+        # per-block chunk counts: prefix sums of range lengths at the
+        # block boundaries of the sorted range list
+        rbnd = jnp.searchsorted(rng_blk, bp1).astype(jnp.int32)
+        nc_r = jnp.where(rng_blk < B, rng_nc, 0)
+        cumnc = jnp.cumsum(nc_r)                                  # [RW]
+        cumnc0 = jnp.concatenate(
+            [jnp.asarray(np.zeros((1,), np.int32)), cumnc])
+        nc = cumnc0[rbnd[1:]] - cumnc0[rbnd[:-1]]
+        bstart = cumnc0[rbnd[:-1]]             # global chunk rank start
+
         ne8 = _rup_t(ne)                       # node rows padded to 8
         rows_b = ne8 + 8 * nc
         n_ck = (rows_b + EC - 1) // EC
@@ -466,34 +447,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         c_used = jnp.sum(n_ck)
         ovf = c_used > CCAP
 
-        # flat row ids: node entries at row granularity
-        starts_e = (jnp.cumsum(ne) - ne)       # sorted-list start per block
-        iarang = np.arange(ent_cap, dtype=np.int32)
-        eb = jnp.minimum(ent_blk, B - 1)
-        erank = iarang - starts_e[eb]
-        epos = ck_off[eb] * EC + erank
-        epos = jnp.where((iarang < jnp.minimum(e_tot, ent_cap))
-                         & (ent_blk < B), epos, CCAP * EC)
-        frow = jnp.asarray(np.full((CCAP * EC,), null_row, np.int32)) \
-            .at[epos].set(ent_val, mode="drop")
-
-        # leaf chunks at chunk granularity
-        starts_c = (jnp.cumsum(nc) - nc)
-        jarang = np.arange(chunk_cap, dtype=np.int32)
-        cb = jnp.minimum(chk_blk, B - 1)
-        crank = jarang - starts_c[cb]
-        cpos = ck_off[cb] * (EC // 8) + ne8[cb] // 8 + crank
-        cpos = jnp.where((jarang < jnp.minimum(c_tot, chunk_cap))
-                         & (chk_blk < B), cpos, CCAP * EC // 8)
-        fchk = jnp.asarray(np.full((CCAP * EC // 8,), -1, np.int32)) \
-            .at[cpos].set(chk_val, mode="drop")
-        j8 = np.arange(8, dtype=np.int32)
-        fexp = (fchk[:, None] * 8 + j8).reshape(-1)
-        frow = jnp.where(fexp >= 0, fexp, frow)
-
-        fsrc = gsrc[frow]                      # ONE gather, [CCAP*EC, 8]
-
-        # block id per chunk: blk[c] = rightmost b with ck_off[b] <= c
+        # block id per flat chunk: blk[c] = rightmost b with ck_off[b]<=c
         carang = np.arange(CCAP, dtype=np.int32)
         blk_ids = jnp.searchsorted(ck_off, carang, side="right") \
             .astype(jnp.int32) - 1
@@ -502,6 +456,38 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         # kernel never re-initializes a finished output block
         last_blk = blk_ids[jnp.maximum(c_used - 1, 0)]
         blk_ids = jnp.where(carang < c_used, blk_ids, last_blk)
+
+        # chunk-granularity source ids [CCAP * EC/8]
+        ec8 = EC // 8
+        siota = np.arange(CCAP * ec8, dtype=np.int32)
+        c_s = siota // ec8
+        b_s = blk_ids[c_s]
+        row8 = (c_s - ck_off[b_s]) * ec8 + siota % ec8
+        crank = row8 - ne8[b_s] // 8           # chunk rank within block
+        is_chunk = (crank >= 0) & (crank < nc[b_s]) & (c_s < c_used)
+        grank = jnp.clip(bstart[b_s] + crank, 0, None)
+        ri = jnp.minimum(
+            jnp.searchsorted(cumnc, grank, side="right").astype(jnp.int32),
+            RW - 1)
+        chid = rng_c0[ri] + grank - (cumnc[ri] - nc_r[ri])
+        chid = jnp.where(chid < max_chunk_id, chid, null_chunk)
+        fchk = jnp.where(is_chunk, chid, -1)
+
+        # row-granularity source rows: entry region of each block gathers
+        # from the sorted entry list; chunk region from fchk expansion
+        jiota = np.arange(CCAP * EC, dtype=np.int32)
+        c_j = jiota // EC
+        b_j = blk_ids[c_j]
+        rowb = (c_j - ck_off[b_j]) * EC + jiota % EC
+        is_ent = (rowb >= 0) & (rowb < ne[b_j]) & (c_j < c_used)
+        erow = ent_val[jnp.clip(starts_e[b_j] + rowb, 0, EW - 1)]
+        frow = jnp.where(is_ent, erow, null_row)
+        j8 = np.arange(8, dtype=np.int32)
+        fexp = (fchk[:, None] * 8 + j8).reshape(-1)
+        frow = jnp.where(fexp >= 0, fexp, frow)
+
+        fsrc = gsrc[frow]                      # ONE gather, [CCAP*EC, 8]
+
         # transposed chunk layout for lane-contiguous kernel loads
         fsrc_t = fsrc.reshape(CCAP, EC, 8).transpose(0, 2, 1)  # [C, 8, Ec]
         return fsrc_t, blk_ids, c_used, rows_b, ovf
@@ -800,8 +786,9 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             ta = jax.lax.dynamic_slice_in_dim(taold_all, bi * B, B, axis=0)
             tpos = tp[..., 0:3]
             tg = jax.lax.bitcast_convert_type(tp[..., IGID], jnp.int32)
-            (ent_val, ent_blk, chk_val, chk_blk, e_tot, c_tot, ovf1,
-             fmax) = _traverse(tree, wtab, layout, tpos, tg, ta, rel, n)
+            (ent_val, ent_blk, rng_c0, rng_nc, rng_blk, e_tot, c_tot,
+             r_tot, ovf1, fmax) = _traverse(
+                tree, wtab, layout, tpos, tg, ta, rel, n)
             if stage_limit <= 1:   # profiling aid: traversal only
                 out = jnp.asarray(np.zeros((B, G, 8), np.float32)) \
                     .at[0, 0, 0].add((e_tot + c_tot).astype(jnp.float32))
@@ -810,7 +797,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                     [e_tot, c_tot, jnp.zeros_like(e_tot), fmax])
             blk_live = jnp.any(tg >= 0, axis=1)
             fsrc_t, blk_ids, c_used, rows_b, ovf2 = _flatten(
-                gsrc, layout, ent_val, ent_blk, chk_val, chk_blk,
+                gsrc, layout, ent_val, ent_blk, rng_c0, rng_nc, rng_blk,
                 e_tot, c_tot, blk_live)
             c_eff = jnp.minimum(c_used, CCAP)
             if stage_limit <= 2:   # profiling aid: traversal + flatten
