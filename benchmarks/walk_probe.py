@@ -30,7 +30,7 @@ from ngravs_tpu.particles import Particles
 from ngravs_tpu.models.wiring import build_wiring
 from ngravs_tpu.ops.tree import build_tree
 from ngravs_tpu.ops.walk import make_fused_walk
-from ngravs_tpu.ops.solver import GravitySolver, _bucket
+from ngravs_tpu.ops.solver import GravitySolver
 
 box = 1000.0
 depth = max(6, int(np.ceil(np.log2(N ** (1 / 3)))) + 3)
@@ -67,17 +67,13 @@ tree = build_tree(p.pos, p.mass, p.grav, fsoft, aold,
 jax.block_until_ready(tree.node_mass)
 print("tree built", flush=True)
 
-treepm = None
-if TREEPM:
-    treepm = dict(sr_ftab=solver.sr_ftab, sr_ptab=solver.sr_ptab,
-                  asmth=solver.pm.asmth, rcut=solver.pm.rcut)
+treepm = solver.treepm if TREEPM else None
 
-for attempt in range(6):
+for attempt in range(8):
     walk_raw = make_fused_walk(
         wiring, n_gravs=2, depth=depth, bucket=32,
         group_size=cfg.walk_group_size, batch_blocks=cfg.walk_batch_blocks,
         ent_cap=solver.fcaps["ent"], chunk_cap=solver.fcaps["chunk"],
-        flat_chunks_cap=solver.fcaps["flat"],
         frontier_cap=solver.fcaps["frontier"], ec=cfg.walk_ec,
         theta=0.5, opening="bh", use_pallas=USE_PALLAS,
         box_size=box if TREEPM else 0.0, treepm=treepm,
@@ -87,22 +83,19 @@ for attempt in range(6):
     tgt = jnp.arange(NT, dtype=jnp.int32)
     t0 = time.time()
     res = walk(tree, tgt)
-    ovf, me, mc, mr, mf = (int(x) for x in jax.device_get(
-        (res.overflow, res.max_ent, res.max_chunk, res.max_rows,
-         res.max_frontier)))
-    print(f"attempt {attempt}: ovf={ovf} ent={me} chunk={mc} rows={mr} "
-          f"frontier={mf} wall={time.time()-t0:.1f}s", flush=True)
+    ovf, me, mc, mr = (int(x) for x in jax.device_get(
+        (res.overflow, res.max_ent, res.max_chunk, res.max_rows)))
+    mf = jax.device_get(res.max_frontier)
+    print(f"attempt {attempt}: ovf={ovf} ent={me} chunk={mc} evchunks={mr} "
+          f"frontier={list(int(x) for x in mf)} "
+          f"wall={time.time()-t0:.1f}s", flush=True)
     if not ovf:
+        if attempt == 0 and solver.tighten_caps(me, mc, mf):
+            print("  tightened:", solver.fcaps, flush=True)
+            continue
         break
-    grow = lambda cur, mx: max(cur, _bucket(int(mx) * 5 // 4, 64))
-    fc = solver.fcaps
-    fc["ent"] = grow(fc["ent"], me)
-    fc["chunk"] = grow(fc["chunk"], mc)
-    fc["flat"] = grow(fc["flat"], mr)
-    if mf >= fc["frontier"]:
-        fc["frontier"] *= 2
-    fc["frontier"] = grow(fc["frontier"], mf)
-    print("  regrown:", fc, flush=True)
+    solver.grow_caps(me, mc, mr, mf)
+    print("  regrown:", solver.fcaps, flush=True)
 
 t0 = time.time()
 for _ in range(3):
@@ -112,4 +105,4 @@ dt = (time.time() - t0) / 3
 nia = float(jnp.sum(res.ninteract.astype(jnp.float32)))
 print(f"N={N} NT={NT} pallas={USE_PALLAS} stage={STAGE} treepm={TREEPM}: "
       f"{dt*1e3:.1f} ms/pass -> {NT/dt:.3g} part/s; "
-      f"rows/target={nia/max(N,1):.0f}", flush=True)
+      f"rows/target={nia/max(NT,1):.0f}", flush=True)

@@ -220,10 +220,9 @@ class SimulationConfig:
     # initial caps: deliberately modest — the solver clamps them to
     # theoretical maxima for small N and grows them to measured demand on
     # overflow (a few recompiles at most per run)
-    walk_ent_cap: int = 65536        # per-BATCH accepted (node,grav) rows
-    walk_chunk_cap: int = 65536      # per-BATCH leaf 8-row chunks
-    walk_flat_chunks_cap: int = 2048   # per-batch flat eval chunks
-    walk_frontier_cap: int = 1 << 17   # per-level visit-list capacity
+    walk_ent_cap: int = 2048         # per-BLOCK accepted monopole nodes
+    walk_chunk_cap: int = 512        # per-BLOCK leaf 8-row chunks
+    walk_frontier_cap: int = 4096    # per-BLOCK per-level frontier slots
     walk_ec: int = 512               # eval chunk length (sources per step)
     mesh_shape: Optional[tuple] = None  # device mesh (n_shards,) or None
 

@@ -693,8 +693,9 @@ class Simulation:
             n_next = jnp.sum(p.ti_endstep == min_next)
             return (p, n_active, min_next, n_next, tree, since, pm_beg,
                     pm_end, dt_disp, res.overflow,
-                    jnp.stack([res.max_ent, res.max_chunk, res.max_rows,
-                               res.max_frontier]))
+                    jnp.concatenate(
+                        [jnp.stack([res.max_ent, res.max_chunk,
+                                    res.max_rows]), res.max_frontier]))
 
         def tree_multi_fn(p, ti_from, min_glob, n_act, ti_stop, dt_disp,
                           pm_beg, pm_end):
@@ -704,7 +705,7 @@ class Simulation:
                                jnp.zeros_like(p.mass), depth=depth,
                                n_gravs=cfg.n_gravs,
                                bucket=cfg.tree_bucket_size, box_size=box_t)
-            stats0 = jnp.zeros((4,), jnp.int32)
+            stats0 = jnp.zeros((3 + depth + 1,), jnp.int32)
 
             def cond(c):
                 (p, ti_cur, min_nxt, n_nxt, updates, steps, last_act,
@@ -1018,15 +1019,9 @@ class Simulation:
             if not ovf:
                 return steps > 0
             # grow the walk caps to the measured demand and recompile
-            me, mc, mr, mf = (int(x) for x in jax.device_get(stats))
-            fc = self.solver.fcaps
-            grow = lambda cur, mx: max(cur, _bucket(int(mx) * 5 // 4, 64))
-            fc["ent"] = grow(fc["ent"], me)
-            fc["chunk"] = grow(fc["chunk"], mc)
-            fc["flat"] = grow(fc["flat"], mr)
-            if mf >= fc["frontier"]:
-                fc["frontier"] *= 2
-            fc["frontier"] = grow(fc["frontier"], mf)
+            stats_v = jax.device_get(stats)
+            self.solver.grow_caps(int(stats_v[0]), int(stats_v[1]),
+                                  int(stats_v[2]), stats_v[3:])
             min_glob, n_act = min_next, n_next
         raise RuntimeError(
             f"fused tree segment caps still overflowing at "

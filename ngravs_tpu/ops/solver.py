@@ -162,12 +162,15 @@ class GravitySolver:
                 dump_transition_tables(wiring, sr_ftab, sr_ptab,
                                        self.pm.asmth, cfg.box_size,
                                        cfg.output_dir or ".")
-        # fused single-dispatch walk caps (ops/walk.py)
+        # fused single-dispatch walk caps (ops/walk.py) — per-BLOCK:
+        # ent = accepted monopole nodes, chunk = leaf 8-row chunks,
+        # frontier = per-level traversal slots (normalized to a tuple)
+        from .walk import normalize_frontier_caps
         self.fcaps = dict(
             ent=_bucket(cfg.walk_ent_cap, 256),
-            chunk=_bucket(cfg.walk_chunk_cap, 256),
-            flat=_bucket(cfg.walk_flat_chunks_cap, 512),
-            frontier=_bucket(cfg.walk_frontier_cap, 4096))
+            chunk=_bucket(cfg.walk_chunk_cap, 64),
+            frontier=normalize_frontier_caps(cfg.walk_frontier_cap,
+                                             self.depth))
         self.leaf_factor = 2.0  # leaf-chunk table rows per particle
         self._fns = {}   # (opening, caps-signature, n_targets) -> jitted fn
 
@@ -184,31 +187,58 @@ class GravitySolver:
     def clamp_caps(self, n: int):
         """Clamp the fused-walk caps to theoretical maxima for an
         n-particle tree.  The config defaults target production sizes;
-        small problems would otherwise pay full static shapes (the flatten
-        stage materializes flat_cap*ec rows every pass).  Demand can never
-        exceed these bounds, so measured-demand growth is unaffected.
-
-        ent/chunk caps are per-BATCH totals (walk.py appends to batch-
-        global lists): bounded by live-blocks x per-block worst case."""
+        small problems would otherwise pay full static shapes.  Demand
+        can never exceed these bounds, so measured-demand growth is
+        unaffected.  All caps are per-BLOCK (walk.py v3 row layout)."""
         from .tree import level_caps
-        cfg = self.cfg
-        ng, g = cfg.n_gravs, cfg.walk_group_size
-        b, ec = cfg.walk_batch_blocks, cfg.walk_ec
+        from .walk import normalize_frontier_caps
         caps_l = level_caps(n, self.depth)
         m = int(np.sum(caps_l))                # total node rows
         cap2 = ((int(n * self.leaf_factor) + 8 + 7) // 8) * 8
-        nb = min(b, (n + g - 1) // g)          # live blocks per batch
         fc = self.fcaps
-        fc["ent"] = min(fc["ent"], _bucket(nb * m * ng))
-        fc["chunk"] = min(fc["chunk"], _bucket(nb * (cap2 // 8 + 1)))
-        rows_batch = min(fc["ent"], nb * m * ng) \
-            + 8 * min(fc["chunk"], nb * (cap2 // 8 + 1))
-        fc["flat"] = min(fc["flat"],
-                         _bucket((rows_batch + ec - 1) // ec + nb, 512))
-        init_lvl = min(2, self.depth)
-        f_need = b * caps_l[init_lvl]          # initial frontier fill
-        fc["frontier"] = min(fc["frontier"],
-                             _bucket(max(f_need, nb * max(caps_l)), 4096))
+        fc["ent"] = min(fc["ent"], _bucket(m, 64))
+        fc["chunk"] = min(fc["chunk"], _bucket(cap2 // 8 + 1, 64))
+        fl = normalize_frontier_caps(fc["frontier"], self.depth)
+        fc["frontier"] = tuple(min(f, c) for f, c in zip(fl, caps_l))
+
+    def grow_caps(self, max_ent: int, max_chunk: int, max_rows: int,
+                  lvl_demand) -> None:
+        """Resize the walk caps to measured peak demand (+25% margin,
+        power-of-two buckets).  Per-level frontier demand equal to its
+        cap means the level was truncated: at least double it."""
+        from .walk import normalize_frontier_caps
+        grow = lambda cur, mx: max(cur, _bucket(int(mx) * 5 // 4, 64))
+        fc = self.fcaps
+        fc["ent"] = grow(fc["ent"], max_ent)
+        fc["chunk"] = grow(fc["chunk"], max_chunk)
+        fl = list(normalize_frontier_caps(fc["frontier"], self.depth))
+        for lvl, d in enumerate(np.asarray(lvl_demand).reshape(-1)):
+            if lvl > self.depth:
+                break
+            d = int(d)
+            if d >= fl[lvl]:
+                fl[lvl] = max(fl[lvl] * 2, _bucket(d * 5 // 4, 64))
+        self.fcaps["frontier"] = tuple(fl)
+
+    def tighten_caps(self, max_ent: int, max_chunk: int, lvl_demand) -> bool:
+        """Shrink caps toward measured demand (long runs: one recompile
+        buys every later pass smaller static shapes).  Returns True if
+        anything changed."""
+        from .walk import normalize_frontier_caps
+        tight = lambda mx: _bucket(int(mx) * 5 // 4, 64)
+        fc = dict(self.fcaps)
+        fc["ent"] = min(self.fcaps["ent"], tight(max_ent))
+        fc["chunk"] = min(self.fcaps["chunk"], tight(max_chunk))
+        fl = list(normalize_frontier_caps(self.fcaps["frontier"],
+                                          self.depth))
+        for lvl, d in enumerate(np.asarray(lvl_demand).reshape(-1)):
+            if lvl > self.depth:
+                break
+            fl[lvl] = min(fl[lvl], tight(int(d)))
+        fc["frontier"] = tuple(fl)
+        changed = fc != self.fcaps
+        self.fcaps = fc
+        return changed
 
     # ------------------------------------------------------------------
     def _walk(self, want_pot: bool = True):
@@ -227,7 +257,6 @@ class GravitySolver:
             batch_blocks=cfg.walk_batch_blocks,
             ent_cap=self.fcaps["ent"],
             chunk_cap=self.fcaps["chunk"],
-            flat_chunks_cap=self.fcaps["flat"],
             frontier_cap=self.fcaps["frontier"],
             ec=cfg.walk_ec,
             theta=cfg.err_tol_theta,
@@ -429,25 +458,17 @@ class GravitySolver:
                 break
             # fat leaves: deepen the tree (recompiles build + walk)
             self.depth = min(self.depth + 3, MAX_DEPTH)
-        for _ in range(6):
+        for _ in range(8):
             res = self._walk()(tree, tgt_sorted, opening_override=opening)
-            ovf, me, mc, mr, mf = (int(x) for x in jax.device_get(
-                (res.overflow, res.max_ent, res.max_chunk,
-                 res.max_rows, res.max_frontier)))
+            ovf, me, mc, mr = (int(x) for x in jax.device_get(
+                (res.overflow, res.max_ent, res.max_chunk, res.max_rows)))
+            mf = jax.device_get(res.max_frontier)
             if not ovf:
                 break
             # resize each cap to the measured peak demand (+25% margin,
-            # rounded to a power of two) and recompile once.  Frontier and
-            # flat demand may themselves be truncated when they overflow,
-            # so those caps at least double per round.
-            grow = lambda cur, mx: max(cur, _bucket(int(mx) * 5 // 4, 64))
-            self.fcaps["ent"] = grow(self.fcaps["ent"], me)
-            self.fcaps["chunk"] = grow(self.fcaps["chunk"], mc)
-            self.fcaps["flat"] = grow(self.fcaps["flat"], mr)
-            # frontier demand is itself truncated when it overflows: double
-            if mf >= self.fcaps["frontier"]:
-                self.fcaps["frontier"] *= 2
-            self.fcaps["frontier"] = grow(self.fcaps["frontier"], mf)
+            # rounded to a power of two) and recompile once.  Truncated
+            # demands (== cap) at least double.
+            self.grow_caps(me, mc, mr, mf)
         else:
             raise RuntimeError(
                 f"tree walk caps still overflowing at {self.fcaps}")

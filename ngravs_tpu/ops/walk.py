@@ -1,4 +1,4 @@
-"""Fused single-dispatch Barnes-Hut walk: traverse -> flat list -> Pallas eval.
+"""Fused single-dispatch Barnes-Hut walk: traverse -> row lists -> Pallas eval.
 
 The production force path of the framework, replacing the host-paced
 two-phase walk of `tree.py` for single-chip runs.  Rebuild of the
@@ -7,30 +7,37 @@ reference's hot loop `force_treeevaluate[_shortrange]` (forcetree.c:1244,
 device-resident multi-step segments (no host round trips — on a tunneled
 TPU every sync costs tens of milliseconds).
 
-Three stages, all shapes static, all demand adaptivity via learned caps:
+v3 layout (round 3): everything is **per-block row-major** `[B, ...]` —
+one row per Morton-contiguous target block.  The round-2 design kept
+batch-global compacted lists, which required two giant `lax.sort`s to
+group entries by block and a full-capacity flatten gather; profiled on
+the chip those were 99.5% of the force pass.  Per-block rows make the
+block id an array coordinate, so grouping is free:
 
- 1. **Traverse** — level-synchronous compact-list expansion for a batch
-    of B Morton-contiguous target blocks (the same conservative
-    block-opening rules as tree.py: a node accepted for the block
-    satisfies the per-target criterion of forcetree.c:1437-1473 for
-    every member).  A static Python loop over tree levels; each level is
-    ONE set of wide vectorized ops over the compacted (block, node)
-    visit list.  Emits (node, gravity) entries and (block, chunk0,
-    nchunk) leaf-hit ranges into batch-global compact lists.
+ 1. **Traverse** — level-synchronous frontier expansion, one frontier
+    `[B, F_l]` per tree level (live-prefix per row).  The opening rules
+    are the same conservative block tests as before (a node accepted for
+    the block satisfies the per-target criterion of forcetree.c:1437-1473
+    for every member).  Child expansion is a per-row `repeat` (cumsum +
+    batched scatter of run starts — no sorts, no searchsorted over
+    global lists).  Each level records (node id, accepted, leaf-chunk
+    range) per slot; the per-level records are simply concatenated along
+    the row axis.
 
- 2. **Flatten** — per-block lists are packed into ONE flat generalized
-    source buffer `[C*Ec, 8]` (block-major, each block's rows padded to a
-    multiple of the eval chunk Ec), plus a `[C]` block-id per chunk.  All
-    gathers from the packed source table happen here, once, at demand-
-    proportional volume.
+ 2. **Flatten** — two per-row compactions (cumsum + row scatter) produce
+    the accepted-monopole list `[B, E]` and the leaf-chunk list `[B, CL]`;
+    from those, one gather builds the per-block eval row-id list `[B, R]`
+    (monopole rows first, then leaf-particle rows, live prefix), and ONE
+    row gather from the packed source table materializes the eval input
+    `[B, C, 8, Ec]`.  All volumes are per-block caps learned from
+    measured demand — no batch-global capacity is ever materialized.
 
- 3. **Eval** — a Pallas kernel with a 1-D grid over flat chunks: chunk c
-    loads `[8, Ec]` source rows (contiguous DMA), the targets of block
-    `blk[c]` (scalar-prefetch-routed BlockSpec), computes the `[G, Ec]`
-    pair tile on the VPU, and accumulates into the block's output, which
-    stays resident in VMEM across the chunks of one block (revisited
-    output block).  Compute skips chunks past the true demand, making the
-    pass demand-proportional end to end.
+ 3. **Eval** — a Pallas kernel with a (B, C) grid: step (b, c) loads
+    source chunk `[8, Ec]` (contiguous), the targets of block b, computes
+    the `[G, Ec]` pair tile on the VPU, and accumulates into the block's
+    output, which stays resident in VMEM across the chunks of one block
+    (revisited output block).  Chunks past the block's true demand
+    (`c >= nck[b]`, scalar-prefetched) are skipped.
 
 Total work = sum over blocks of (accepted rows x G) pair evaluations —
 the TPU analog of Gadget's per-particle interaction count
@@ -72,10 +79,10 @@ class FusedWalkResult(NamedTuple):
     pot: jnp.ndarray        # [Nt]
     ninteract: jnp.ndarray  # [Nt] rows accepted for the target's block
     overflow: jnp.ndarray   # scalar bool — any cap exceeded
-    max_ent: jnp.ndarray    # scalar int32 peak per-BATCH node entries
-    max_chunk: jnp.ndarray  # scalar int32 peak per-BATCH leaf chunks
-    max_rows: jnp.ndarray   # scalar int32 peak per-batch flat chunks
-    max_frontier: jnp.ndarray  # scalar int32 peak per-batch frontier
+    max_ent: jnp.ndarray    # scalar int32 peak per-BLOCK accepted nodes
+    max_chunk: jnp.ndarray  # scalar int32 peak per-BLOCK leaf chunks
+    max_rows: jnp.ndarray   # scalar int32 peak per-block eval chunks
+    max_frontier: jnp.ndarray  # [depth+1] int32 peak per-level frontier
 
 
 def source_table_layout(n: int, m: int, n_gravs: int, leaf_factor: float):
@@ -152,14 +159,31 @@ def pack_walk_table(tree: Octree, n_gravs: int):
     return jnp.stack(cols, axis=1)
 
 
+def _row_repeat(vals, repeats, total: int):
+    """Batched `jnp.repeat(vals[b], repeats[b], total_repeat_length=total)`
+    per row — cumsum + row scatter of run starts, no sorts."""
+    def one(v, r):
+        return jnp.repeat(v, r, total_repeat_length=total)
+    return jax.vmap(one)(vals, repeats)
+
+
+def normalize_frontier_caps(frontier_caps, depth: int):
+    """Per-level frontier caps as a tuple[depth+1]; int -> clamped 8^l."""
+    if isinstance(frontier_caps, (int, np.integer)):
+        return tuple(min(int(frontier_caps), 8 ** min(lvl, 10))
+                     for lvl in range(depth + 1))
+    caps = tuple(int(c) for c in frontier_caps)
+    assert len(caps) == depth + 1, (len(caps), depth)
+    return caps
+
+
 def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                     depth: int, bucket: int = 32,
                     group_size: int = 64,
                     batch_blocks: int = 128,
                     ent_cap: int = 2048,
-                    chunk_cap: int = 1024,
-                    flat_chunks_cap: int = 4096,
-                    frontier_cap: int = 1 << 17,
+                    chunk_cap: int = 512,
+                    frontier_cap=2048,
                     ec: int = 512,
                     theta: float = 0.5,
                     opening: str = "relative",
@@ -173,9 +197,13 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                     stage_limit: int = 3):
     """Build the fused walk.  Returns fn(tree, tgt_sorted, rel) ->
     FusedWalkResult — fully traceable (usable under jit / while_loop /
-    shard_map).  All caps are static; exceeding any sets .overflow and the
-    caller re-tunes (the analog of Gadget growing TreeAllocFactor on "too
-    many nodes", forcetree.c:3176).
+    shard_map).  All caps are static **per-block** quantities; exceeding
+    any sets .overflow and the caller re-tunes (the analog of Gadget
+    growing TreeAllocFactor on "too many nodes", forcetree.c:3176).
+
+    `ent_cap`: accepted monopole nodes per block; `chunk_cap`: leaf 8-row
+    chunks per block; `frontier_cap`: per-level frontier slots per block
+    (int, or a per-level tuple learned from demand).
 
     `treepm`: dict(sr_ftab, sr_ptab, asmth, rcut) enables the short-range
     walk (Rcut discard forcetree.c:1828-1862 + tabulated/closed-form
@@ -185,7 +213,11 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
     NG = n_gravs
     B = batch_blocks
     EC = ec
-    CCAP = flat_chunks_cap
+    E = _rup(ent_cap, 8)
+    CL = _rup(chunk_cap, 8)
+    R = _rup(E * NG + CL * 8, EC)
+    C = R // EC
+    fcaps_l = normalize_frontier_caps(frontier_cap, depth)
 
     assert G % 8 == 0 and EC % 128 == 0
     periodic = box_size > 0
@@ -230,25 +262,14 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
     # Stage 1: traversal for one batch of B blocks (same opening logic as
     # tree.py's _t_queue; see that docstring for the criteria citations).
     #
-    # LEVEL-SYNCHRONOUS SCATTER-FREE traversal: a static Python loop over
-    # the <= depth-1 tree levels; each level processes the compacted
-    # (block, node) visit list in ONE set of wide vectorized ops.  TPU
-    # scatters serialize at ~element/cycle (profiled: the scatter-based
-    # appends were >95%% of traversal time at N=1e6), so NOTHING here
-    # scatters:
-    #  - accepted (node,gravity) entries and terminal (block, chunk0,
-    #    nchunk) leaf-hit RANGES are emitted as per-level candidate
-    #    arrays (dead slots carry the blk=B sentinel) that are
-    #    concatenated and grouped by ONE lax.sort at the end — sorts are
-    #    ~100x cheaper than the equivalent scatter on TPU;
-    #  - opened children compact into the next level's visit list by
-    #    cumsum + searchsorted INVERSION (destination slot j gathers its
-    #    source), i.e. gathers instead of scatter.
-    # Ranges (not per-chunk ids) mean oversized depth-capped leaves need
-    # no continuation revisits; flatten expands them.
+    # LEVEL-SYNCHRONOUS per-block-row traversal: a static Python loop
+    # over the <= depth-1 tree levels; each level processes one frontier
+    # array [B, F_l] (live prefix per row) with wide vectorized ops.
+    # Nothing crosses block rows, so no sorts and no block-boundary
+    # searches exist anywhere; the only "irregular" ops are per-row
+    # cumsums, one batched scatter per compaction, and row gathers.
     # ------------------------------------------------------------------
     def _traverse(tree, wtab, layout, tpos, tgid, taold, rel, n_static: int):
-        V = frontier_cap            # per-level visit list cap
         init_lvl = min(2, depth)
         caps_l = level_caps(n_static, depth)
         offs_l = np.concatenate([[0], np.cumsum(caps_l)]).astype(np.int32)
@@ -259,11 +280,9 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         cap2, nstart, rows, null_row = layout
         bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
         # static constants stay numpy: trace-time eager jnp ops each pay a
-        # device round trip (+~1 s first-time compile on a tunneled TPU);
-        # np literals embed into the jaxpr for free
-        garange = np.arange(NG, dtype=np.int32)
-        biota = np.arange(B, dtype=np.int32)
+        # device round trip; np literals embed into the jaxpr for free
         big = np.float32(1e30)
+        biota = np.arange(B, dtype=np.int32)
 
         ovf = tree.n_chunk_rows > cap2
 
@@ -273,75 +292,63 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         hi_b = jnp.max(jnp.where(tvalid[..., None], tpos, -big), axis=1)
         aold_b = jnp.min(jnp.where(tvalid, taold, big), axis=1)
 
-        # per-level candidate lists, concatenated + sorted at the end
-        ent_vals, ent_blks = [], []
-        rng_c0s, rng_ncs, rng_blks = [], [], []
-        e_tot = jnp.asarray(np.int32(0))
-        c_tot = jnp.asarray(np.int32(0))
-        r_tot = jnp.asarray(np.int32(0))
+        # per-level records, concatenated along axis 1 at the end
+        ids_ls, acc_ls, nc_ls, c0_ls = [], [], [], []
+        lvl_live = [jnp.zeros((), jnp.int32)] * (depth + 1)
 
         if n_sh:
             # shallow real leaves (above the init level) go straight to
             # exact summation: one range per (block, shallow leaf)
-            s_blk = jnp.repeat(jnp.where(blk_ok, biota, -1), n_sh)
-            s_node = np.tile(np.arange(n_sh, dtype=np.int32), B)
-            swn = wtab[s_node]
+            s_node = np.arange(n_sh, dtype=np.int32)
+            swn = wtab[s_node]                      # [n_sh, 16]
             s_nch = bc(swn[:, 7])
-            ok = (s_blk >= 0) & (s_nch > 0)
-            rng_c0s.append(bc(swn[:, 6]))
-            rng_ncs.append(jnp.where(ok, s_nch, 0))
-            rng_blks.append(jnp.where(ok, s_blk, B))
-            r_tot = jnp.sum(ok.astype(jnp.int32))
-            c_tot = jnp.sum(jnp.where(ok, s_nch, 0))
+            s_ok = blk_ok[:, None] & (s_nch > 0)[None, :]
+            ids_ls.append(jnp.broadcast_to(s_node[None, :], (B, n_sh)))
+            acc_ls.append(jnp.zeros((B, n_sh), bool))
+            nc_ls.append(jnp.where(s_ok, s_nch[None, :], 0))
+            c0_ls.append(jnp.broadcast_to(bc(swn[:, 6])[None, :],
+                                          (B, n_sh)))
 
-        # initial visit list: every live block x every init-level node
-        W0 = B * n_init
-        vblk = jnp.repeat(jnp.where(blk_ok, biota, -1), n_init)
-        vnode = jnp.asarray(np.tile(
-            off0 + np.arange(n_init, dtype=np.int32), B))
-        v_n = jnp.asarray(np.int32(W0))
-        fmax = jnp.asarray(np.int32(W0))
+        # initial frontier: every live block x every init-level node
+        F = min(n_init, fcaps_l[init_lvl])
+        fnode = jnp.broadcast_to(
+            off0 + np.arange(F, dtype=np.int32)[None, :], (B, F))
+        nlive = jnp.where(blk_ok, np.int32(min(n_init, F)), 0)
+        ovf = ovf | (n_init > F)
 
-        import os as _os
-        _maxlvl = int(_os.environ.get("NGRAVS_TRAV_LVLS", depth + 1))
-        for lvl in range(init_lvl, min(depth, init_lvl + _maxlvl - 1) + 1):
-            W = int(vblk.shape[0])
-            wiota = np.arange(W, dtype=np.int32)
-            live = wiota < v_n
-            fblk = jnp.where(live, vblk, -1)
-            fnode = jnp.where(live, vnode, 0)
+        for lvl in range(init_lvl, depth + 1):
+            F = int(fnode.shape[1])
+            fiota = np.arange(F, dtype=np.int32)
+            live = fiota[None, :] < nlive[:, None]          # [B, F]
+            lvl_live[lvl] = jnp.max(nlive)
 
-            valid = fblk >= 0
-            wn = wtab[fnode]
-            fb = jnp.maximum(fblk, 0)
-            lo = lo_b[fb]
-            hi = hi_b[fb]
-            aold_min = aold_b[fb]
-            center = wn[:, 0:3]
-            flags = bc(wn[:, 3])
-            cell_len = tree.root_len * np.float32(2.0 ** -lvl)
-            valid = valid & ((flags & 255) != 0)
+            wn = wtab[jnp.where(live, fnode, 0)]            # [B, F, 8+4NG]
+            flags = bc(wn[:, :, 3])
+            valid = live & ((flags & 255) != 0)
             terminal = (flags & 1) > 0
-            nch = bc(wn[:, 7])
+            nch = bc(wn[:, :, 7])
             # nodes of the complete shallow levels under a real shallow
             # leaf carry moments but no chunks; the preamble already
             # summed those leaves directly — never re-count them
             valid = valid & ~(terminal & (nch == 0))
-            cg = wn[:, 8:8 + 4 * NG].reshape(W, NG, 4)
+            center = wn[:, :, 0:3]
+            cg = wn[:, :, 8:8 + 4 * NG].reshape(B, F, NG, 4)
             cm = cg[..., 0:3]
             m_g = cg[..., 3]
+            cell_len = tree.root_len * np.float32(2.0 ** -lvl)
 
             d = jnp.maximum(
-                _bbox_gap(cm, lo[:, None, :], hi[:, None, :]), 0.0)
+                _bbox_gap(cm, lo_b[:, None, None, :],
+                          hi_b[:, None, None, :]), 0.0)
             r2g = jnp.sum(d * d, axis=-1)
             r2min = jnp.min(jnp.where(m_g > 0, r2g, big), axis=-1)
             mtot = jnp.sum(m_g, axis=-1)
 
             open_bh = cell_len * cell_len > r2min * (theta * theta)
             open_rel = (mtot * cell_len * cell_len
-                        > r2min * r2min * aold_min)
+                        > r2min * r2min * aold_b[:, None])
             must_open = jnp.where(rel, open_rel, open_bh)
-            gap = _bbox_gap(center, lo, hi)
+            gap = _bbox_gap(center, lo_b[:, None, :], hi_b[:, None, :])
             intersects = jnp.all(gap < 0.6 * cell_len, axis=-1)
             must_open = must_open | intersects
 
@@ -354,146 +361,106 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             leaf_here = rest & terminal
             expand = rest & ~terminal
 
-            # entry candidates: [W, NG] rows, dead slots -> blk B
-            gbits = jnp.where(
-                accept[:, None],
-                (flags[:, None] >> (1 + garange)) & 1, 0)
-            e_ok = gbits > 0
-            ent_vals.append(nstart + fnode[:, None] * NG + garange)
-            ent_blks.append(jnp.where(
-                e_ok, jnp.broadcast_to(fb[:, None], (W, NG)), B))
-            e_tot = e_tot + jnp.sum(gbits)
-
-            # leaf-hit range candidates (expanded to chunk ids in flatten)
-            rng_c0s.append(bc(wn[:, 6]))
-            rng_ncs.append(jnp.where(leaf_here, nch, 0))
-            rng_blks.append(jnp.where(leaf_here, fb, B))
-            nch_leaf = jnp.sum(jnp.where(leaf_here, nch, 0))
-            r_tot = r_tot + jnp.sum(leaf_here.astype(jnp.int32))
-            c_tot = c_tot + nch_leaf
+            ids_ls.append(fnode)
+            acc_ls.append(accept)
+            nc_ls.append(jnp.where(leaf_here, nch, 0))
+            c0_ls.append(bc(wn[:, :, 6]))
 
             if lvl == depth:
                 break  # depth-level nodes are terminal by construction
 
-            # compact opened children into the next level's list via
-            # cumsum + searchsorted inversion (gathers, no scatter)
-            Wn = min(V, B * caps_l[lvl + 1], 8 * W)
-            ncc = jnp.where(expand, bc(wn[:, 5]), 0)
-            x_run = jnp.cumsum(ncc)
-            total = x_run[-1]
-            jiota = np.arange(Wn, dtype=np.int32)
-            src = jnp.searchsorted(x_run, jiota, side="right") \
-                .astype(jnp.int32)
-            src = jnp.minimum(src, W - 1)
-            k = jiota - (x_run[src] - ncc[src])
-            inside = jiota < total
-            vblk = jnp.where(inside, fblk[src], -1)
-            vnode = jnp.where(inside, bc(wn[:, 4])[src] + k, 0)
-            v_n = jnp.minimum(total, Wn)
-            fmax = jnp.maximum(fmax, total)
-            ovf = ovf | (total > Wn)
+            # expand children into the next frontier: per-row repeat of
+            # (child0, exclusive-cumsum) runs — child ranges are ascending
+            # and disjoint, so nextnode = child0[run] + offset-in-run
+            Fn = min(fcaps_l[lvl + 1], caps_l[lvl + 1], 8 * F)
+            ncc = jnp.where(expand, bc(wn[:, :, 5]), 0)
+            cum = jnp.cumsum(ncc, axis=1)
+            total = cum[:, -1]
+            cumex = cum - ncc
+            child0 = bc(wn[:, :, 4])
+            rep_c0 = _row_repeat(child0, ncc, Fn)
+            rep_cx = _row_repeat(cumex, ncc, Fn)
+            niota = np.arange(Fn, dtype=np.int32)
+            fnode = jnp.where(niota[None, :] < total[:, None],
+                              rep_c0 + (niota[None, :] - rep_cx), 0)
+            nlive = jnp.minimum(total, Fn)
+            ovf = ovf | jnp.any(total > Fn)
 
-        # entry/range lists are exact-width (sums of level widths): they
-        # cannot overflow; ent_cap/chunk_cap survive only as demand hints
-
-        # group per block: ONE stable multi-operand sort by block id
-        # (junk blk=B sorts last); widths are exact sums of level widths
-        ent_blk = jnp.concatenate([a.reshape(-1) for a in ent_blks])
-        ent_val = jnp.concatenate([a.reshape(-1) for a in ent_vals])
-        ent_blk, ent_val = jax.lax.sort((ent_blk, ent_val), num_keys=1)
-        rng_blk = jnp.concatenate(rng_blks)
-        rng_c0 = jnp.concatenate(rng_c0s)
-        rng_nc = jnp.concatenate(rng_ncs)
-        rng_blk, rng_c0, rng_nc = jax.lax.sort(
-            (rng_blk, rng_c0, rng_nc), num_keys=1)
-        return (ent_val, ent_blk, rng_c0, rng_nc, rng_blk,
-                e_tot, c_tot, r_tot, ovf, fmax)
+        ids = jnp.concatenate(ids_ls, axis=1)
+        acc = jnp.concatenate(acc_ls, axis=1)
+        ncs = jnp.concatenate(nc_ls, axis=1)
+        c0s = jnp.concatenate(c0_ls, axis=1)
+        return ids, acc, ncs, c0s, ovf, jnp.stack(lvl_live)
 
     # ------------------------------------------------------------------
-    # Stage 2: flatten one batch's lists into the chunked source buffer.
-    # SCATTER-FREE: every flat slot GATHERS its source (per-block
-    # boundaries from searchsorted over the block-sorted lists; leaf-hit
-    # ranges expanded by a second searchsorted over their cumsum), then
-    # ONE row gather from the packed source table.
+    # Stage 2: flatten the per-block records into the eval row-id list
+    # and gather the eval source buffer.  Two per-row compactions
+    # (cumsum + batched scatter), one chunk expansion (per-row repeat),
+    # one combining gather, one source-table row gather.
     # ------------------------------------------------------------------
-    def _flatten(gsrc, layout, ent_val, ent_blk, rng_c0, rng_nc, rng_blk,
-                 e_tot, c_tot, blk_live):
+    def _flatten(gsrc, wtab, layout, ids, acc, ncs, c0s):
         cap2, nstart, rows, null_row = layout
         null_chunk = null_row // 8
         max_chunk_id = cap2 // 8
-        EW = int(ent_blk.shape[0])
-        RW = int(rng_blk.shape[0])
-        bp1 = np.arange(B + 1, dtype=np.int32)
+        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        rows2 = np.arange(B, dtype=np.int32)[:, None]
 
-        # per-block entry counts / first-index from sorted-list boundaries
-        ebnd = jnp.searchsorted(ent_blk, bp1).astype(jnp.int32)   # [B+1]
-        ne = ebnd[1:] - ebnd[:-1]
-        starts_e = ebnd[:-1]
-        # per-block chunk counts: prefix sums of range lengths at the
-        # block boundaries of the sorted range list
-        rbnd = jnp.searchsorted(rng_blk, bp1).astype(jnp.int32)
-        nc_r = jnp.where(rng_blk < B, rng_nc, 0)
-        cumnc = jnp.cumsum(nc_r)                                  # [RW]
-        cumnc0 = jnp.concatenate(
-            [jnp.asarray(np.zeros((1,), np.int32)), cumnc])
-        nc = cumnc0[rbnd[1:]] - cumnc0[rbnd[:-1]]
-        bstart = cumnc0[rbnd[:-1]]             # global chunk rank start
+        # accepted-monopole list [B, E]
+        apos = jnp.cumsum(acc.astype(jnp.int32), axis=1)
+        nacc = apos[:, -1]
+        aidx = jnp.where(acc, apos - 1, E)
+        mono = jnp.full((B, E), -1, jnp.int32) \
+            .at[rows2, aidx].set(ids, mode="drop")
+        ovf = jnp.any(nacc > E)
 
-        ne8 = _rup_t(ne)                       # node rows padded to 8
-        rows_b = ne8 + 8 * nc
-        n_ck = (rows_b + EC - 1) // EC
-        n_ck = jnp.where(blk_live, jnp.maximum(n_ck, 1), n_ck)
-        ck_off = jnp.cumsum(n_ck) - n_ck       # exclusive, ascending
-        c_used = jnp.sum(n_ck)
-        ovf = c_used > CCAP
-
-        # block id per flat chunk: blk[c] = rightmost b with ck_off[b]<=c
-        carang = np.arange(CCAP, dtype=np.int32)
-        blk_ids = jnp.searchsorted(ck_off, carang, side="right") \
-            .astype(jnp.int32) - 1
-        blk_ids = jnp.clip(blk_ids, 0, B - 1)
-        # tail chunks (c >= c_used) keep the last valid block id so the
-        # kernel never re-initializes a finished output block
-        last_blk = blk_ids[jnp.maximum(c_used - 1, 0)]
-        blk_ids = jnp.where(carang < c_used, blk_ids, last_blk)
-
-        # chunk-granularity source ids [CCAP * EC/8]
-        ec8 = EC // 8
-        siota = np.arange(CCAP * ec8, dtype=np.int32)
-        c_s = siota // ec8
-        b_s = blk_ids[c_s]
-        row8 = (c_s - ck_off[b_s]) * ec8 + siota % ec8
-        crank = row8 - ne8[b_s] // 8           # chunk rank within block
-        is_chunk = (crank >= 0) & (crank < nc[b_s]) & (c_s < c_used)
-        grank = jnp.clip(bstart[b_s] + crank, 0, None)
-        ri = jnp.minimum(
-            jnp.searchsorted(cumnc, grank, side="right").astype(jnp.int32),
-            RW - 1)
-        chid = rng_c0[ri] + grank - (cumnc[ri] - nc_r[ri])
+        # leaf-chunk ranges -> compacted (c0, nc) [B, CL] -> chunk ids
+        rv = ncs > 0
+        rpos = jnp.cumsum(rv.astype(jnp.int32), axis=1)
+        ridx = jnp.where(rv, rpos - 1, CL)
+        c0c = jnp.zeros((B, CL), jnp.int32) \
+            .at[rows2, ridx].set(c0s, mode="drop")
+        ncr = jnp.zeros((B, CL), jnp.int32) \
+            .at[rows2, ridx].set(ncs, mode="drop")
+        cum_r = jnp.cumsum(ncr, axis=1)
+        # true demand from the uncompacted records (scatter drops can
+        # truncate cum_r when ranges exceed CL — never under-report)
+        cl = jnp.sum(ncs, axis=1)
+        ovf = ovf | jnp.any(cl > CL) | jnp.any(rpos[:, -1] > CL)
+        rep_c0 = _row_repeat(c0c, ncr, CL)
+        rep_cx = _row_repeat(cum_r - ncr, ncr, CL)
+        ciota = np.arange(CL, dtype=np.int32)
+        chid = rep_c0 + (ciota[None, :] - rep_cx)
+        chid = jnp.where(ciota[None, :] < cl[:, None], chid, null_chunk)
         chid = jnp.where(chid < max_chunk_id, chid, null_chunk)
-        fchk = jnp.where(is_chunk, chid, -1)
 
-        # row-granularity source rows: entry region of each block gathers
-        # from the sorted entry list; chunk region from fchk expansion
-        jiota = np.arange(CCAP * EC, dtype=np.int32)
-        c_j = jiota // EC
-        b_j = blk_ids[c_j]
-        rowb = (c_j - ck_off[b_j]) * EC + jiota % EC
-        is_ent = (rowb >= 0) & (rowb < ne[b_j]) & (c_j < c_used)
-        erow = ent_val[jnp.clip(starts_e[b_j] + rowb, 0, EW - 1)]
-        frow = jnp.where(is_ent, erow, null_row)
+        # per-block eval row ids [B, R]: monopole rows then leaf rows
+        flags_i = bc(wtab[:, 3])
+        gb = flags_i[jnp.maximum(mono, 0)]               # [B, E]
+        garange = np.arange(NG, dtype=np.int32)
+        hasg = ((gb[..., None] >> (1 + garange)) & 1) > 0
+        hasg = hasg & (mono[..., None] >= 0)
+        mrows = jnp.where(hasg, nstart + mono[..., None] * NG + garange,
+                          null_row).reshape(B, E * NG)
         j8 = np.arange(8, dtype=np.int32)
-        fexp = (fchk[:, None] * 8 + j8).reshape(-1)
-        frow = jnp.where(fexp >= 0, fexp, frow)
+        crows = (chid[..., None] * 8 + j8).reshape(B, CL * 8)
 
-        fsrc = gsrc[frow]                      # ONE gather, [CCAP*EC, 8]
+        jiota = np.arange(R, dtype=np.int32)
+        off = (nacc * NG)[:, None]                        # [B, 1]
+        in_mono = jiota[None, :] < off
+        mi = jnp.minimum(jiota[None, :], E * NG - 1)
+        ci = jnp.clip(jiota[None, :] - off, 0, CL * 8 - 1)
+        rowids = jnp.where(
+            in_mono,
+            jnp.take_along_axis(mrows, mi * jnp.ones((B, 1), jnp.int32),
+                                axis=1),
+            jnp.take_along_axis(crows, ci, axis=1))
+        used = nacc * NG + cl * 8
+        rowids = jnp.where(jiota[None, :] < used[:, None], rowids, null_row)
 
-        # transposed chunk layout for lane-contiguous kernel loads
-        fsrc_t = fsrc.reshape(CCAP, EC, 8).transpose(0, 2, 1)  # [C, 8, Ec]
-        return fsrc_t, blk_ids, c_used, rows_b, ovf
-
-    def _rup_t(x):
-        return ((x + 7) // 8) * 8
+        fsrc = gsrc[rowids]                               # [B, R, 8]
+        fsrc_t = fsrc.reshape(B, C, EC, 8).transpose(0, 1, 3, 2)
+        nck = jnp.clip((used + EC - 1) // EC, 0, C)
+        return fsrc_t, nck, used, nacc, cl, ovf
 
     # ------------------------------------------------------------------
     # Stage 3: the pair-evaluation kernel.
@@ -558,18 +525,17 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                 pot = jnp.where(mk, p_k, pot)
         return fac, pot
 
-    def _kernel(blk_ids, nck, fsrc_ref, tpack_ref, out_ref):
-        c = pl.program_id(0)
-        prev = blk_ids[jnp.maximum(c - 1, 0)]
-        first = (c == 0) | (blk_ids[c] != prev)
+    def _kernel(nck, fsrc_ref, tpack_ref, out_ref):
+        b = pl.program_id(0)
+        c = pl.program_id(1)
 
-        @pl.when(first)
+        @pl.when(c == 0)
         def _():
             out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-        @pl.when(c < nck[0])
+        @pl.when(c < nck[b])
         def _():
-            sp_chunk = fsrc_ref[0]                    # [8, Ec]
+            sp_chunk = fsrc_ref[0, 0]                 # [8, Ec]
             t = tpack_ref[0]                          # [G, 8]
             tx = t[:, FX:FX + 1]
             ty = t[:, FY:FY + 1]
@@ -601,30 +567,52 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                  jnp.zeros((ax.shape[0], 3), ax.dtype)], axis=1)
             out_ref[0] = out_ref[0] + delta
 
-    def _eval_pallas(fsrc_t, blk_ids, c_used, tpack):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(CCAP,),
-            in_specs=[
-                pl.BlockSpec((1, 8, EC), lambda c, blk, nck: (c, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, G, 8),
-                             lambda c, blk, nck: (blk[c], 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, G, 8),
-                                   lambda c, blk, nck: (blk[c], 0, 0),
-                                   memory_space=pltpu.VMEM),
-        )
+    def _eval_pallas(fsrc_t, nck, tpack):
         out = pl.pallas_call(
             _kernel,
-            grid_spec=grid_spec,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, C),
+                in_specs=[
+                    pl.BlockSpec((1, 1, 8, EC),
+                                 lambda b, c, nck: (b, c, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, G, 8),
+                                 lambda b, c, nck: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, G, 8),
+                                       lambda b, c, nck: (b, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
             out_shape=jax.ShapeDtypeStruct((B, G, 8), jnp.float32),
             interpret=interpret,
-        )(blk_ids, c_used.reshape(1).astype(jnp.int32), fsrc_t, tpack)
+        )(nck.astype(jnp.int32), fsrc_t, tpack)
         return out
 
-    def _eval_xla(fsrc_t, blk_ids, c_used, tpack):
+    def _chunk_scan(chunk_math, fsrc_t, nck, tpack):
+        """XLA fallback scaffolding: scan the [B, C] chunk grid, skipping
+        chunks past each block's demand (demand-proportional like the
+        kernel)."""
+        fsrc_f = fsrc_t.reshape(B * C, 8, EC)
+        blk = np.repeat(np.arange(B, dtype=np.int32), C)
+        cin = np.tile(np.arange(C, dtype=np.int32), B)
+
+        def chunk_fn(carry, xs):
+            out = carry
+            spc, b, ci = xs
+            delta = jax.lax.cond(
+                ci < nck[b],
+                lambda: chunk_math(spc, b),
+                lambda: np.zeros((G, 5), np.float32))
+            out = out.at[b, :, :5].add(delta)
+            return out, None
+
+        out0 = jnp.asarray(np.zeros((B, G, 8), np.float32))
+        out, _ = jax.lax.scan(chunk_fn, out0, (fsrc_f, blk, cin))
+        return out
+
+    def _eval_xla(fsrc_t, nck, tpack):
         """Traced fallback with the same flat layout (CPU tests, and
         TreePM laws without a closed-form short-range kernel: uses the
         f64-tabulated transition tables instead)."""
@@ -680,24 +668,9 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                  jnp.sum(jnp.where(valid, 1.0, 0.0), axis=1)],
                 axis=-1)                              # [G, 5]
 
-        def chunk_fn(carry, xs):
-            out = carry
-            spc, blk, cidx = xs
-            # chunks past the demand are genuinely skipped (lax.cond), so
-            # the fallback's cost is demand-proportional like the kernel's
-            delta = jax.lax.cond(
-                cidx < c_used,
-                lambda: chunk_math(spc, blk),
-                lambda: np.zeros((G, 5), np.float32))
-            out = out.at[blk, :, :5].add(delta)
-            return out, None
+        return _chunk_scan(chunk_math, fsrc_t, nck, tpack)
 
-        out0 = jnp.asarray(np.zeros((B, G, 8), np.float32))
-        cidx = np.arange(CCAP, dtype=np.int32)
-        out, _ = jax.lax.scan(chunk_fn, out0, (fsrc_t, blk_ids, cidx))
-        return out
-
-    def _lattice_pass(fsrc_t, blk_ids, c_used, tpack):
+    def _lattice_pass(fsrc_t, nck, tpack):
         """Periodic lattice (Ewald) correction over the same flat list
         (the reference's second walk, forcetree.c:2077-2432)."""
         from .lattice import lattice_correction
@@ -724,20 +697,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                   else np.zeros((G,), np.float32)),
                  np.zeros((G,), np.float32)], axis=-1)
 
-        def chunk_fn(carry, xs):
-            out = carry
-            spc, blk, cidx = xs
-            delta = jax.lax.cond(
-                cidx < c_used,
-                lambda: chunk_math(spc, blk),
-                lambda: np.zeros((G, 5), np.float32))
-            out = out.at[blk, :, :5].add(delta)
-            return out, None
-
-        out0 = jnp.asarray(np.zeros((B, G, 8), np.float32))
-        cidx = np.arange(CCAP, dtype=np.int32)
-        out, _ = jax.lax.scan(chunk_fn, out0, (fsrc_t, blk_ids, cidx))
-        return out
+        return _chunk_scan(chunk_math, fsrc_t, nck, tpack)
 
     # ------------------------------------------------------------------
     # Composition.
@@ -786,55 +746,55 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             ta = jax.lax.dynamic_slice_in_dim(taold_all, bi * B, B, axis=0)
             tpos = tp[..., 0:3]
             tg = jax.lax.bitcast_convert_type(tp[..., IGID], jnp.int32)
-            (ent_val, ent_blk, rng_c0, rng_nc, rng_blk, e_tot, c_tot,
-             r_tot, ovf1, fmax) = _traverse(
+            ids, acc, ncs, c0s, ovf1, lvl_live = _traverse(
                 tree, wtab, layout, tpos, tg, ta, rel, n)
             if stage_limit <= 1:   # profiling aid: traversal only
                 out = jnp.asarray(np.zeros((B, G, 8), np.float32)) \
-                    .at[0, 0, 0].add((e_tot + c_tot).astype(jnp.float32))
+                    .at[0, 0, 0].add(
+                        jnp.sum(acc).astype(jnp.float32)
+                        + jnp.sum(ncs).astype(jnp.float32))
                 nia = jnp.asarray(np.zeros((B, G), np.int32))
-                return out, nia, ovf1, jnp.stack(
-                    [e_tot, c_tot, jnp.zeros_like(e_tot), fmax])
-            blk_live = jnp.any(tg >= 0, axis=1)
-            fsrc_t, blk_ids, c_used, rows_b, ovf2 = _flatten(
-                gsrc, layout, ent_val, ent_blk, rng_c0, rng_nc, rng_blk,
-                e_tot, c_tot, blk_live)
-            c_eff = jnp.minimum(c_used, CCAP)
+                return (out, nia, ovf1,
+                        jnp.stack([jnp.sum(acc), jnp.sum(ncs),
+                                   jnp.zeros((), jnp.int32)]), lvl_live)
+            fsrc_t, nck, used, nacc, cl, ovf2 = _flatten(
+                gsrc, wtab, layout, ids, acc, ncs, c0s)
+            stats = jnp.stack([jnp.max(nacc), jnp.max(cl), jnp.max(nck)])
             if stage_limit <= 2:   # profiling aid: traversal + flatten
                 out = jnp.asarray(np.zeros((B, G, 8), np.float32)) \
-                    .at[0, 0, 0].add(jnp.sum(fsrc_t[:, FMASS]))
-                nia = jnp.broadcast_to(rows_b[:, None],
+                    .at[0, 0, 0].add(jnp.sum(fsrc_t[:, :, FMASS]))
+                nia = jnp.broadcast_to(used[:, None],
                                        (B, G)).astype(jnp.int32)
-                stats = jnp.stack([e_tot, c_tot, c_used, fmax])
-                return out, nia, ovf1 | ovf2, stats
+                return out, nia, ovf1 | ovf2, stats, lvl_live
             if use_pallas:
-                out = _eval_pallas(fsrc_t, blk_ids, c_eff, tp)
+                out = _eval_pallas(fsrc_t, nck, tp)
             else:
-                out = _eval_xla(fsrc_t, blk_ids, c_eff, tp)
+                out = _eval_xla(fsrc_t, nck, tp)
             if lattice_tables is not None:
-                out = out + _lattice_pass(fsrc_t, blk_ids, c_eff, tp)
+                out = out + _lattice_pass(fsrc_t, nck, tp)
             # per-target interaction count = the block's accepted rows
-            nia = jnp.broadcast_to(rows_b[:, None], (B, G)).astype(jnp.int32)
-            stats = jnp.stack([e_tot, c_tot, c_used, fmax])
-            return out, nia, ovf1 | ovf2, stats
+            nia = jnp.broadcast_to(used[:, None], (B, G)).astype(jnp.int32)
+            return out, nia, ovf1 | ovf2, stats, lvl_live
 
         if nbatch == 1:
-            out, nia, ovf, stats = batch_fn(jnp.int32(0))
+            out, nia, ovf, stats, lvl = batch_fn(jnp.int32(0))
             outs, nias = out[None], nia[None]
-            ovfs, statss = ovf[None], stats[None]
+            ovfs, statss, lvls = ovf[None], stats[None], lvl[None]
         else:
-            outs, nias, ovfs, statss = jax.lax.map(
+            outs, nias, ovfs, statss, lvls = jax.lax.map(
                 batch_fn, np.arange(nbatch, dtype=np.int32))
         out_all = outs.reshape(nbp * G, 8)[:nt]
         nia_all = nias.reshape(nbp * G)[:nt]
         ovf = jnp.any(ovfs)
         stats = jnp.max(statss, axis=0)
+        lvl_max = jnp.max(lvls, axis=0)
         return FusedWalkResult(
             acc=out_all[:, 0:3], pot=out_all[:, 3],
             ninteract=nia_all, overflow=ovf,
             max_ent=stats[0], max_chunk=stats[1],
-            max_rows=stats[2], max_frontier=stats[3])
+            max_rows=stats[2], max_frontier=lvl_max)
 
     fused_forces.group_size = G
     fused_forces.batch_blocks = B
+    fused_forces.frontier_caps = fcaps_l
     return fused_forces

@@ -333,8 +333,8 @@ def test_fused_walk_accuracy_vs_direct():
                       bucket=32)
     walk = make_fused_walk(wiring, n_gravs=2, depth=depth, bucket=32,
                            group_size=64, batch_blocks=128,
-                           ent_cap=65536, chunk_cap=65536,
-                           flat_chunks_cap=2048, frontier_cap=131072,
+                           ent_cap=2048, chunk_cap=2048,
+                           frontier_cap=4096,
                            ec=512, theta=0.5, opening="bh")
     tgt = jnp.arange(N, dtype=jnp.int32)
     res = jax.jit(lambda tr, tg: walk(tr, tg))(tree, tgt)
