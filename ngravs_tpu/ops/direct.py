@@ -46,23 +46,30 @@ def _min_image(dx, box):
 
 def _pair_fac(wiring: GravityWiring, tm, sm, gt, gs, r2, r, h, nsrc, want_pot):
     """Evaluate the wiring's force (and optionally potential) factor over a
-    [C, Ns] tile, one vectorized pass per unique law."""
+    [C, Ns] tile, one vectorized pass per unique law.
+
+    Dispatch is by broadcast equality masks over the law's (target, source)
+    gravity slots — never by a gather with traced 2-D indices, which lowers
+    to a serial per-element gather on TPU (measured 58x slower than the
+    whole pair computation at N=12k)."""
     groups = wiring.unique_laws()
-    pair_of = None
-    if len(groups) > 1:
-        pair_idx = jnp.asarray(wiring.pair_index_matrix())  # [NG, NG]
-        pair_of = pair_idx[gt[:, None], gs[None, :]]
+    multi = len(groups) > 1
     fac = jnp.zeros_like(r)
     pot = jnp.zeros_like(r) if want_pot else None
-    for k, (law, _) in enumerate(groups):
+    for k, (law, slots) in enumerate(groups):
+        if multi:
+            mk = None
+            for (i, j) in slots:
+                mij = (gt[:, None] == i) & (gs[None, :] == j)
+                mk = mij if mk is None else (mk | mij)
         f_k = law.force_factor(tm, sm, r2, r, h, nsrc)
-        if pair_of is None:
+        if not multi:
             fac = f_k
         else:
-            fac = jnp.where(pair_of == k, f_k, fac)
+            fac = jnp.where(mk, f_k, fac)
         if want_pot:
             p_k = law.potential_factor(tm, sm, r2, r, h, nsrc)
-            pot = p_k if pair_of is None else jnp.where(pair_of == k, p_k, pot)
+            pot = p_k if not multi else jnp.where(mk, p_k, pot)
     return fac, pot
 
 
