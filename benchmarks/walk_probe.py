@@ -34,12 +34,15 @@ from ngravs_tpu.ops.solver import GravitySolver
 
 box = 1000.0
 depth = max(6, int(np.ceil(np.log2(N ** (1 / 3)))) + 3)
+BB = int(os.environ.get("WALK_BB", 128))
+GG = int(os.environ.get("WALK_G", 64))
 cfg = SimulationConfig(
     time_begin=0.0, time_max=1.0, gravity_constant_internal=1.0,
     softening=(box / N ** (1 / 3) / 30,) * 6, max_size_timestep=0.01,
     periodic=TREEPM, box_size=box, n_gravs=2,
     type_to_grav=(0, 1, 0, 0, 0, 0), wiring="newton_yukawa",
     pmgrid=128 if TREEPM else 0,
+    walk_batch_blocks=BB, walk_group_size=GG,
     tree_depth=depth, tree_bucket_size=32)
 rng = np.random.default_rng(0)
 nclump = max(1, N // 2048)
@@ -69,6 +72,7 @@ print("tree built", flush=True)
 
 treepm = solver.treepm if TREEPM else None
 
+tightened = False
 for attempt in range(8):
     walk_raw = make_fused_walk(
         wiring, n_gravs=2, depth=depth, bucket=32,
@@ -90,17 +94,22 @@ for attempt in range(8):
           f"frontier={list(int(x) for x in mf)} "
           f"wall={time.time()-t0:.1f}s", flush=True)
     if not ovf:
-        if attempt == 0 and solver.tighten_caps(me, mc, mf):
-            print("  tightened:", solver.fcaps, flush=True)
-            continue
+        if not tightened:
+            tightened = True
+            if solver.tighten_caps(me, mc, mf):
+                print("  tightened:", solver.fcaps, flush=True)
+                continue
         break
     solver.grow_caps(me, mc, mr, mf)
     print("  regrown:", solver.fcaps, flush=True)
 
+# NB: jax.block_until_ready is a no-op on the tunneled axon backend —
+# force a host transfer to actually synchronize.
+float(jnp.sum(res.acc))
 t0 = time.time()
 for _ in range(3):
     res = walk(tree, tgt)
-jax.block_until_ready(res.acc)
+float(jnp.sum(res.acc))
 dt = (time.time() - t0) / 3
 nia = float(jnp.sum(res.ninteract.astype(jnp.float32)))
 print(f"N={N} NT={NT} pallas={USE_PALLAS} stage={STAGE} treepm={TREEPM}: "

@@ -629,7 +629,8 @@ class Simulation:
                 return build_tree(p.pos, p.mass, p.grav, fsoft, aold,
                                   zero_h, depth=depth, n_gravs=cfg.n_gravs,
                                   bucket=cfg.tree_bucket_size,
-                                  box_size=box_t)
+                                  box_size=box_t,
+                                  group_size=cfg.walk_group_size)
 
             def _refresh(tc):
                 return refresh_tree(tc, p.pos, p.mass, p.grav, fsoft, aold,
@@ -704,7 +705,8 @@ class Simulation:
             tree0 = build_tree(p.pos, p.mass, p.grav, fsoft, aold,
                                jnp.zeros_like(p.mass), depth=depth,
                                n_gravs=cfg.n_gravs,
-                               bucket=cfg.tree_bucket_size, box_size=box_t)
+                               bucket=cfg.tree_bucket_size, box_size=box_t,
+                               group_size=cfg.walk_group_size)
             stats0 = jnp.zeros((3 + depth + 1,), jnp.int32)
 
             def cond(c):
@@ -914,8 +916,17 @@ class Simulation:
             pm_window=((self.pm_ti_begstep, self.pm_ti_endstep)
                        if cfg.pmgrid else None))
         if path is None:
-            path = os.path.join(self.log_dir or ".",
-                                f"{cfg.snapshot_file_base}_{self.snapshot_count:03d}")
+            # never drop run artifacts into the CWD: an un-set output dir
+            # falls back to a temp directory instead of "."
+            out_dir = self.log_dir or cfg.output_dir
+            if not out_dir:
+                import tempfile
+                out_dir = getattr(self, "_tmp_out", None) or \
+                    tempfile.mkdtemp(prefix="ngravs_out_")
+                self._tmp_out = out_dir
+            path = os.path.join(
+                out_dir,
+                f"{cfg.snapshot_file_base}_{self.snapshot_count:03d}")
         write_snapshot_files(cfg, path, data)
         self.snapshot_count += 1
         self.cpu_timers["snapshot"] += _time.time() - t0

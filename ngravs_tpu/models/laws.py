@@ -164,20 +164,31 @@ class NoneLaw(ForceLaw):
     lattice_kind = lambda self: ("none", {})
 
 
+def _erfcx_pos(x):
+    """Scaled complementary error function e^{x^2} erfc(x) for x >= 0 —
+    the Abramowitz-Stegun 7.1.26 rational polynomial without the Gaussian
+    factor (|rel err| < ~2e-7; exp-free, VPU friendly)."""
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    return t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+
+
+def _erfc_any(x):
+    """erfc for any sign via erfc(-x) = 2 - erfc(x)."""
+    ax = jnp.abs(x)
+    e = _erfcx_pos(ax) * jnp.exp(-ax * ax)
+    return jnp.where(x >= 0, e, 2.0 - e)
+
+
 class Newtonian(ForceLaw):
     name = "Newton"
 
     def kernel_shortrange(self):
         # classic TreePM truncation: erfc(u) + 2u/sqrt(pi) exp(-u^2)
         # (equals 1 - utor2wpi*ftab*r^2/sm for the Newtonian Green's fn).
-        # Pallas TPU lowers neither erf nor erfc, so use the
-        # Abramowitz-Stegun 7.1.26 rational approximation (|err| < 1.5e-7,
-        # exp-only — VPU friendly).
+        # Pallas/XLA-friendly: A&S 7.1.26 rational erfc, exp-only.
         def erfc_(u):
-            t = 1.0 / (1.0 + 0.3275911 * u)
-            poly = t * (0.254829592 + t * (-0.284496736 + t * (
-                1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-            return poly * jnp.exp(-u * u)
+            return _erfcx_pos(u) * jnp.exp(-u * u)
 
         def sf(u):
             return erfc_(u) + 2 * u / math.sqrt(math.pi) * jnp.exp(-u * u)
@@ -257,6 +268,44 @@ class Yukawa(ForceLaw):
         # per box length (ngravs.c:246-252)
         return "yukawa", {"ym": self.yukawa_imass}
 
+    def kernel_shortrange(self):
+        """Closed-form Yukawa TreePM truncation (screened Ewald split,
+        Salin-Caillol): with a = Asmth, b = ym*a, u = r/(2a),
+
+          phi_sr = (1/2r) [e^{-mr} erfc(u-b) + e^{mr} erfc(u+b)]
+          F_sr   = (A+B)/(2r^2) - (m/2r)(B-A) + e^{-u^2-b^2}/(a sqrt(pi) r)
+
+        (A = e^{-mr} erfc(u-b), B = e^{mr} erfc(u+b) = erfcx(u+b)
+        e^{-u^2-b^2}); both reduce to the classic Newtonian erfc forms as
+        ym -> 0.  Equals the f64 transition tables (forcetree.c:3274) to
+        the erfc-approximation error — validated in
+        tests/test_treepm.py.  e^{mr} erfc(u+b) terms use erfcx to avoid
+        overflow."""
+        if not self.pmgrid:
+            return None
+        a = self.asmth_cells * self.box_size / self.pmgrid
+        m = self.ym
+        b = m * a
+        sqpi = math.sqrt(math.pi)
+
+        def sp(u):
+            # phi_sr / phi_full, phi_full = e^{-mr}/r
+            # e^{2mr} erfc(u+b) = erfcx(u+b) e^{-(u-b)^2}
+            return 0.5 * (_erfc_any(u - b)
+                          + _erfcx_pos(u + b) * jnp.exp(-(u - b) ** 2))
+
+        def sf(u):
+            r = jnp.maximum(2.0 * a * u, 1e-37)
+            eub = jnp.exp(-u * u - b * b)
+            A = jnp.exp(-m * r) * _erfc_any(u - b)
+            B = _erfcx_pos(u + b) * eub
+            f_sr = ((A + B) / (2 * r * r) - (m / (2 * r)) * (B - A)
+                    + eub / (a * sqpi * r))
+            f_full = jnp.exp(-m * r) * (m / r + 1.0 / (r * r))
+            return f_sr / jnp.maximum(f_full, 1e-37)
+
+        return sf, sp
+
     def _norm_ym(self):
         # gridKtoNormK (ngravs_core.c:21-35): converts mesh-cell wavenumber to
         # the dimensionless units of the shortrange interpolation table where
@@ -291,6 +340,32 @@ class ColoYuk(ForceLaw):
 
     def lattice_kind(self):
         return "coloyuk", {"ym": self.yuk.yukawa_imass}
+
+    def kernel_shortrange(self):
+        """Sum law: combine the component closed forms weighted by each
+        component's full-range factor (the ratio of a sum is the
+        force-weighted mean of the ratios)."""
+        ksy = self.yuk.kernel_shortrange()
+        if ksy is None:
+            return None
+        sfn, spn = self.newton.kernel_shortrange()
+        sfy, spy = ksy
+        a = (self.yuk.asmth_cells * self.yuk.box_size / self.yuk.pmgrid)
+        m = self.yuk.ym
+
+        def sf(u):
+            r = jnp.maximum(2.0 * a * u, 1e-37)
+            fn = 1.0 / (r * r)
+            fy = jnp.exp(-m * r) * (m / r + 1.0 / (r * r))
+            return (fn * sfn(u) + fy * sfy(u)) / (fn + fy)
+
+        def sp(u):
+            r = jnp.maximum(2.0 * a * u, 1e-37)
+            pn = 1.0 / r
+            py = jnp.exp(-m * r) / r
+            return (pn * spn(u) + py * spy(u)) / (pn + py)
+
+        return sf, sp
 
 
 # ---------------------------------------------------------------------------

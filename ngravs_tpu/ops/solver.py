@@ -192,7 +192,8 @@ class GravitySolver:
         unaffected.  All caps are per-BLOCK (walk.py v3 row layout)."""
         from .tree import level_caps
         from .walk import normalize_frontier_caps
-        caps_l = level_caps(n, self.depth)
+        caps_l = level_caps(n, self.depth,
+                            bucket=self.cfg.tree_bucket_size)
         m = int(np.sum(caps_l))                # total node rows
         cap2 = ((int(n * self.leaf_factor) + 8 + 7) // 8) * 8
         fc = self.fcaps
@@ -307,7 +308,8 @@ class GravitySolver:
                 aold = err_tol * p.old_acc / G  # walk works in G=1 units
                 tree = build_tree(p.pos, p.mass, p.grav, fsoft, aold, hsml,
                                   depth=depth, n_gravs=cfg.n_gravs,
-                                  bucket=cfg.tree_bucket_size, box_size=box)
+                                  bucket=cfg.tree_bucket_size, box_size=box,
+                                  group_size=cfg.walk_group_size)
                 mask_s = (p.ti_endstep == ti_current)[tree.order]
                 tgt_sorted = jnp.nonzero(mask_s, size=s, fill_value=-1)[0] \
                     .astype(jnp.int32)
@@ -464,6 +466,12 @@ class GravitySolver:
                 (res.overflow, res.max_ent, res.max_chunk, res.max_rows)))
             mf = jax.device_get(res.max_frontier)
             if not ovf:
+                # shrink caps toward measured demand once per run: walk
+                # cost is cap-proportional (static shapes), so one
+                # recompile buys every later pass ~cap-slack x less work
+                if not getattr(self, "_tightened", False):
+                    self._tightened = True
+                    self.tighten_caps(me, mc, mf)
                 break
             # resize each cap to the measured peak demand (+25% margin,
             # rounded to a power of two) and recompile once.  Truncated

@@ -82,6 +82,14 @@ class Octree(NamedTuple):
     node_nchunk: jnp.ndarray  # [M] int32 chunk count (0 for non-leaves)
     leaf_row: jnp.ndarray     # [N] int32 row of each sorted particle
     n_chunk_rows: jnp.ndarray  # scalar int32: total leaf-table rows used
+    # tree-aligned walk target blocks: each block is <= group_size
+    # consecutive sorted particles inside ONE group node (the shallowest
+    # node with pcount <= group_size), so a block's bounding box is
+    # always a single tree cell — never a Morton-straddling span
+    blk_start: jnp.ndarray    # [NGRP] int32 first sorted-particle index
+    blk_cnt: jnp.ndarray      # [NGRP] int32 particles in block (0 pad)
+    n_blocks: jnp.ndarray     # scalar int32 live blocks (> NGRP: overflow)
+    pblk: jnp.ndarray         # [N] int32 block id of each sorted particle
     # sorted particle data
     order: jnp.ndarray        # [N] sorted -> original index
     pos_s: jnp.ndarray        # [N,3]
@@ -98,22 +106,36 @@ class Octree(NamedTuple):
         return self.node_level.shape[0]
 
 
-def level_caps(n: int, depth: int, max_nodes: int | None = None):
-    """Static per-level node caps: occupied cells <= min(8^l, N)."""
+def level_caps(n: int, depth: int, max_nodes: int | None = None,
+               bucket: int | None = None):
+    """Static per-level node caps.
+
+    Without `bucket`: occupied cells <= min(8^l, N) (legacy layout).
+    With `bucket`: the build excludes particles below their terminal
+    (bucket) node from deeper levels, so live cells at level l are
+    children of non-terminal level-(l-1) cells, each holding > bucket
+    particles: cap = min(8^l, 8*ceil(N/(bucket+1)) + 8).  This cuts the
+    node-array footprint ~(bucket/8)x at large N.
+    """
     caps = []
     for lvl in range(depth + 1):
         c = min(8**lvl, n)
+        if bucket is not None:
+            c = min(c, 8 * ((n + bucket) // (bucket + 1)) + 8)
         if max_nodes is not None:
             c = min(c, max_nodes)
-        caps.append(c)
+        caps.append(((c + 7) // 8) * 8 if lvl else 1)
     return caps
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("depth", "n_gravs", "bucket", "box_size"))
+                   static_argnames=("depth", "n_gravs", "bucket", "box_size",
+                                    "group_size", "group_thresh", "ngrp_cap"))
 def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
                depth: int = 8, n_gravs: int = 1, bucket: int = 32,
-               box_size: float = 0.0) -> Octree:
+               box_size: float = 0.0, group_size: int = 64,
+               group_thresh: int | None = None,
+               ngrp_cap: int | None = None) -> Octree:
     """Construct the octree (force_treebuild, forcetree.c:61-763).
 
     For periodic runs pass box_size > 0: the root cell is the box itself
@@ -142,7 +164,7 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
     fsoft_s, aold_s = fsoft[order], aold[order]
     hsml_s = hsml[order]
 
-    caps = level_caps(n, depth)
+    caps = level_caps(n, depth, bucket=bucket)
     offsets = np.concatenate([[0], np.cumsum(caps)]).astype(np.int32)
 
     centers, levels, cms, masses, counts, maxsofts = [], [], [], [], [], []
@@ -155,16 +177,23 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
     # shallowest terminal ancestor of each particle + rank within it
     term_node = jnp.full((n,), -1, jnp.int32)
     term_rank = jnp.zeros((n,), jnp.int32)
+    # shallowest GROUP ancestor (pcount <= group_size): walk target blocks
+    grp_node = jnp.full((n,), -1, jnp.int32)
 
     for lvl in range(depth + 1):
         cap = caps[lvl]
         hk, lk = level_key2(khi_s, klo_s, depth, lvl)
         # occupied cells = runs in the (already sorted) level keys; no sort
-        # and no searchsorted: rank every particle by run-start cumsum
+        # and no searchsorted: rank every particle by run-start cumsum.
+        # Particles below their terminal (bucket) node are EXCLUDED — the
+        # walk never descends past a terminal node, and skipping them
+        # bounds the level caps at 8*ceil(N/(bucket+1)) (level_caps)
+        live = term_node < 0
         is_new = jnp.concatenate(
             [jnp.ones((1,), bool),
-             (hk[1:] != hk[:-1]) | (lk[1:] != lk[:-1])])
+             (hk[1:] != hk[:-1]) | (lk[1:] != lk[:-1])]) & live
         seg = jnp.cumsum(is_new).astype(jnp.int32) - 1       # particle->node
+        seg = jnp.where(live, seg, cap)
         sidx = jnp.where(is_new, seg, cap)
         uniq_h = jnp.full((cap,), INT32_MAX, jnp.int32) \
             .at[sidx].set(hk, mode="drop")
@@ -173,17 +202,22 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
         # padding start = n so child ranges can be found by searchsorted
         start = jnp.full((cap,), n, jnp.int32) \
             .at[sidx].set(arange_n, mode="drop")
-        pcount = jax.ops.segment_sum(jnp.ones((n,), jnp.int32), seg, cap)
+        pcount = jax.ops.segment_sum(jnp.ones((n,), jnp.int32),
+                                     jnp.minimum(seg, cap), cap + 1)[:cap]
         valid = pcount > 0
-        sid = seg * n_gravs + grav_s
-        nseg = cap * n_gravs
-        m_g = jax.ops.segment_sum(mass_s, sid, nseg).reshape(cap, n_gravs)
-        mx_g = jax.ops.segment_sum(mpos, sid, nseg).reshape(cap, n_gravs, 3)
+        sid = jnp.where(live, seg * n_gravs + grav_s, cap * n_gravs)
+        nseg = cap * n_gravs + 1
+        m_g = jax.ops.segment_sum(mass_s, sid, nseg)[:-1] \
+            .reshape(cap, n_gravs)
+        mx_g = jax.ops.segment_sum(mpos, sid, nseg)[:-1] \
+            .reshape(cap, n_gravs, 3)
         c_g = jax.ops.segment_sum(jnp.ones_like(mass_s), sid,
-                                  nseg).reshape(cap, n_gravs)
-        msoft = jax.ops.segment_max(fsoft_s, seg, cap)
+                                  nseg)[:-1].reshape(cap, n_gravs)
+        msoft = jax.ops.segment_max(fsoft_s, jnp.minimum(seg, cap),
+                                    cap + 1)[:cap]
         msoft = jnp.where(valid, msoft, 0.0)
-        mhmax = jax.ops.segment_max(hsml_s, seg, cap)
+        mhmax = jax.ops.segment_max(hsml_s, jnp.minimum(seg, cap),
+                                    cap + 1)[:cap]
         mhmax = jnp.where(valid, mhmax, 0.0)
 
         cell_len = root_len / (1 << lvl)
@@ -199,6 +233,19 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
         newly = (term_node < 0) & terminal[seg]
         term_node = jnp.where(newly, offsets[lvl] + seg, term_node)
         term_rank = jnp.where(newly, arange_n - start[seg], term_rank)
+        # ... and to their shallowest GROUP ancestor.  The group threshold
+        # is larger than the block slot count (default 4x): a group cell
+        # of <= group_thresh particles is split into ceil(P/G) blocks of
+        # G consecutive particles, which raises block slot occupancy from
+        # ~G/3 (shallowest <= G cell) to ~3/4 — the walk's per-SUBGROUP
+        # bounding boxes keep the opening tests tight regardless of the
+        # group cell's size.
+        gthr = max(group_thresh if group_thresh is not None
+                   else 4 * group_size, bucket)
+        grouplike = valid & ((pcount <= gthr) | (lvl == depth))
+        newly_g = (grp_node < 0) & grouplike[jnp.minimum(seg, cap - 1)] \
+            & live
+        grp_node = jnp.where(newly_g, offsets[lvl] + seg, grp_node)
 
         if prev is not None:
             # children of the previous level cover exactly the same particle
@@ -237,6 +284,28 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
     leaf_row = chunk0[term_node] * 8 + term_rank
     n_chunk_rows = jnp.sum(nchunk) * 8
 
+    # walk target blocks: split every group node into ceil(pcount/G)
+    # blocks of <= G consecutive sorted particles
+    grp_node = jnp.where(grp_node < 0, term_node, grp_node)
+    start_all = jnp.concatenate(starts)
+    ngrp = int(ngrp_cap) if ngrp_cap else _p2(max(n // 8, 1024), 1024)
+    is_grp = jnp.zeros((m_total,), bool).at[grp_node].set(True)
+    nblk_n = jnp.where(is_grp,
+                       (pcount_all + group_size - 1) // group_size,
+                       0).astype(jnp.int32)
+    blk_base = (jnp.cumsum(nblk_n) - nblk_n).astype(jnp.int32)
+    n_blocks = jnp.sum(nblk_n)
+    runid = jnp.repeat(jnp.arange(m_total, dtype=jnp.int32), nblk_n,
+                       total_repeat_length=ngrp)
+    k_in = jnp.arange(ngrp, dtype=jnp.int32) - blk_base[runid]
+    live_b = jnp.arange(ngrp, dtype=jnp.int32) < jnp.minimum(n_blocks, ngrp)
+    blk_start = jnp.where(live_b, start_all[runid] + k_in * group_size, n)
+    blk_cnt = jnp.where(
+        live_b,
+        jnp.clip(pcount_all[runid] - k_in * group_size, 0, group_size), 0)
+    pblk = blk_base[grp_node] + (arange_n - start_all[grp_node]) // group_size
+    pblk = jnp.minimum(pblk, ngrp - 1).astype(jnp.int32)
+
     return Octree(
         corner=corner, root_len=root_len,
         node_center=jnp.concatenate(centers),
@@ -253,6 +322,7 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
         node_nchild=jnp.concatenate(nchilds),
         node_chunk0=chunk0, node_nchunk=nchunk, leaf_row=leaf_row,
         n_chunk_rows=n_chunk_rows,
+        blk_start=blk_start, blk_cnt=blk_cnt, n_blocks=n_blocks, pblk=pblk,
         order=order, pos_s=pos_s, mass_s=mass_s, grav_s=grav_s,
         fsoft_s=fsoft_s, aold_s=aold_s, hsml_s=hsml_s,
         khi_s=khi_s, klo_s=klo_s,
@@ -278,27 +348,38 @@ def refresh_tree(tree: Octree, pos, mass, grav, fsoft, aold, hsml,
     grav_s = grav[order].astype(jnp.int32)
     fsoft_s, aold_s, hsml_s = fsoft[order], aold[order], hsml[order]
     mpos = mass_s[:, None] * pos_s
-    caps = level_caps(n, depth)
+    caps = level_caps(n, depth, bucket=bucket)
     offsets = np.concatenate([[0], np.cumsum(caps)]).astype(np.int32)
 
     cms, masses, counts, maxsofts, hmaxs = [], [], [], [], []
+    done = jnp.zeros((n,), bool)   # terminal assigned at a shallower level
     for lvl in range(depth + 1):
         cap = caps[lvl]
         hk, lk = level_key2(tree.khi_s, tree.klo_s, depth, lvl)
+        # identical live-masked run ranking as build_tree: the cached keys
+        # reproduce the frozen cell/slot assignment deterministically
+        live = ~done
         is_new = jnp.concatenate(
             [jnp.ones((1,), bool),
-             (hk[1:] != hk[:-1]) | (lk[1:] != lk[:-1])])
+             (hk[1:] != hk[:-1]) | (lk[1:] != lk[:-1])]) & live
         seg = jnp.cumsum(is_new).astype(jnp.int32) - 1
-        sid = seg * n_gravs + grav_s
-        nseg = cap * n_gravs
-        m_g = jax.ops.segment_sum(mass_s, sid, nseg).reshape(cap, n_gravs)
-        mx_g = jax.ops.segment_sum(mpos, sid, nseg).reshape(cap, n_gravs, 3)
+        seg = jnp.where(live, seg, cap)
+        sid = jnp.where(live, seg * n_gravs + grav_s, cap * n_gravs)
+        nseg = cap * n_gravs + 1
+        m_g = jax.ops.segment_sum(mass_s, sid, nseg)[:-1] \
+            .reshape(cap, n_gravs)
+        mx_g = jax.ops.segment_sum(mpos, sid, nseg)[:-1] \
+            .reshape(cap, n_gravs, 3)
         c_g = jax.ops.segment_sum(jnp.ones_like(mass_s), sid,
-                                  nseg).reshape(cap, n_gravs)
-        msoft = jnp.where(tree.node_pcount[offsets[lvl]:offsets[lvl + 1]] > 0,
-                          jax.ops.segment_max(fsoft_s, seg, cap), 0.0)
-        mh = jnp.where(tree.node_pcount[offsets[lvl]:offsets[lvl + 1]] > 0,
-                       jax.ops.segment_max(hsml_s, seg, cap), 0.0)
+                                  nseg)[:-1].reshape(cap, n_gravs)
+        pc = tree.node_pcount[offsets[lvl]:offsets[lvl + 1]]
+        segc = jnp.minimum(seg, cap)
+        msoft = jnp.where(pc > 0,
+                          jax.ops.segment_max(fsoft_s, segc, cap + 1)[:cap],
+                          0.0)
+        mh = jnp.where(pc > 0,
+                       jax.ops.segment_max(hsml_s, segc, cap + 1)[:cap],
+                       0.0)
         center = tree.node_center[offsets[lvl]:offsets[lvl + 1]]
         cm = jnp.where(m_g[..., None] > 0,
                        mx_g / jnp.maximum(m_g[..., None], 1e-37),
@@ -308,6 +389,10 @@ def refresh_tree(tree: Octree, pos, mass, grav, fsoft, aold, hsml,
         counts.append(c_g)
         maxsofts.append(msoft)
         hmaxs.append(mh)
+        terminal = ((jax.ops.segment_sum(
+            jnp.ones((n,), jnp.int32), segc, cap + 1)[:cap] <= bucket)
+            | (lvl == depth))
+        done = done | (live & terminal[segc])
 
     return tree._replace(
         node_cm=jnp.concatenate(cms),
@@ -665,7 +750,7 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         if key in _lvl_cache:
             return _lvl_cache[key]
         init_lvl = min(2, depth)
-        caps_l = level_caps(n_static, depth)
+        caps_l = level_caps(n_static, depth, bucket=bucket)
         offs_l = np.concatenate([[0], np.cumsum(caps_l)]).astype(np.int32)
         n_sh = int(offs_l[init_lvl])
         n_init = int(offs_l[init_lvl + 1] - offs_l[init_lvl])
@@ -1046,7 +1131,7 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         bbt = min(trav_batch, nbp)
         nbatch = (nbp + bbt - 1) // bbt
         n = tree.pos_s.shape[0]
-        n_init = level_caps(n, depth)[min(2, depth)]
+        n_init = level_caps(n, depth, bucket=bucket)[min(2, depth)]
         f_floor = _p2(n_init * bbt, 4096)
         # frontier width adapts to measured demand (x1.5 margin); stale
         # widths cost ONE cheap re-traversal, not a walk failure
@@ -1165,7 +1250,7 @@ def make_tree_forces(wiring: GravityWiring, n_gravs: int,
         wtab = _gwalk(tree)
 
         n = tree.pos_s.shape[0]
-        n_init = level_caps(n, depth)[min(2, depth)]
+        n_init = level_caps(n, depth, bucket=bucket)[min(2, depth)]
         F = _p2(max(fcap, n_init * nbp), 4096)
         ent, chk, n_ent, n_chk, ovf, fmax = _t_queue(nbp, n, F)(
             tree, wtab, tpos_a, tgid_a, taold_a, rel)

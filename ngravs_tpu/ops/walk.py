@@ -1,4 +1,4 @@
-"""Fused single-dispatch Barnes-Hut walk: traverse -> row lists -> Pallas eval.
+"""Fused single-dispatch Barnes-Hut walk with inline monopole evaluation.
 
 The production force path of the framework, replacing the host-paced
 two-phase walk of `tree.py` for single-chip runs.  Rebuild of the
@@ -7,37 +7,41 @@ reference's hot loop `force_treeevaluate[_shortrange]` (forcetree.c:1244,
 device-resident multi-step segments (no host round trips — on a tunneled
 TPU every sync costs tens of milliseconds).
 
-v3 layout (round 3): everything is **per-block row-major** `[B, ...]` —
-one row per Morton-contiguous target block.  The round-2 design kept
-batch-global compacted lists, which required two giant `lax.sort`s to
-group entries by block and a full-capacity flatten gather; profiled on
-the chip those were 99.5% of the force pass.  Per-block rows make the
-block id an array coordinate, so grouping is free:
+v4 layout (round 3): **evaluate monopoles while traversing**.  Profiling
+on the chip showed the v3 walk spent 99.5% of a force pass building and
+gathering interaction *lists* (per-level sorts / full-capacity flatten
+gathers / take_along_axis at max-over-block caps) and 0.5% evaluating
+them; every irregular XLA op (gather/scatter/sort) on this hardware runs
+at ~1e8 rows/s while dense VPU math runs at ~5e9 pair-interactions/s.
+The v4 design removes the monopole lists entirely:
 
- 1. **Traverse** — level-synchronous frontier expansion, one frontier
-    `[B, F_l]` per tree level (live-prefix per row).  The opening rules
-    are the same conservative block tests as before (a node accepted for
-    the block satisfies the per-target criterion of forcetree.c:1437-1473
-    for every member).  Child expansion is a per-row `repeat` (cumsum +
-    batched scatter of run starts — no sorts, no searchsorted over
-    global lists).  Each level records (node id, accepted, leaf-chunk
-    range) per slot; the per-level records are simply concatenated along
-    the row axis.
+ 1. **Traverse + evaluate** — level-synchronous frontier expansion, one
+    frontier `[B, F_l]` per tree level (live prefix per row).  The walk
+    table row of every frontier node (gathered once per visit) carries
+    everything the pair force needs — per-gravity CM, mass, count, max
+    softening — so nodes passing the acceptance test are evaluated
+    **immediately** as a dense `[B, F, G]` tile against the block's
+    targets and accumulated into `[B, G, 3]`; nothing is ever written to
+    an interaction list.  Opening tests use per-SUBGROUP target bounding
+    boxes (S sub-boxes of G/S targets each): a node is opened iff some
+    subgroup requires it, which keeps Morton-straddling blocks (whose
+    full-block bbox spans distant clumps) from opening the entire tree.
+    Criteria are the same conservative per-block forms of
+    forcetree.c:1437-1473 (both BH and relative), Rcut discard for
+    TreePM (forcetree.c:1828-1862), and the "intersects" rule forcing
+    open for nodes overlapping the target box.
 
- 2. **Flatten** — two per-row compactions (cumsum + row scatter) produce
-    the accepted-monopole list `[B, E]` and the leaf-chunk list `[B, CL]`;
-    from those, one gather builds the per-block eval row-id list `[B, R]`
-    (monopole rows first, then leaf-particle rows, live prefix), and ONE
-    row gather from the packed source table materializes the eval input
-    `[B, C, 8, Ec]`.  All volumes are per-block caps learned from
-    measured demand — no batch-global capacity is ever materialized.
+ 2. **Leaf lists** — only *leaf chunks* (8-row aligned particle blocks of
+    opened bucket nodes) still go through a list: per-block compaction
+    (cumsum + one dropping scatter), per-row run expansion to chunk ids,
+    and ONE chunk-granular gather `[B, CL, 64]` from the packed source
+    table (256-byte contiguous rows).
 
- 3. **Eval** — a Pallas kernel with a (B, C) grid: step (b, c) loads
-    source chunk `[8, Ec]` (contiguous), the targets of block b, computes
-    the `[G, Ec]` pair tile on the VPU, and accumulates into the block's
-    output, which stays resident in VMEM across the chunks of one block
-    (revisited output block).  Chunks past the block's true demand
-    (`c >= nck[b]`, scalar-prefetched) are skipped.
+ 3. **Leaf evaluation** — a dense masked `[B, CL*8, G]` pair tile
+    against the block targets, scanned in slices to bound the live
+    temporary, on the VPU; identical physics dispatch to the monopole
+    tile (unique-law loop with broadcast gravity masks — never a traced
+    2-D index gather).
 
 Total work = sum over blocks of (accepted rows x G) pair evaluations —
 the TPU analog of Gadget's per-particle interaction count
@@ -53,8 +57,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ..models.wiring import GravityWiring
 from .morton import MAX_DEPTH
@@ -79,9 +81,9 @@ class FusedWalkResult(NamedTuple):
     pot: jnp.ndarray        # [Nt]
     ninteract: jnp.ndarray  # [Nt] rows accepted for the target's block
     overflow: jnp.ndarray   # scalar bool — any cap exceeded
-    max_ent: jnp.ndarray    # scalar int32 peak per-BLOCK accepted nodes
+    max_ent: jnp.ndarray    # scalar int32 peak per-BLOCK leaf records
     max_chunk: jnp.ndarray  # scalar int32 peak per-BLOCK leaf chunks
-    max_rows: jnp.ndarray   # scalar int32 peak per-block eval chunks
+    max_rows: jnp.ndarray   # scalar int32 peak per-block monopole rows
     max_frontier: jnp.ndarray  # [depth+1] int32 peak per-level frontier
 
 
@@ -136,13 +138,19 @@ def pack_source_table(tree: Octree, n_gravs: int, leaf_factor: float,
     return tbl
 
 
-@functools.partial(jax.jit, static_argnames=("n_gravs",))
-def pack_walk_table(tree: Octree, n_gravs: int):
-    """[M, 8+4*NG] traversal rows: center xyz, flags, child0, nchild,
-    chunk0, nchunk, then per-gravity (cm xyz, mass).  flags layout:
-    bit0 terminal, bits 1..NG per-gravity mass>0, bits 8..12 node level
-    (informational; the level-synchronous traversal knows the level
-    statically)."""
+def walk_table_width(n_gravs: int, accumulator: bool) -> int:
+    """Columns of the traversal/eval walk table, padded to a multiple
+    of 8 for efficient row gathers."""
+    w = 9 + 4 * n_gravs + (n_gravs if accumulator else 0)
+    return _rup(w, 8)
+
+
+@functools.partial(jax.jit, static_argnames=("n_gravs", "accumulator"))
+def pack_walk_table(tree: Octree, n_gravs: int, accumulator: bool = False):
+    """[M, W] traversal+eval rows: center xyz, flags, child0, nchild,
+    chunk0, nchunk, maxsoft, then per-gravity (cm xyz, mass)
+    [, per-gravity count].  flags layout: bit0 terminal, bits 1..NG
+    per-gravity mass>0, bits 8..12 node level (informational)."""
     bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     flags = tree.node_terminal.astype(jnp.int32)
     for g in range(n_gravs):
@@ -152,10 +160,17 @@ def pack_walk_table(tree: Octree, n_gravs: int):
     cols = [tree.node_center[:, 0], tree.node_center[:, 1],
             tree.node_center[:, 2], bc(flags),
             bc(tree.node_child0), bc(tree.node_nchild),
-            bc(tree.node_chunk0), bc(tree.node_nchunk)]
+            bc(tree.node_chunk0), bc(tree.node_nchunk),
+            tree.node_maxsoft]
     for g in range(n_gravs):
         cols += [tree.node_cm[:, g, 0], tree.node_cm[:, g, 1],
                  tree.node_cm[:, g, 2], tree.node_mass[:, g]]
+    if accumulator:
+        for g in range(n_gravs):
+            cols.append(jnp.maximum(tree.node_count[:, g], 1.0))
+    w = walk_table_width(n_gravs, accumulator)
+    while len(cols) < w:
+        cols.append(jnp.zeros_like(tree.node_maxsoft))
     return jnp.stack(cols, axis=1)
 
 
@@ -194,36 +209,39 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                     treepm: dict | None = None,
                     use_pallas: bool | None = None,
                     interpret: bool = False,
-                    stage_limit: int = 3):
+                    stage_limit: int = 3,
+                    subgroups: int = 4):
     """Build the fused walk.  Returns fn(tree, tgt_sorted, rel) ->
     FusedWalkResult — fully traceable (usable under jit / while_loop /
     shard_map).  All caps are static **per-block** quantities; exceeding
     any sets .overflow and the caller re-tunes (the analog of Gadget
     growing TreeAllocFactor on "too many nodes", forcetree.c:3176).
 
-    `ent_cap`: accepted monopole nodes per block; `chunk_cap`: leaf 8-row
-    chunks per block; `frontier_cap`: per-level frontier slots per block
-    (int, or a per-level tuple learned from demand).
+    `ent_cap`: per-block leaf RECORDS (opened bucket nodes);
+    `chunk_cap`: per-block leaf 8-row chunks; `frontier_cap`: per-level
+    frontier slots per block (int, or a per-level tuple learned from
+    demand).  `ec` slices the dense eval loops (live-temporary bound).
 
     `treepm`: dict(sr_ftab, sr_ptab, asmth, rcut) enables the short-range
-    walk (Rcut discard forcetree.c:1828-1862 + tabulated/closed-form
+    walk (Rcut discard forcetree.c:1828-1862 + closed-form/tabulated
     truncation :1958-2027).
     """
     G = group_size
     NG = n_gravs
     B = batch_blocks
-    EC = ec
-    E = _rup(ent_cap, 8)
-    CL = _rup(chunk_cap, 8)
-    R = _rup(E * NG + CL * 8, EC)
-    C = R // EC
-    fcaps_l = normalize_frontier_caps(frontier_cap, depth)
+    S = subgroups
+    GS = G // S
+    E = _rup(ent_cap, 8)          # leaf records per block
+    CL = _rup(chunk_cap, 8)       # leaf chunks per block
+    EVK = max(128, ec // 4)       # dense-eval slice length (sources)
 
-    assert G % 8 == 0 and EC % 128 == 0
+    assert G % S == 0 and G % 8 == 0
     periodic = box_size > 0
     groups = wiring.unique_laws()
     single_law = len(groups) == 1
     use_count = wiring.accumulator
+    W = walk_table_width(NG, use_count)
+    fcaps_l = normalize_frontier_caps(frontier_cap, depth)
 
     rcut = 0.0
     tpm_tuple = None
@@ -234,11 +252,8 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                      int(treepm["sr_ftab"].shape[-1]))
         rcut = float(treepm["rcut"])
         inv2a = 0.5 / float(treepm["asmth"])
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" or interpret
-    if use_pallas and treepm is not None:
-        if any(law.kernel_shortrange() is None for law, _ in groups):
-            use_pallas = False
+    closed_form = treepm is None or all(
+        law.kernel_shortrange() is not None for law, _ in groups)
 
     fac_intp = (2 * (lattice_tables.shape[1] - 1) / box_size
                 if lattice_tables is not None else 0.0)
@@ -259,52 +274,207 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         return g
 
     # ------------------------------------------------------------------
-    # Stage 1: traversal for one batch of B blocks (same opening logic as
-    # tree.py's _t_queue; see that docstring for the criteria citations).
-    #
-    # LEVEL-SYNCHRONOUS per-block-row traversal: a static Python loop
-    # over the <= depth-1 tree levels; each level processes one frontier
-    # array [B, F_l] (live prefix per row) with wide vectorized ops.
-    # Nothing crosses block rows, so no sorts and no block-boundary
-    # searches exist anywhere; the only "irregular" ops are per-row
-    # cumsums, one batched scatter per compaction, and row gathers.
+    # Physics dispatch (shared by monopole and leaf tiles).
+    # All operands broadcast over an arbitrary tile shape; `sg` may be a
+    # static int (monopole NG-unrolled loop) or a traced array (leaves).
     # ------------------------------------------------------------------
-    def _traverse(tree, wtab, layout, tpos, tgid, taold, rel, n_static: int):
+    def law_factors(law, tmass, smass, r2, r, h, scount, pair_full=None):
+        """Pair force/potential factors; closed-form TreePM truncation
+        (forcetree.c:1958-2027) when treepm is active."""
+        if tpm_tuple is None:
+            fac = law.force_factor(tmass, smass, r2, r, h, scount)
+            pot = law.potential_factor(tmass, smass, r2, r, h, scount) \
+                if want_pot else None
+            return fac, pot
+        if closed_form:
+            u = r * inv2a
+            sf, sp = law.kernel_shortrange()
+            unsoft = law.accel(tmass, smass, r2, r, scount) * sf(u) \
+                / jnp.maximum(r, 1e-37)
+            soft = law.spline(tmass, smass, h, r, scount)
+            inside = u < 3.0
+            fac = jnp.where(inside, jnp.where(r >= h, unsoft, soft), 0.0)
+            pot = None
+            if want_pot:
+                punsoft = -law.potential(tmass, smass, r2, r, scount) * sp(u)
+                psoft = law.spline_pot(tmass, smass, h, r, scount)
+                pot = jnp.where(inside,
+                                jnp.where(r >= h, punsoft, psoft), 0.0)
+            return fac, pot
+        # tabulated transition (f64-built tables; XLA gather — slow on
+        # TPU, retained for laws without a closed-form kernel)
+        from .shortrange import longrange_force_factor, longrange_pot_factor
+        sr_ftab, sr_ptab, asmth, ntab = tpm_tuple
+        lr, inside = longrange_force_factor(sr_ftab, asmth, ntab, r,
+                                            pair_full)
+        fac = law.force_factor_tpm(tmass, smass, r2, r, h, scount, lr)
+        fac = jnp.where(inside, fac, 0.0)
+        pot = None
+        if want_pot:
+            lrp, _ = longrange_pot_factor(sr_ptab, asmth, ntab, r,
+                                          pair_full)
+            pot = law.potential_factor_tpm(tmass, smass, r2, r, h,
+                                           scount, lrp)
+            pot = jnp.where(inside, pot, 0.0)
+        return fac, pot
+
+    def dispatch(tg, sg, tm, sm, r2, r, h, scount):
+        """Evaluate the law matrix over a tile.  `sg` static int or
+        array; dispatch by broadcast equality masks (never gathers)."""
+        pair_full = None
+        if tpm_tuple is not None and not closed_form:
+            pair_full = (tg * NG + sg).astype(jnp.int32)
+        if single_law:
+            return law_factors(groups[0][0], tm, sm, r2, r, h, scount,
+                               pair_full)
+        fac = jnp.zeros_like(r2)
+        pot = jnp.zeros_like(r2) if want_pot else None
+        for law, slots in groups:
+            if isinstance(sg, int):
+                tslots = sorted({i for (i, j) in slots if j == sg})
+                if not tslots:
+                    continue
+                mk = None
+                for i in tslots:
+                    mij = (tg == i)
+                    mk = mij if mk is None else (mk | mij)
+            else:
+                mk = None
+                for (i, j) in slots:
+                    mij = (tg == i) & (sg == j)
+                    mk = mij if mk is None else (mk | mij)
+            f_k, p_k = law_factors(law, tm, sm, r2, r, h, scount, pair_full)
+            fac = jnp.where(mk, f_k, fac)
+            if want_pot:
+                pot = jnp.where(mk, p_k, pot)
+        return fac, pot
+
+    def pair_tile(tpos, tgrav, tsoft, tmass, spos, sgrav, ssoft, smass,
+                  scount, valid):
+        """Dense pair evaluation: targets [..., G] vs sources [..., K]
+        broadcast to a [..., K, G] tile.  Returns (ax, ay, az, pot)
+        accumulated over the K axis -> [..., G]."""
+        dx = min_image(spos[0] - tpos[0])
+        dy = min_image(spos[1] - tpos[1])
+        dz = min_image(spos[2] - tpos[2])
+        r2 = dx * dx + dy * dy + dz * dz
+        r = jnp.sqrt(r2)
+        h = jnp.maximum(tsoft, ssoft)
+        fac, pot = dispatch(tgrav, sgrav, tmass, smass, r2, r, h, scount)
+        fac = jnp.where(valid, fac, 0.0)
+        ax = jnp.sum(fac * dx, axis=-2)
+        ay = jnp.sum(fac * dy, axis=-2)
+        az = jnp.sum(fac * dz, axis=-2)
+        if want_pot:
+            pp = jnp.sum(jnp.where(valid, pot, 0.0), axis=-2)
+        else:
+            pp = jnp.zeros_like(ax)
+        return ax, ay, az, pp
+
+    # ------------------------------------------------------------------
+    # The traversal + inline monopole evaluation for one batch of B
+    # blocks.  Level-synchronous per-block-row frontiers [B, F_l] (live
+    # prefix per row); opening rules per forcetree.c:1437-1473 with
+    # per-subgroup bounding boxes.  Accepted nodes are evaluated on the
+    # spot from the walk-table row already in registers.
+    # ------------------------------------------------------------------
+    def _walk_batch(tree, wtab, gsrc, gsrc8, layout, tp, ta, rel,
+                    n_static: int):
         init_lvl = min(2, depth)
-        caps_l = level_caps(n_static, depth)
+        caps_l = level_caps(n_static, depth, bucket=bucket)
         offs_l = np.concatenate([[0], np.cumsum(caps_l)]).astype(np.int32)
         n_sh = int(offs_l[init_lvl])
         n_init = int(offs_l[init_lvl + 1] - offs_l[init_lvl])
         off0 = int(offs_l[init_lvl])
 
         cap2, nstart, rows, null_row = layout
+        # gsrc8 = leaf chunks + one null chunk appended at cap2//8
+        null_chunk = cap2 // 8
+        max_chunk_id = cap2 // 8
         bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
-        # static constants stay numpy: trace-time eager jnp ops each pay a
-        # device round trip; np literals embed into the jaxpr for free
         big = np.float32(1e30)
-        biota = np.arange(B, dtype=np.int32)
+
+        tpos = tp[..., 0:3]                               # [B, G, 3]
+        tgid = bc(tp[..., IGID])                          # [B, G]
+        tgrav = bc(tp[..., IGRAV])
+        tsoft = tp[..., FSOFT]
+        tvalid = tgid >= 0
+        blk_ok = jnp.any(tvalid, axis=1)
+
+        # per-subgroup bounding boxes + relative-criterion aold minima
+        tpos_s = tpos.reshape(B, S, GS, 3)
+        tval_s = tvalid.reshape(B, S, GS)
+        lo_b = jnp.min(jnp.where(tval_s[..., None], tpos_s, big), axis=2)
+        hi_b = jnp.max(jnp.where(tval_s[..., None], tpos_s, -big), axis=2)
+        sub_ok = jnp.any(tval_s, axis=2)                  # [B, S]
+        lo_b = jnp.where(sub_ok[..., None], lo_b, big)
+        hi_b = jnp.where(sub_ok[..., None], hi_b, -big)
+        aold_s = jnp.min(jnp.where(tval_s, ta.reshape(B, S, GS), big),
+                         axis=2)                          # [B, S]
+
+        # target columns for pair tiles: [B, 1, G]
+        tx = tpos[:, None, :, 0]
+        ty = tpos[:, None, :, 1]
+        tz = tpos[:, None, :, 2]
+        tgrav_t = tgrav[:, None, :]
+        tsoft_t = tsoft[:, None, :]
+        tmass_t = tp[:, None, :, FMASS]
+        tgid_t = tgid[:, None, :]
+
+        acc_x = jnp.zeros((B, G), jnp.float32)
+        acc_y = jnp.zeros((B, G), jnp.float32)
+        acc_z = jnp.zeros((B, G), jnp.float32)
+        acc_p = jnp.zeros((B, G), jnp.float32)
+        nia_mono = jnp.zeros((B,), jnp.int32)
 
         ovf = tree.n_chunk_rows > cap2
 
-        tvalid = tgid >= 0
-        blk_ok = jnp.any(tvalid, axis=1)
-        lo_b = jnp.min(jnp.where(tvalid[..., None], tpos, big), axis=1)
-        hi_b = jnp.max(jnp.where(tvalid[..., None], tpos, -big), axis=1)
-        aold_b = jnp.min(jnp.where(tvalid, taold, big), axis=1)
-
-        # per-level records, concatenated along axis 1 at the end
-        ids_ls, acc_ls, nc_ls, c0_ls = [], [], [], []
+        # leaf-record lists (c0, nchunk) per block, filled by compaction
+        nc_ls, c0_ls = [], []
+        # accepted-monopole record lists, kept ONLY for the periodic
+        # lattice-correction pass (the primary force is inline)
+        mid_ls, mgb_ls = [], []
         lvl_live = [jnp.zeros((), jnp.int32)] * (depth + 1)
+
+        def eval_mono(wn, accept_g, state):
+            """Accepted monopoles of one frontier slice: dense
+            [B, F, G] tile per source gravity (static NG unroll)."""
+            acc_x, acc_y, acc_z, acc_p, nia = state
+            if stage_limit < 2:
+                nia = nia + jnp.sum(
+                    jnp.sum(accept_g, axis=-1).astype(jnp.int32), axis=1)
+                return acc_x, acc_y, acc_z, acc_p, nia
+            msoft = wn[:, :, 8:9]                        # [B, F, 1]
+            for g in range(NG):
+                a_g = accept_g[:, :, g]                  # [B, F]
+                cg = wn[:, :, 9 + 4 * g: 13 + 4 * g]
+                spos = (cg[:, :, 0, None], cg[:, :, 1, None],
+                        cg[:, :, 2, None])               # [B, F, 1]
+                smass = cg[:, :, 3, None]
+                if use_count:
+                    scount = wn[:, :, 9 + 4 * NG + g, None]
+                else:
+                    scount = 1.0
+                ax, ay, az, pp = pair_tile(
+                    (tx, ty, tz), tgrav_t, tsoft_t, tmass_t,
+                    spos, g, msoft, smass,
+                    scount, a_g[:, :, None] & tvalid[:, None, :])
+                acc_x = acc_x + ax
+                acc_y = acc_y + ay
+                acc_z = acc_z + az
+                if want_pot:
+                    acc_p = acc_p + pp
+            nia = nia + jnp.sum(
+                jnp.sum(accept_g, axis=-1).astype(jnp.int32), axis=1)
+            return acc_x, acc_y, acc_z, acc_p, nia
 
         if n_sh:
             # shallow real leaves (above the init level) go straight to
             # exact summation: one range per (block, shallow leaf)
             s_node = np.arange(n_sh, dtype=np.int32)
-            swn = wtab[s_node]                      # [n_sh, 16]
+            swn = wtab[s_node]                           # [n_sh, W]
             s_nch = bc(swn[:, 7])
             s_ok = blk_ok[:, None] & (s_nch > 0)[None, :]
-            ids_ls.append(jnp.broadcast_to(s_node[None, :], (B, n_sh)))
-            acc_ls.append(jnp.zeros((B, n_sh), bool))
             nc_ls.append(jnp.where(s_ok, s_nch[None, :], 0))
             c0_ls.append(jnp.broadcast_to(bc(swn[:, 6])[None, :],
                                           (B, n_sh)))
@@ -316,13 +486,15 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         nlive = jnp.where(blk_ok, np.int32(min(n_init, F)), 0)
         ovf = ovf | (n_init > F)
 
+        mono_state = (acc_x, acc_y, acc_z, acc_p, nia_mono)
+
         for lvl in range(init_lvl, depth + 1):
             F = int(fnode.shape[1])
             fiota = np.arange(F, dtype=np.int32)
             live = fiota[None, :] < nlive[:, None]          # [B, F]
             lvl_live[lvl] = jnp.max(nlive)
 
-            wn = wtab[jnp.where(live, fnode, 0)]            # [B, F, 8+4NG]
+            wn = wtab[jnp.where(live, fnode, 0)]            # [B, F, W]
             flags = bc(wn[:, :, 3])
             valid = live & ((flags & 255) != 0)
             terminal = (flags & 1) > 0
@@ -332,372 +504,238 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             # summed those leaves directly — never re-count them
             valid = valid & ~(terminal & (nch == 0))
             center = wn[:, :, 0:3]
-            cg = wn[:, :, 8:8 + 4 * NG].reshape(B, F, NG, 4)
+            cg = wn[:, :, 9:9 + 4 * NG].reshape(B, F, NG, 4)
             cm = cg[..., 0:3]
             m_g = cg[..., 3]
             cell_len = tree.root_len * np.float32(2.0 ** -lvl)
 
-            d = jnp.maximum(
-                _bbox_gap(cm, lo_b[:, None, None, :],
-                          hi_b[:, None, None, :]), 0.0)
-            r2g = jnp.sum(d * d, axis=-1)
-            r2min = jnp.min(jnp.where(m_g > 0, r2g, big), axis=-1)
-            mtot = jnp.sum(m_g, axis=-1)
+            # per-subgroup opening tests, accumulated [B, F, S] with
+            # explicit loops over (gravity, axis) to bound live temps
+            r2min = jnp.full((B, F, S), big)
+            for g in range(NG):
+                d2 = jnp.zeros((B, F, S), jnp.float32)
+                for ax in range(3):
+                    dd = jnp.maximum(
+                        _bbox_gap(cm[:, :, None, g, ax],
+                                  lo_b[:, None, :, ax],
+                                  hi_b[:, None, :, ax]), 0.0)
+                    d2 = d2 + dd * dd
+                r2min = jnp.minimum(
+                    r2min, jnp.where(m_g[:, :, None, g] > 0, d2, big))
+            mtot = jnp.sum(m_g, axis=-1)                    # [B,F]
 
             open_bh = cell_len * cell_len > r2min * (theta * theta)
-            open_rel = (mtot * cell_len * cell_len
-                        > r2min * r2min * aold_b[:, None])
-            must_open = jnp.where(rel, open_rel, open_bh)
-            gap = _bbox_gap(center, lo_b[:, None, :], hi_b[:, None, :])
-            intersects = jnp.all(gap < 0.6 * cell_len, axis=-1)
-            must_open = must_open | intersects
-
+            open_rel = (mtot[:, :, None] * cell_len * cell_len
+                        > r2min * r2min * aold_s[:, None, :])
+            must_open_s = jnp.where(rel, open_rel, open_bh)
+            inter = jnp.ones((B, F, S), bool)
+            byd = jnp.zeros((B, F, S), bool) if rcut > 0 else None
+            for ax in range(3):
+                gx = _bbox_gap(center[:, :, None, ax], lo_b[:, None, :, ax],
+                               hi_b[:, None, :, ax])
+                inter = inter & (gx < 0.6 * cell_len)
+                if rcut > 0:
+                    byd = byd | (gx - 0.5 * cell_len > rcut)
+            must_open_s = must_open_s | inter
             if rcut > 0:
-                beyond = jnp.any(gap - 0.5 * cell_len > rcut, axis=-1)
-                valid = valid & ~beyond
+                valid = valid & ~jnp.all(byd, axis=-1)
+            must_open = jnp.any(must_open_s & sub_ok[:, None, :], axis=-1)
 
             accept = valid & ~must_open
             rest = valid & must_open
             leaf_here = rest & terminal
             expand = rest & ~terminal
 
-            ids_ls.append(fnode)
-            acc_ls.append(accept)
+            # inline monopole evaluation of accepted nodes
+            hasg = ((flags[..., None] >>
+                     (1 + np.arange(NG, dtype=np.int32))) & 1) > 0
+            mono_state = eval_mono(wn, accept[..., None] & hasg, mono_state)
+
             nc_ls.append(jnp.where(leaf_here, nch, 0))
             c0_ls.append(bc(wn[:, :, 6]))
+            if lattice_tables is not None:
+                mid_ls.append(jnp.where(accept, fnode, -1))
+                mgb_ls.append(jnp.where(accept, flags, 0))
 
             if lvl == depth:
                 break  # depth-level nodes are terminal by construction
 
-            # expand children into the next frontier: per-row repeat of
-            # (child0, exclusive-cumsum) runs — child ranges are ascending
-            # and disjoint, so nextnode = child0[run] + offset-in-run
+            # expand children into the next frontier with ONE per-row
+            # repeat: fnode = rep(child0 - cumex) + iota, since child
+            # ranges are ascending and disjoint (nextnode = child0[run]
+            # + offset-in-run and offset-in-run = iota - cumex[run])
             Fn = min(fcaps_l[lvl + 1], caps_l[lvl + 1], 8 * F)
             ncc = jnp.where(expand, bc(wn[:, :, 5]), 0)
             cum = jnp.cumsum(ncc, axis=1)
             total = cum[:, -1]
             cumex = cum - ncc
             child0 = bc(wn[:, :, 4])
-            rep_c0 = _row_repeat(child0, ncc, Fn)
-            rep_cx = _row_repeat(cumex, ncc, Fn)
+            rep = _row_repeat(child0 - cumex, ncc, Fn)
             niota = np.arange(Fn, dtype=np.int32)
             fnode = jnp.where(niota[None, :] < total[:, None],
-                              rep_c0 + (niota[None, :] - rep_cx), 0)
+                              rep + niota[None, :], 0)
             nlive = jnp.minimum(total, Fn)
             ovf = ovf | jnp.any(total > Fn)
 
-        ids = jnp.concatenate(ids_ls, axis=1)
-        acc = jnp.concatenate(acc_ls, axis=1)
+        acc_x, acc_y, acc_z, acc_p, nia_mono = mono_state
         ncs = jnp.concatenate(nc_ls, axis=1)
         c0s = jnp.concatenate(c0_ls, axis=1)
-        return ids, acc, ncs, c0s, ovf, jnp.stack(lvl_live)
 
-    # ------------------------------------------------------------------
-    # Stage 2: flatten the per-block records into the eval row-id list
-    # and gather the eval source buffer.  Two per-row compactions
-    # (cumsum + batched scatter), one chunk expansion (per-row repeat),
-    # one combining gather, one source-table row gather.
-    # ------------------------------------------------------------------
-    def _flatten(gsrc, wtab, layout, ids, acc, ncs, c0s):
-        cap2, nstart, rows, null_row = layout
-        null_chunk = null_row // 8
-        max_chunk_id = cap2 // 8
-        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        # ------------------------------------------------------------
+        # Leaf lists: compact (c0, nc) records -> expand to chunk ids.
+        # ------------------------------------------------------------
         rows2 = np.arange(B, dtype=np.int32)[:, None]
-
-        # accepted-monopole list [B, E]
-        apos = jnp.cumsum(acc.astype(jnp.int32), axis=1)
-        nacc = apos[:, -1]
-        aidx = jnp.where(acc, apos - 1, E)
-        mono = jnp.full((B, E), -1, jnp.int32) \
-            .at[rows2, aidx].set(ids, mode="drop")
-        ovf = jnp.any(nacc > E)
-
-        # leaf-chunk ranges -> compacted (c0, nc) [B, CL] -> chunk ids
         rv = ncs > 0
         rpos = jnp.cumsum(rv.astype(jnp.int32), axis=1)
-        ridx = jnp.where(rv, rpos - 1, CL)
-        c0c = jnp.zeros((B, CL), jnp.int32) \
+        nrec = rpos[:, -1]
+        ridx = jnp.where(rv, rpos - 1, E)
+        c0c = jnp.zeros((B, E), jnp.int32) \
             .at[rows2, ridx].set(c0s, mode="drop")
-        ncr = jnp.zeros((B, CL), jnp.int32) \
+        ncr = jnp.zeros((B, E), jnp.int32) \
             .at[rows2, ridx].set(ncs, mode="drop")
         cum_r = jnp.cumsum(ncr, axis=1)
-        # true demand from the uncompacted records (scatter drops can
-        # truncate cum_r when ranges exceed CL — never under-report)
         cl = jnp.sum(ncs, axis=1)
-        ovf = ovf | jnp.any(cl > CL) | jnp.any(rpos[:, -1] > CL)
-        rep_c0 = _row_repeat(c0c, ncr, CL)
-        rep_cx = _row_repeat(cum_r - ncr, ncr, CL)
+        ovf = ovf | jnp.any(nrec > E) | jnp.any(cl > CL)
+        # single-repeat run expansion: chid = rep(c0 - cumex) + iota
+        rep = _row_repeat(c0c - (cum_r - ncr), ncr, CL)
         ciota = np.arange(CL, dtype=np.int32)
-        chid = rep_c0 + (ciota[None, :] - rep_cx)
+        chid = rep + ciota[None, :]
         chid = jnp.where(ciota[None, :] < cl[:, None], chid, null_chunk)
         chid = jnp.where(chid < max_chunk_id, chid, null_chunk)
 
-        # per-block eval row ids [B, R]: monopole rows then leaf rows
-        flags_i = bc(wtab[:, 3])
-        gb = flags_i[jnp.maximum(mono, 0)]               # [B, E]
-        garange = np.arange(NG, dtype=np.int32)
-        hasg = ((gb[..., None] >> (1 + garange)) & 1) > 0
-        hasg = hasg & (mono[..., None] >= 0)
-        mrows = jnp.where(hasg, nstart + mono[..., None] * NG + garange,
-                          null_row).reshape(B, E * NG)
-        j8 = np.arange(8, dtype=np.int32)
-        crows = (chid[..., None] * 8 + j8).reshape(B, CL * 8)
+        nia = nia_mono + cl * 8
+        stats = jnp.stack([jnp.max(nrec), jnp.max(cl), jnp.max(nia_mono)])
 
-        jiota = np.arange(R, dtype=np.int32)
-        off = (nacc * NG)[:, None]                        # [B, 1]
-        in_mono = jiota[None, :] < off
-        mi = jnp.minimum(jiota[None, :], E * NG - 1)
-        ci = jnp.clip(jiota[None, :] - off, 0, CL * 8 - 1)
-        rowids = jnp.where(
-            in_mono,
-            jnp.take_along_axis(mrows, mi * jnp.ones((B, 1), jnp.int32),
-                                axis=1),
-            jnp.take_along_axis(crows, ci, axis=1))
-        used = nacc * NG + cl * 8
-        rowids = jnp.where(jiota[None, :] < used[:, None], rowids, null_row)
+        if stage_limit < 3:
+            out = jnp.stack([acc_x, acc_y, acc_z, acc_p], axis=-1)
+            nia_t = jnp.broadcast_to(nia[:, None], (B, G)).astype(jnp.int32)
+            return out, nia_t, ovf, stats, jnp.stack(lvl_live)
 
-        fsrc = gsrc[rowids]                               # [B, R, 8]
-        fsrc_t = fsrc.reshape(B, C, EC, 8).transpose(0, 1, 3, 2)
-        nck = jnp.clip((used + EC - 1) // EC, 0, C)
-        return fsrc_t, nck, used, nacc, cl, ovf
+        # ------------------------------------------------------------
+        # Leaf evaluation: chunk-granular gather + dense masked tile,
+        # scanned in slices of EVK/8 chunks to bound the live temporary.
+        # ------------------------------------------------------------
+        KC = EVK // 8      # chunks per slice
+        nslice = CL // KC if CL % KC == 0 else CL // KC + 1
+        CLp = nslice * KC
+        if CLp != CL:
+            chid_p = jnp.concatenate(
+                [chid, jnp.full((B, CLp - CL), null_chunk, jnp.int32)],
+                axis=1)
+        else:
+            chid_p = chid
 
-    # ------------------------------------------------------------------
-    # Stage 3: the pair-evaluation kernel.
-    # ------------------------------------------------------------------
-    def law_factors(law, tmass, smass, r2, r, h, scount):
-        """Pair force/potential factors; closed-form TreePM truncation
-        (forcetree.c:1958-2027) when treepm is active."""
-        if tpm_tuple is None:
-            fac = law.force_factor(tmass, smass, r2, r, h, scount)
-            pot = law.potential_factor(tmass, smass, r2, r, h, scount) \
-                if want_pot else None
-            return fac, pot
-        u = r * inv2a
-        sf, sp = law.kernel_shortrange()
-        unsoft = law.accel(tmass, smass, r2, r, scount) * sf(u) \
-            / jnp.maximum(r, 1e-37)
-        soft = law.spline(tmass, smass, h, r, scount)
-        inside = u < 3.0
-        fac = jnp.where(inside, jnp.where(r >= h, unsoft, soft), 0.0)
-        pot = None
-        if want_pot:
-            punsoft = -law.potential(tmass, smass, r2, r, scount) * sp(u)
-            psoft = law.spline_pot(tmass, smass, h, r, scount)
-            pot = jnp.where(inside, jnp.where(r >= h, punsoft, psoft), 0.0)
-        return fac, pot
+        def leaf_slice(state, ch_slice):
+            ax0, ay0, az0, ap0 = state
+            src = gsrc8[ch_slice]                    # [B, KC, 8, 8]
+            src = src.reshape(B, KC * 8, 8)
+            sgid = bc(src[:, :, IGID])
+            sgrav = bc(src[:, :, IGRAV])
+            v = (sgid[:, :, None] != -1) & (tgid_t >= 0) \
+                & (sgid[:, :, None] != tgid_t)
+            scount = src[:, :, FCOUNT, None] if use_count else 1.0
+            ax, ay, az, pp = pair_tile(
+                (tx, ty, tz), tgrav_t, tsoft_t, tmass_t,
+                (src[:, :, FX, None], src[:, :, FY, None],
+                 src[:, :, FZ, None]),
+                sgrav[:, :, None], src[:, :, FSOFT, None],
+                src[:, :, FMASS, None], scount, v)
+            return (ax0 + ax, ay0 + ay, az0 + az, ap0 + pp), None
 
-    def _pair_mask(pair_slots, tg, sg):
-        m = None
-        for (i, j) in pair_slots:
-            mij = (tg == i) & (sg == j)
-            m = mij if m is None else (m | mij)
-        return m
+        # demand-bounded slice loop: only ceil(max-demand/KC) slices of
+        # the static chunk-list cap are gathered and evaluated (the caps
+        # are max-over-run; per-batch demand is usually far smaller)
+        ns_live = (jnp.max(cl) + KC - 1) // KC
 
-    def _tile_math(tx, ty, tz, tm, tgv, tf, tgid_c, sp_chunk):
-        """[G,1] target columns vs [1,Ec] source rows -> per-pair factors.
-        Shared by the Pallas kernel body and the XLA fallback."""
-        sx = sp_chunk[FX:FX + 1, :]
-        sy = sp_chunk[FY:FY + 1, :]
-        sz = sp_chunk[FZ:FZ + 1, :]
-        smass = sp_chunk[FMASS:FMASS + 1, :]
-        ssoft = sp_chunk[FSOFT:FSOFT + 1, :]
+        def leaf_cond(c):
+            return c[0] < ns_live
 
-        dx = min_image(sx - tx)
-        dy = min_image(sy - ty)
-        dz = min_image(sz - tz)
-        r2 = dx * dx + dy * dy + dz * dz
-        r = jnp.sqrt(r2)
-        h = jnp.maximum(tf, ssoft)
-        scount = sp_chunk[FCOUNT:FCOUNT + 1, :] if use_count else 1.0
-        return dx, dy, dz, r2, r, h, smass, scount
+        def leaf_body(c):
+            s, st = c
+            ch_slice = jax.lax.dynamic_slice_in_dim(chid_p, s * KC, KC,
+                                                    axis=1)
+            st, _ = leaf_slice(st, ch_slice)
+            return (s + 1, st)
 
-    def _dispatch(tgv, sgv, tm, smass, r2, r, h, scount):
-        if single_law:
-            return law_factors(groups[0][0], tm, smass, r2, r, h, scount)
-        fac = jnp.zeros_like(r2)
-        pot = jnp.zeros_like(r2) if want_pot else None
-        for law, slots in groups:
-            mk = _pair_mask(slots, tgv, sgv)
-            f_k, p_k = law_factors(law, tm, smass, r2, r, h, scount)
-            fac = jnp.where(mk, f_k, fac)
-            if want_pot:
-                pot = jnp.where(mk, p_k, pot)
-        return fac, pot
+        _, (acc_x, acc_y, acc_z, acc_p) = jax.lax.while_loop(
+            leaf_cond, leaf_body,
+            (jnp.int32(0), (acc_x, acc_y, acc_z, acc_p)))
 
-    def _kernel(nck, fsrc_ref, tpack_ref, out_ref):
-        b = pl.program_id(0)
-        c = pl.program_id(1)
+        if lattice_tables is not None:
+            # periodic lattice (Ewald) correction, the reference's second
+            # walk (forcetree.c:2077-2432): applied to the SAME accepted
+            # interaction set — leaf particle rows and accepted monopole
+            # rows (recorded per level above, compacted here).
+            from .lattice import lattice_correction
 
-        @pl.when(c == 0)
-        def _():
-            out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+            def lat_tile(src):
+                """Lattice correction of source rows [B, K, 8]."""
+                sgid = bc(src[:, :, IGID])
+                sgrav = bc(src[:, :, IGRAV])
+                v = (sgid[:, :, None] != -1) & (tgid_t >= 0) \
+                    & (sgid[:, :, None] != tgid_t)
+                dx = min_image(src[:, :, FX, None] - tx)
+                dy = min_image(src[:, :, FY, None] - ty)
+                dz = min_image(src[:, :, FZ, None] - tz)
+                pidx = (tgrav_t * NG + sgrav[:, :, None]).astype(jnp.int32)
+                fcx, fcy, fcz, pc = lattice_correction(
+                    lattice_tables, fac_intp, dx, dy, dz, pidx)
+                sm = jnp.where(v, src[:, :, FMASS, None], 0.0)
+                return (jnp.sum(sm * fcx, axis=-2),
+                        jnp.sum(sm * fcy, axis=-2),
+                        jnp.sum(sm * fcz, axis=-2),
+                        jnp.sum(sm * pc, axis=-2))
 
-        @pl.when(c < nck[b])
-        def _():
-            sp_chunk = fsrc_ref[0, 0]                 # [8, Ec]
-            t = tpack_ref[0]                          # [G, 8]
-            tx = t[:, FX:FX + 1]
-            ty = t[:, FY:FY + 1]
-            tz = t[:, FZ:FZ + 1]
-            tm = t[:, FMASS:FMASS + 1]
-            tf = t[:, FSOFT:FSOFT + 1]
-            tgv = pltpu.bitcast(t[:, IGRAV:IGRAV + 1], jnp.int32)
-            tgid = pltpu.bitcast(t[:, IGID:IGID + 1], jnp.int32)
-            sgv = pltpu.bitcast(sp_chunk[IGRAV:IGRAV + 1, :], jnp.int32)
-            sgid = pltpu.bitcast(sp_chunk[IGID:IGID + 1, :], jnp.int32)
+            def lat_leaf_body(c):
+                s, (ax0, ay0, az0, ap0) = c
+                ch_slice = jax.lax.dynamic_slice_in_dim(chid_p, s * KC, KC,
+                                                        axis=1)
+                src = gsrc8[ch_slice].reshape(B, KC * 8, 8)
+                ax, ay, az, pp = lat_tile(src)
+                return (s + 1, (ax0 + ax, ay0 + ay, az0 + az, ap0 + pp))
 
-            dx, dy, dz, r2, r, h, smass, scount = _tile_math(
-                tx, ty, tz, tm, tgv, tf, tgid, sp_chunk)
-            fac, pot = _dispatch(tgv, sgv, tm, smass, r2, r, h, scount)
-            valid = (sgid != -1) & (tgid >= 0) & (sgid != tgid)
-            fac = jnp.where(valid, fac, 0.0)
+            _, (acc_x, acc_y, acc_z, acc_p) = jax.lax.while_loop(
+                lambda c: c[0] < ns_live, lat_leaf_body,
+                (jnp.int32(0), (acc_x, acc_y, acc_z, acc_p)))
 
-            ax = jnp.sum(fac * dx, axis=1, keepdims=True)
-            ay = jnp.sum(fac * dy, axis=1, keepdims=True)
-            az = jnp.sum(fac * dz, axis=1, keepdims=True)
-            if want_pot:
-                pp = jnp.sum(jnp.where(valid, pot, 0.0), axis=1,
-                             keepdims=True)
-            else:
-                pp = jnp.zeros_like(ax)
-            nv = jnp.sum(jnp.where(valid, 1.0, 0.0), axis=1, keepdims=True)
-            delta = jnp.concatenate(
-                [ax, ay, az, pp, nv,
-                 jnp.zeros((ax.shape[0], 3), ax.dtype)], axis=1)
-            out_ref[0] = out_ref[0] + delta
+            # compact accepted-monopole records -> row ids -> gather
+            EM = _rup(E * 4, 8)
+            mids = jnp.concatenate(mid_ls, axis=1)
+            mgbs = jnp.concatenate(mgb_ls, axis=1)
+            mv = mids >= 0
+            mpos = jnp.cumsum(mv.astype(jnp.int32), axis=1)
+            ovf = ovf | jnp.any(mpos[:, -1] > EM)
+            midx = jnp.where(mv, mpos - 1, EM)
+            midc = jnp.full((B, EM), -1, jnp.int32) \
+                .at[rows2, midx].set(mids, mode="drop")
+            mgbc = jnp.zeros((B, EM), jnp.int32) \
+                .at[rows2, midx].set(mgbs, mode="drop")
+            garange = np.arange(NG, dtype=np.int32)
+            mhas = (((mgbc[..., None] >> (1 + garange)) & 1) > 0) \
+                & (midc[..., None] >= 0)
+            mrows = jnp.where(mhas, nstart + midc[..., None] * NG + garange,
+                              null_row).reshape(B, EM * NG)
 
-    def _eval_pallas(fsrc_t, nck, tpack):
-        out = pl.pallas_call(
-            _kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(B, C),
-                in_specs=[
-                    pl.BlockSpec((1, 1, 8, EC),
-                                 lambda b, c, nck: (b, c, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, G, 8),
-                                 lambda b, c, nck: (b, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((1, G, 8),
-                                       lambda b, c, nck: (b, 0, 0),
-                                       memory_space=pltpu.VMEM),
-            ),
-            out_shape=jax.ShapeDtypeStruct((B, G, 8), jnp.float32),
-            interpret=interpret,
-        )(nck.astype(jnp.int32), fsrc_t, tpack)
-        return out
+            def lat_mono_slice(state, sl):
+                ax0, ay0, az0, ap0 = state
+                src = gsrc[sl]                       # [B, EVK, 8]
+                ax, ay, az, pp = lat_tile(src)
+                return (ax0 + ax, ay0 + ay, az0 + az, ap0 + pp), None
 
-    def _chunk_scan(chunk_math, fsrc_t, nck, tpack):
-        """XLA fallback scaffolding: scan the [B, C] chunk grid, skipping
-        chunks past each block's demand (demand-proportional like the
-        kernel)."""
-        fsrc_f = fsrc_t.reshape(B * C, 8, EC)
-        blk = np.repeat(np.arange(B, dtype=np.int32), C)
-        cin = np.tile(np.arange(C, dtype=np.int32), B)
+            MK = EVK
+            nms = (EM * NG + MK - 1) // MK
+            mpad = nms * MK - EM * NG
+            if mpad:
+                mrows = jnp.concatenate(
+                    [mrows, jnp.full((B, mpad), null_row, jnp.int32)],
+                    axis=1)
+            mrows_s = mrows.reshape(B, nms, MK).transpose(1, 0, 2)
+            (acc_x, acc_y, acc_z, acc_p), _ = jax.lax.scan(
+                lat_mono_slice, (acc_x, acc_y, acc_z, acc_p), mrows_s)
 
-        def chunk_fn(carry, xs):
-            out = carry
-            spc, b, ci = xs
-            delta = jax.lax.cond(
-                ci < nck[b],
-                lambda: chunk_math(spc, b),
-                lambda: np.zeros((G, 5), np.float32))
-            out = out.at[b, :, :5].add(delta)
-            return out, None
-
-        out0 = jnp.asarray(np.zeros((B, G, 8), np.float32))
-        out, _ = jax.lax.scan(chunk_fn, out0, (fsrc_f, blk, cin))
-        return out
-
-    def _eval_xla(fsrc_t, nck, tpack):
-        """Traced fallback with the same flat layout (CPU tests, and
-        TreePM laws without a closed-form short-range kernel: uses the
-        f64-tabulated transition tables instead)."""
-        from .shortrange import longrange_force_factor, longrange_pot_factor
-
-        def chunk_math(spc, blk):
-            t = tpack[blk]                           # [G, 8]
-            tx = t[:, FX:FX + 1]
-            ty = t[:, FY:FY + 1]
-            tz = t[:, FZ:FZ + 1]
-            tm = t[:, FMASS:FMASS + 1]
-            tf = t[:, FSOFT:FSOFT + 1]
-            bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
-            tgv = bc(t[:, IGRAV:IGRAV + 1])
-            tgid = bc(t[:, IGID:IGID + 1])
-            sgv = bc(spc[IGRAV:IGRAV + 1, :])
-            sgid = bc(spc[IGID:IGID + 1, :])
-            dx, dy, dz, r2, r, h, smass, scount = _tile_math(
-                tx, ty, tz, tm, tgv, tf, tgid, spc)
-            if tpm_tuple is not None:
-                sr_ftab, sr_ptab, asmth, ntab = tpm_tuple
-                pair_full = tgv * NG + sgv
-                lr, inside = longrange_force_factor(sr_ftab, asmth, ntab,
-                                                    r, pair_full)
-                lrp, _ = longrange_pot_factor(sr_ptab, asmth, ntab, r,
-                                              pair_full)
-                pair_idx = jnp.asarray(wiring.pair_index_matrix())
-                pair_of = pair_idx[tgv, sgv]
-                fac = jnp.zeros_like(r)
-                pot = jnp.zeros_like(r) if want_pot else None
-                for k, (law, _) in enumerate(groups):
-                    f_k = law.force_factor_tpm(tm, smass, r2, r, h,
-                                               scount, lr)
-                    fac = f_k if single_law else \
-                        jnp.where(pair_of == k, f_k, fac)
-                    if want_pot:
-                        p_k = law.potential_factor_tpm(tm, smass, r2, r, h,
-                                                       scount, lrp)
-                        pot = p_k if single_law else \
-                            jnp.where(pair_of == k, p_k, pot)
-                fac = jnp.where(inside, fac, 0.0)
-                if want_pot:
-                    pot = jnp.where(inside, pot, 0.0)
-            else:
-                fac, pot = _dispatch(tgv, sgv, tm, smass, r2, r, h, scount)
-            valid = (sgid != -1) & (tgid >= 0) & (sgid != tgid)
-            fac = jnp.where(valid, fac, 0.0)
-            return jnp.stack(
-                [jnp.sum(fac * dx, axis=1), jnp.sum(fac * dy, axis=1),
-                 jnp.sum(fac * dz, axis=1),
-                 (jnp.sum(jnp.where(valid, pot, 0.0), axis=1)
-                  if want_pot else np.zeros((G,), np.float32)),
-                 jnp.sum(jnp.where(valid, 1.0, 0.0), axis=1)],
-                axis=-1)                              # [G, 5]
-
-        return _chunk_scan(chunk_math, fsrc_t, nck, tpack)
-
-    def _lattice_pass(fsrc_t, nck, tpack):
-        """Periodic lattice (Ewald) correction over the same flat list
-        (the reference's second walk, forcetree.c:2077-2432)."""
-        from .lattice import lattice_correction
-
-        def chunk_math(spc, blk):
-            t = tpack[blk]
-            bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
-            tgv = bc(t[:, IGRAV:IGRAV + 1])
-            tgid = bc(t[:, IGID:IGID + 1])
-            sgv = bc(spc[IGRAV:IGRAV + 1, :])
-            sgid = bc(spc[IGID:IGID + 1, :])
-            dx = min_image(spc[FX:FX + 1, :] - t[:, FX:FX + 1])
-            dy = min_image(spc[FY:FY + 1, :] - t[:, FY:FY + 1])
-            dz = min_image(spc[FZ:FZ + 1, :] - t[:, FZ:FZ + 1])
-            pidx = tgv * NG + sgv
-            fcx, fcy, fcz, pc = lattice_correction(
-                lattice_tables, fac_intp, dx, dy, dz, pidx)
-            valid = (sgid != -1) & (tgid >= 0) & (sgid != tgid)
-            sm = jnp.where(valid, spc[FMASS:FMASS + 1, :], 0.0)
-            return jnp.stack(
-                [jnp.sum(sm * fcx, axis=1), jnp.sum(sm * fcy, axis=1),
-                 jnp.sum(sm * fcz, axis=1),
-                 (jnp.sum(sm * pc, axis=1) if want_pot
-                  else np.zeros((G,), np.float32)),
-                 np.zeros((G,), np.float32)], axis=-1)
-
-        return _chunk_scan(chunk_math, fsrc_t, nck, tpack)
+        out = jnp.stack([acc_x, acc_y, acc_z, acc_p], axis=-1)
+        nia_t = jnp.broadcast_to(nia[:, None], (B, G)).astype(jnp.int32)
+        return out, nia_t, ovf, stats, jnp.stack(lvl_live)
 
     # ------------------------------------------------------------------
     # Composition.
@@ -710,84 +748,90 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                      opening_override: str | None = None,
                      rel=None) -> FusedWalkResult:
         """Forces on sorted-order target indices (-1 padding).  One traced
-        program; batches run under lax.map (device-resident loop)."""
+        program.  Targets are processed by TREE-ALIGNED blocks (the
+        tree's group-node blocks, <= G consecutive sorted particles in
+        one cell) so block bounding boxes are tight tree cells; only
+        blocks containing a requested target are walked, in batches of B
+        under a dynamic-trip-count while_loop (device-resident)."""
         if rel is None:
             rel = rel_default if opening_override is None else \
                 (rel_true if opening_override == "relative" else rel_false)
         n = tree.pos_s.shape[0]
         m = tree.node_mass.shape[0]
+        assert tree.blk_start.shape[0] > 0
         layout = source_table_layout(n, m, NG, leaf_factor)
+        cap2, _, rows_t, null_row = layout
         gsrc = pack_source_table(tree, NG, leaf_factor,
                                  accumulator=wiring.accumulator)
-        wtab = pack_walk_table(tree, NG)
+        # chunked leaf view + one null chunk appended at id cap2//8
+        gsrc8 = jnp.concatenate(
+            [gsrc[:cap2], gsrc[null_row:null_row + 8]]
+        ).reshape(cap2 // 8 + 1, 8, 8)
+        wtab = pack_walk_table(tree, NG, wiring.accumulator)
 
         nt = int(tgt_sorted.shape[0])
-        nb0 = (nt + G - 1) // G
-        nbatch = (nb0 + B - 1) // B
-        nbp = nbatch * B
-        pad = nbp * G - nt
-        tgt = jnp.concatenate(
-            [tgt_sorted, np.full((pad,), -1, np.int32)]) if pad \
-            else tgt_sorted
-        tgt_b = tgt.reshape(nbp, G)
-        safe = jnp.maximum(tgt_b, 0)
+        NGRP = int(tree.blk_start.shape[0])
         bcf = lambda a: jax.lax.bitcast_convert_type(
             a.astype(jnp.int32), jnp.float32)
-        tgid = jnp.where(tgt_b >= 0, safe, -1)
-        tpack_all = jnp.stack(
-            [tree.pos_s[safe, 0], tree.pos_s[safe, 1], tree.pos_s[safe, 2],
-             tree.mass_s[safe], tree.fsoft_s[safe],
-             jnp.zeros_like(tree.mass_s[safe]),
-             bcf(tree.grav_s[safe]), bcf(tgid)], axis=-1)  # [nbp, G, 8]
-        taold_all = tree.aold_s[safe]
 
-        def batch_fn(bi):
-            tp = jax.lax.dynamic_slice_in_dim(tpack_all, bi * B, B, axis=0)
-            ta = jax.lax.dynamic_slice_in_dim(taold_all, bi * B, B, axis=0)
-            tpos = tp[..., 0:3]
-            tg = jax.lax.bitcast_convert_type(tp[..., IGID], jnp.int32)
-            ids, acc, ncs, c0s, ovf1, lvl_live = _traverse(
-                tree, wtab, layout, tpos, tg, ta, rel, n)
-            if stage_limit <= 1:   # profiling aid: traversal only
-                out = jnp.asarray(np.zeros((B, G, 8), np.float32)) \
-                    .at[0, 0, 0].add(
-                        jnp.sum(acc).astype(jnp.float32)
-                        + jnp.sum(ncs).astype(jnp.float32))
-                nia = jnp.asarray(np.zeros((B, G), np.int32))
-                return (out, nia, ovf1,
-                        jnp.stack([jnp.sum(acc), jnp.sum(ncs),
-                                   jnp.zeros((), jnp.int32)]), lvl_live)
-            fsrc_t, nck, used, nacc, cl, ovf2 = _flatten(
-                gsrc, wtab, layout, ids, acc, ncs, c0s)
-            stats = jnp.stack([jnp.max(nacc), jnp.max(cl), jnp.max(nck)])
-            if stage_limit <= 2:   # profiling aid: traversal + flatten
-                out = jnp.asarray(np.zeros((B, G, 8), np.float32)) \
-                    .at[0, 0, 0].add(jnp.sum(fsrc_t[:, :, FMASS]))
-                nia = jnp.broadcast_to(used[:, None],
-                                       (B, G)).astype(jnp.int32)
-                return out, nia, ovf1 | ovf2, stats, lvl_live
-            if use_pallas:
-                out = _eval_pallas(fsrc_t, nck, tp)
-            else:
-                out = _eval_xla(fsrc_t, nck, tp)
-            if lattice_tables is not None:
-                out = out + _lattice_pass(fsrc_t, nck, tp)
-            # per-target interaction count = the block's accepted rows
-            nia = jnp.broadcast_to(used[:, None], (B, G)).astype(jnp.int32)
-            return out, nia, ovf1 | ovf2, stats, lvl_live
+        # [N, 8] packed target rows (gid column patched per block)
+        tpack_tbl = jnp.stack(
+            [tree.pos_s[:, 0], tree.pos_s[:, 1], tree.pos_s[:, 2],
+             tree.mass_s, tree.fsoft_s, jnp.zeros_like(tree.mass_s),
+             bcf(tree.grav_s), bcf(np.arange(n, dtype=np.int32))], axis=-1)
 
-        if nbatch == 1:
-            out, nia, ovf, stats, lvl = batch_fn(jnp.int32(0))
-            outs, nias = out[None], nia[None]
-            ovfs, statss, lvls = ovf[None], stats[None], lvl[None]
-        else:
-            outs, nias, ovfs, statss, lvls = jax.lax.map(
-                batch_fn, np.arange(nbatch, dtype=np.int32))
-        out_all = outs.reshape(nbp * G, 8)[:nt]
-        nia_all = nias.reshape(nbp * G)[:nt]
-        ovf = jnp.any(ovfs)
-        stats = jnp.max(statss, axis=0)
-        lvl_max = jnp.max(lvls, axis=0)
+        # active blocks: any member requested
+        act = jnp.zeros((n,), jnp.bool_) \
+            .at[jnp.where(tgt_sorted >= 0, tgt_sorted, n)] \
+            .set(True, mode="drop")
+        blk_act = jax.ops.segment_max(act.astype(jnp.int32), tree.pblk,
+                                      NGRP) > 0
+        blk_act = blk_act & (tree.blk_cnt > 0)
+        bpos = jnp.cumsum(blk_act.astype(jnp.int32))
+        nact = bpos[-1]
+        bidx = jnp.where(blk_act, bpos - 1, NGRP)
+        blk_ids = jnp.full((NGRP + B,), -1, jnp.int32) \
+            .at[bidx].set(np.arange(NGRP, dtype=np.int32), mode="drop")
+        nbatch = (nact + B - 1) // B
+        ovf0 = tree.n_blocks > NGRP
+
+        giota = np.arange(G, dtype=np.int32)
+
+        def body(carry):
+            bi, accbuf, niabuf, ovf, stats, lvls = carry
+            ids = jax.lax.dynamic_slice_in_dim(blk_ids, bi * B, B)
+            vb = ids >= 0
+            ids0 = jnp.maximum(ids, 0)
+            st = tree.blk_start[ids0]
+            cnt = jnp.where(vb, tree.blk_cnt[ids0], 0)
+            slots = st[:, None] + giota[None, :]            # [B, G]
+            in_blk = giota[None, :] < cnt[:, None]
+            safe = jnp.minimum(jnp.where(in_blk, slots, 0), n - 1)
+            tp = tpack_tbl[safe]
+            tp = tp.at[:, :, IGID].set(
+                bcf(jnp.where(in_blk, slots, -1)))
+            ta = tree.aold_s[safe]
+            out, nia_t, ovf1, stats1, lvl1 = _walk_batch(
+                tree, wtab, gsrc, gsrc8, layout, tp, ta, rel, n)
+            rows = jnp.where(in_blk, slots, n).reshape(-1)
+            accbuf = accbuf.at[rows].set(out.reshape(-1, 4), mode="drop")
+            niabuf = niabuf.at[rows].set(nia_t.reshape(-1), mode="drop")
+            return (bi + 1, accbuf, niabuf, ovf | ovf1,
+                    jnp.maximum(stats, stats1), jnp.maximum(lvls, lvl1))
+
+        carry0 = (jnp.int32(0),
+                  jnp.zeros((n, 4), jnp.float32),
+                  jnp.zeros((n,), jnp.int32),
+                  ovf0,
+                  jnp.zeros((3,), jnp.int32),
+                  jnp.zeros((depth + 1,), jnp.int32))
+        _, accbuf, niabuf, ovf, stats, lvl_max = jax.lax.while_loop(
+            lambda c: c[0] < nbatch, body, carry0)
+
+        tsafe = jnp.maximum(tgt_sorted, 0)
+        tlive = (tgt_sorted >= 0)[:, None]
+        out_all = jnp.where(tlive, accbuf[tsafe], 0.0)
+        nia_all = jnp.where(tgt_sorted >= 0, niabuf[tsafe], 0)
         return FusedWalkResult(
             acc=out_all[:, 0:3], pot=out_all[:, 3],
             ninteract=nia_all, overflow=ovf,

@@ -55,24 +55,35 @@ from ..ops.morton import level_key2
 from .mesh import AXIS, sharded_dt_displacement
 
 
-def _update_node_hmax(tree, depth: int):
+def _update_node_hmax(tree, depth: int, bucket: int):
     """Recompute per-node hmax from tree.hsml_s (force_update_hmax,
     forcetree.c:1134-1240): per-level segmented max over the cached
-    Morton-run segmentation — structure frozen, aggregates refreshed."""
+    Morton-run segmentation — structure frozen, aggregates refreshed.
+    Mirrors build_tree's live-masked slot layout (particles below their
+    terminal node are excluded from deeper levels)."""
     n = tree.hsml_s.shape[0]
-    caps = level_caps(n, depth)
+    caps = level_caps(n, depth, bucket=bucket)
     offsets = np.concatenate([[0], np.cumsum(caps)]).astype(np.int32)
     hmaxs = []
+    done = jnp.zeros((n,), bool)
     for lvl in range(depth + 1):
         cap = caps[lvl]
         hk, lk = level_key2(tree.khi_s, tree.klo_s, depth, lvl)
+        live = ~done
         is_new = jnp.concatenate(
             [jnp.ones((1,), bool),
-             (hk[1:] != hk[:-1]) | (lk[1:] != lk[:-1])])
+             (hk[1:] != hk[:-1]) | (lk[1:] != lk[:-1])]) & live
         seg = jnp.cumsum(is_new).astype(jnp.int32) - 1
-        mh = jnp.where(tree.node_pcount[offsets[lvl]:offsets[lvl + 1]] > 0,
-                       jax.ops.segment_max(tree.hsml_s, seg, cap), 0.0)
+        seg = jnp.where(live, seg, cap)
+        pc = tree.node_pcount[offsets[lvl]:offsets[lvl + 1]]
+        mh = jnp.where(pc > 0,
+                       jax.ops.segment_max(tree.hsml_s, seg, cap + 1)[:cap],
+                       0.0)
         hmaxs.append(mh)
+        terminal = ((jax.ops.segment_sum(
+            jnp.ones((n,), jnp.int32), seg, cap + 1)[:cap] <= bucket)
+            | (lvl == depth))
+        done = done | (live & terminal[jnp.minimum(seg, cap - 1)])
     return tree._replace(node_hmax=jnp.concatenate(hmaxs))
 
 
@@ -341,7 +352,8 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
 
         # ---- hmax propagation + hydro force (accel.c:60-89) ---------------
         hsml_all = gath(jnp.where(is_gas, sph.hsml, 0.0))[tree.order]
-        tree = _update_node_hmax(tree._replace(hsml_s=hsml_all), depth)
+        tree = _update_node_hmax(tree._replace(hsml_s=hsml_all), depth,
+                                 cfg.tree_bucket_size)
         rho_all = jnp.maximum(gath(sph.density), 1e-37)[tree.order]
         pres_all = gath(sph.pressure)[tree.order]
         f_all = gath(sph.dhsml_density_factor)[tree.order]

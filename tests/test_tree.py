@@ -55,16 +55,19 @@ def test_build_mass_conservation():
                       depth=6, n_gravs=2, bucket=8)
     lv = np.asarray(tree.node_level)
     m = np.asarray(tree.node_mass)
+    term = np.asarray(tree.node_terminal)
+    pc = np.asarray(tree.node_pcount)
+    # each level's cells + terminal cells of shallower levels partition
+    # the particle set (the build excludes particles below their terminal
+    # node from deeper levels)
     for lvl in range(7):
-        np.testing.assert_allclose(m[lv == lvl].sum(), mass.sum(), rtol=1e-5)
+        mt = m[lv == lvl].sum() + m[term & (lv < lvl)].sum()
+        np.testing.assert_allclose(mt, mass.sum(), rtol=1e-5)
+        assert pc[lv == lvl].sum() + pc[term & (lv < lvl)].sum() == 800
     # per-gravity totals
     for g in range(2):
         np.testing.assert_allclose(m[lv == 0][:, g].sum(),
                                    mass[grav == g].sum(), rtol=1e-5)
-    # particle ranges at each level tile [0, N)
-    pc = np.asarray(tree.node_pcount)
-    for lvl in range(7):
-        assert pc[lv == lvl].sum() == 800
 
 
 def test_tree_vs_direct_bh():

@@ -147,3 +147,40 @@ def test_xition_check_dump(tmp_path):
         np.testing.assert_allclose(i_u / u, np.asarray(ptab)[tg, sg],
                                    rtol=1e-5, atol=1e-6)
         assert "forcetrace" in txt[1] or len(txt) == 2
+
+
+def test_closed_form_shortrange_matches_tables():
+    """The closed-form Yukawa/ColoYuk TreePM truncation kernels
+    (Salin-Caillol screened-Ewald split, laws.py kernel_shortrange) must
+    match the f64-tabulated transition (forcetree.c:3274 analog) to the
+    erfc-approximation error, across the whole transition band."""
+    from ngravs_tpu.ops.shortrange import (longrange_force_factor,
+                                           longrange_pot_factor)
+    box, pmgrid, asmth_cells = 1000.0, 128, 1.25
+    yuk = L.Yukawa(60.0, box, pmgrid, asmth_cells)
+    colo = L.ColoYuk(60.0, box, pmgrid, asmth_cells)
+    w = GravityWiring([[L.Newtonian(), yuk], [yuk, colo]])
+    ftab, ptab = shortrange_tables(w, ntab=1000)
+    asmth = asmth_cells * box / pmgrid
+    ntab = ftab.shape[-1]
+    for law, slots in w.unique_laws():
+        ks = law.kernel_shortrange()
+        assert ks is not None, law.name
+        sf, sp = ks
+        r = np.linspace(0.05 * asmth, 5.9 * asmth, 400)
+        u = jnp.asarray(r / (2 * asmth))
+        pair = slots[0][0] * w.n_gravs + slots[0][1]
+        lr, _ = longrange_force_factor(jnp.asarray(ftab), asmth, ntab,
+                                       jnp.asarray(r), pair)
+        lrp, _ = longrange_pot_factor(jnp.asarray(ptab), asmth, ntab,
+                                      jnp.asarray(r), pair)
+        acc_full = np.asarray(law.accel(1.0, 1.0, r * r, r, 1.0))
+        f_tab = acc_full - np.asarray(lr)
+        f_cf = acc_full * np.asarray(sf(u))
+        rel = np.abs(f_cf - f_tab) / np.maximum(np.abs(acc_full), 1e-30)
+        assert rel.max() < 2e-5, (law.name, rel.max())
+        p_full = np.asarray(law.potential(1.0, 1.0, r * r, r, 1.0))
+        p_tab = p_full - np.asarray(lrp)
+        p_cf = p_full * np.asarray(sp(u))
+        relp = np.abs(p_cf - p_tab) / np.maximum(np.abs(p_full), 1e-30)
+        assert relp.max() < 2e-5, (law.name, relp.max())

@@ -2,6 +2,7 @@
 stop-file interruption — the reference's gravtree_forcetest.c / restart.c /
 run.c:67-125 behaviors."""
 
+import json
 import os
 
 import numpy as np
@@ -164,3 +165,26 @@ def test_yukawa_forcetest_two_body_exact():
                               [1, 1], cfg.type_to_grav)
     p3, _, _ = solver.compute(p_same, 0, 2)
     assert np.abs(np.asarray(p3.accel)).max() < 1e-12
+
+
+@pytest.mark.slow
+def test_stock_equivalence(tmp_path):
+    """NGRAVS_STOCK_TESTING gate: the rebuild must track the real C
+    reference binary (MPI/GSL-stub single-rank build of the unmodified
+    sources, Makefile.reference:51-99 stock options + OUTPUTPOTENTIAL)
+    on GalaxyCollision — energy.txt component trajectories (global.c:22)
+    and final-snapshot displacement, within the documented f32-vs-f64
+    chaos tolerances.  Drives tools/stock_equivalence/compare.py, which
+    writes stock_equivalence.json and exits nonzero on failure."""
+    import subprocess
+    import sys as _sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable,
+         os.path.join(repo, "tools", "stock_equivalence", "compare.py"),
+         "--tmax", "0.03", "--workdir", str(tmp_path),
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=3500)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    res = json.loads(open(tmp_path / "stock_equivalence.json").read())
+    assert res["pass"], res

@@ -55,6 +55,30 @@ def build_c_reference(workdir: str) -> str:
     for f in os.listdir(REF):
         if f.endswith((".c", ".h")):
             shutil.copy(os.path.join(REF, f), bdir)
+    # three upstream bugs under OUTPUTPOTENTIAL && !PMGRID (the reference
+    # was evidently only ever built with both or neither):
+    #  - forcetree.c ~2750: `if(r >= h) {` is never closed before `else`
+    #  - forcetree.c:2678: `if(mass > 0)` where ngravs made `mass` an
+    #    ARRAY (pointer compare, always true -> spurious endrun(988); the
+    #    gravity walk's same check was updated to `summass`, :1481)
+    #  - ngravs.c:156: PotentialZero uses PMGRID without a guard
+    ft = os.path.join(bdir, "forcetree.c")
+    src = open(ft).read()
+    src = src.replace(
+        "\t    pot -= (*PotentialFxns[pgravtype][i])"
+        "(pmass, mass[i], h, r, 1);\n#endif\n\t  else",
+        "\t    pot -= (*PotentialFxns[pgravtype][i])"
+        "(pmass, mass[i], h, r, 1);\n#endif\n\t  }\n\t  else", 1)
+    src = src.replace("if(mass > 0)", "if(summass > 0)")
+    open(ft, "w").write(src)
+    ng = os.path.join(bdir, "ngravs.c")
+    src = open(ng).read()
+    src = src.replace(
+        "      PotentialZero[i][j] = -1 / (sqrt(M_PI) * "
+        "(((double) ASMTH) / (2*PMGRID)));",
+        "#ifdef PMGRID\n      PotentialZero[i][j] = -1 / (sqrt(M_PI) * "
+        "(((double) ASMTH) / (2*PMGRID)));\n#endif")
+    open(ng, "w").write(src)
     shutil.copy(os.path.join(harness, "mpi_stub.c"), bdir)
     shutil.copy(os.path.join(harness, "gsl_stub.c"), bdir)
     shutil.copytree(os.path.join(harness, "stubinc"),
@@ -65,12 +89,18 @@ def build_c_reference(workdir: str) -> str:
             "allvars.c potential.c forcetree.c peano.c "
             "gravtree_forcetest.c pm_periodic.c pm_nonperiodic.c "
             "longrange.c ngravs.c ngravs_core.c mpi_stub.c gsl_stub.c")
+    # NB: OUTPUTPOTENTIAL is required — the reference compiles the BODY of
+    # force_treeevaluate_potential under it (forcetree.c:2469), so a build
+    # with only COMPUTE_POTENTIAL_ENERGY leaves the potential walk a no-op
+    # and energy.txt's Epot compounds garbage (*= G per call,
+    # potential.c:265)
     cmd = (["gcc", "-O3", "-w", "-std=gnu89", "-fcommon", "-Istubinc",
             "-DN_GRAVS=2", "-DNTAB=2048", "-DNGRAVS_EN=64",
             "-DNGRAVS_TIMESTEP_SCALE=1.0", "-DNGRAVS_STOCK_TESTING",
             "-DUNEQUALSOFTENINGS", "-DPEANOHILBERT", "-DWALLCLOCK",
             "-DDOUBLEPRECISION", "-DSYNCHRONIZATION",
-            "-DCOMPUTE_POTENTIAL_ENERGY", "-o", "Gadget2"]
+            "-DCOMPUTE_POTENTIAL_ENERGY", "-DOUTPUTPOTENTIAL",
+            "-o", "Gadget2"]
            + srcs.split() + ["-lm"])
     subprocess.run(cmd, cwd=bdir, check=True, capture_output=True)
     return os.path.join(bdir, "Gadget2")
