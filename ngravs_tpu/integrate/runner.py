@@ -692,8 +692,9 @@ class Simulation:
                     (p, pm_beg, pm_end))
             min_next = jnp.min(p.ti_endstep)
             n_next = jnp.sum(p.ti_endstep == min_next)
+            nia_sum = jnp.sum(jnp.where(valid, res.ninteract, 0))
             return (p, n_active, min_next, n_next, tree, since, pm_beg,
-                    pm_end, dt_disp, res.overflow,
+                    pm_end, dt_disp, res.overflow, nia_sum,
                     jnp.concatenate(
                         [jnp.stack([res.max_ent, res.max_chunk,
                                     res.max_rows]), res.max_frontier]))
@@ -711,7 +712,7 @@ class Simulation:
 
             def cond(c):
                 (p, ti_cur, min_nxt, n_nxt, updates, steps, last_act,
-                 tree, since, pm_b, pm_e, dtd, ovf, stats) = c
+                 tree, since, pm_b, pm_e, dtd, ovf, stats, rec) = c
                 go = ((steps < seg_cap) & (min_nxt <= ti_stop)
                       & ((steps == 0) | (min_nxt > ti_cur))
                       & (n_nxt <= s) & ~ovf)
@@ -725,10 +726,10 @@ class Simulation:
 
             def body(c):
                 (p0, ti_cur, min_nxt, n_nxt, updates, steps, last_act,
-                 tree0_, since0, pm_b0, pm_e0, dtd0, ovf, stats) = c
+                 tree0_, since0, pm_b0, pm_e0, dtd0, ovf, stats, rec) = c
                 time_now = time_at_dev(min_nxt)
                 (p1, n_active, min2, n2, tree1, since1, pm_b1, pm_e1,
-                 dtd1, ovf1, st1) = tree_one(
+                 dtd1, ovf1, nia1, st1) = tree_one(
                     p0, ti_cur, min_nxt, time_now, dtd0, tree0_, since0,
                     pm_b0, pm_e0)
                 keep = ~ovf1
@@ -740,6 +741,11 @@ class Simulation:
                 pm_b = jnp.where(keep, pm_b1, pm_b0)
                 pm_e = jnp.where(keep, pm_e1, pm_e0)
                 dtd = jnp.where(keep, dtd1, dtd0)
+                # per-step log record (ti, active, interactions)
+                rec = rec.at[jnp.where(keep, steps, seg_cap)].set(
+                    jnp.stack([min_nxt, n_active.astype(jnp.int32),
+                               jnp.minimum(nia1, 2**31 - 1)
+                               .astype(jnp.int32)]), mode="drop")
                 return (p, jnp.where(keep, min_nxt, ti_cur),
                         jnp.where(keep, min2, min_nxt),
                         jnp.where(keep, n2, n_nxt),
@@ -749,7 +755,7 @@ class Simulation:
                         jnp.where(keep, n_active.astype(jnp.int32),
                                   last_act),
                         tree, since, pm_b, pm_e, dtd,
-                        ovf | ovf1, jnp.maximum(stats, st1))
+                        ovf | ovf1, jnp.maximum(stats, st1), rec)
 
             c0 = (p, jnp.asarray(ti_from, jnp.int32),
                   jnp.asarray(min_glob, jnp.int32),
@@ -758,14 +764,15 @@ class Simulation:
                   jnp.asarray(pm_beg, jnp.int32),
                   jnp.asarray(pm_end, jnp.int32),
                   jnp.asarray(dt_disp, jnp.float32),
-                  jnp.zeros((), bool), stats0)
+                  jnp.zeros((), bool), stats0,
+                  jnp.zeros((seg_cap, 3), jnp.int32))
             (p, ti_cur, min_nxt, n_nxt, updates, steps, last_act, _tree,
-             _since, pm_b, pm_e, dtd, ovf, stats) = \
+             _since, pm_b, pm_e, dtd, ovf, stats, rec) = \
                 jax.lax.while_loop(cond, body, c0)
             info = jnp.stack([ti_cur, min_nxt, n_nxt, updates, steps,
                               last_act, pm_b, pm_e,
                               ovf.astype(jnp.int32)])
-            return p, info, dtd, stats
+            return p, info, dtd, stats, rec
 
         fn = jax.jit(tree_multi_fn)
         self._tree_multi_cache[key] = fn
@@ -1009,24 +1016,49 @@ class Simulation:
         self.solver.clamp_caps(self.p.n)
         for _attempt in range(6):
             fn = self._get_tree_multi(s)
-            p2, info, dtd, stats = fn(
+            t_seg0 = _time.time()
+            p2, info, dtd, stats, rec = fn(
                 self.p, self.ti_current, min_glob, n_act, ti_stop,
                 self.dt_displacement, self.pm_ti_begstep,
                 self.pm_ti_endstep)
             (ti_cur, min_next, n_next, updates, steps, last_act, pm_b,
              pm_e, ovf) = (int(x) for x in jax.device_get(info))
+            dt_seg = _time.time() - t_seg0
             # commit whatever completed cleanly (overflow freezes the
             # state before the offending step)
             self.p = p2
             self.ti_current = ti_cur
             self.dt_displacement = float(jax.device_get(dtd))
             self.pm_ti_begstep, self.pm_ti_endstep = pm_b, pm_e
+            step0 = self.step_count
             self.num_force_updates += updates
             self.step_count += steps
             if steps:
                 self.flag_fullstep = last_act == self.p.n
             self._fused_info = (min_next, n_next)
             self.solver._tree_cache = None  # segment trees are not cached
+            if steps and self._logs:
+                # per-step log lines from the gathered on-device records
+                # (every_timestep_stuff, run.c:370-392; timings
+                # gravtree.c:408-445) — wall time attributed evenly
+                rows = jax.device_get(rec[:steps])
+                per = dt_seg / steps
+                for k, (ti_k, act_k, nia_k) in enumerate(rows):
+                    if "info" in self._logs:
+                        self._logs["info"].write(
+                            f"Begin Step {step0 + k}, Time: "
+                            f"{self.time_at(int(ti_k)):.8g}, "
+                            f"Active: {int(act_k)} (segment)\n")
+                    if "timings" in self._logs:
+                        self._logs["timings"].write(
+                            f"Step {step0 + k + 1}: forces for "
+                            f"{int(act_k)} particles in {per:.4f}s  "
+                            f"part/sec={int(act_k) / max(per, 1e-9):.5g}  "
+                            f"ia/part={int(nia_k) / max(int(act_k), 1):.1f}"
+                            "\n")
+                for key in ("info", "timings"):
+                    if key in self._logs:
+                        self._logs[key].flush()
             if not ovf:
                 return steps > 0
             # grow the walk caps to the measured demand and recompile
@@ -1051,8 +1083,11 @@ class Simulation:
                 or (self.sph is not None and self.n_gas > 0)):
             return False
         if not self.solver.uses_direct(self.p.n):
-            # tree/TreePM production path: headless segment runs only
-            if (self._segment_cap <= 1 or self._logs
+            # tree/TreePM production path.  Logged runs are admitted:
+            # per-step info/timings lines are reconstructed from gathered
+            # segment records, and segments stop at snapshot/statistics
+            # boundaries so energy.txt timing is unchanged.
+            if (self._segment_cap <= 1
                     or not self._forces_bootstrapped
                     or self.ti_current >= C.TIMEBASE):
                 return False

@@ -2,17 +2,17 @@
 
 The TPU-native replacement for the reference's FFTW-MPI machinery
 (pm_periodic.c:54-790): the PMGRID^3 grid is sharded as x-slabs over the
-1-D device mesh, and the 3-D FFT is the canonical distributed pattern —
-local FFTs over the in-shard axes + one tiled `all_to_all` transpose over
-ICI per direction:
+1-D device mesh, and NO device ever materializes more than its slab
+(+ghost planes) — the memory contract of pm_periodic.c:54-125.
 
   reference mechanism                        -> here
   ---------------------------------------------------------------------
-  CIC patch assignment + patch->slab         -> local CIC scatter into a
-  hypercube exchange (pm_periodic.c:297-427)    full-size grid of *local*
-                                                particles + `psum_scatter`
-                                                (sum + slab distribution in
-                                                one collective)
+  CIC patch assignment + patch->slab         -> route each particle to its
+  hypercube exchange (pm_periodic.c:297-427)    slab owner (one all_to_all
+                                                of packed rows), local CIC
+                                                scatter into [S+1, G, G],
+                                                ppermute-add of the upper
+                                                boundary plane
   rfftwnd_mpi forward/inverse with internal  -> rfft(z)+fft(y) on local
   all-to-all (pm_periodic.c:433,525)            slabs, `all_to_all`
                                                 x<->y transpose, fft(x);
@@ -23,9 +23,10 @@ ICI per direction:
   slab->patch+ghost exchange                 -> `ppermute` of +-2 boundary
   (pm_periodic.c:533-670)                       planes for the 4th-order
                                                 finite difference
-  CIC readout of receiver patches            -> per-dimension `all_gather`
-  (pm_periodic.c:728-763)                       of the gradient slabs +
-                                                local trilinear readout
+  CIC readout of receiver patches            -> slab-local readout (+1
+  (pm_periodic.c:728-763)                       ghost plane) at the routed
+                                                particles, one all_to_all
+                                                back to the owner shards
 
 Everything runs once per (source, receiver) gravity pair, sharing one
 forward FFT per source gravity, exactly as `ops/pm.py` does on one chip.
@@ -39,7 +40,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from ..ops.pm import cic_assign, cic_readout
 from .mesh import AXIS
 
 
@@ -82,8 +82,9 @@ class ShardedPMSolver:
 
     Reuses the per-pair k-space multipliers of the single-chip solver
     (`ops/pm.py:_deconv_smth`); call `forces(pos, mass, grav)` with arrays
-    sharded along N over `mesh`.  Positions may live on any shard — the CIC
-    scatter is local-then-`psum_scatter`, the readout gathers gradient slabs.
+    sharded along N over `mesh`.  Particles are routed to their slab
+    owners for assignment and readout, so per-device grid memory is
+    O(PMGRID^3 / n_dev), never the full mesh.
     """
 
     def __init__(self, base_pm, mesh, n_gravs: int):
@@ -103,15 +104,100 @@ class ShardedPMSolver:
             out_specs=P(AXIS), check_vma=False))
 
     # ------------------------------------------------------------------
-    def _rho_k(self, pos, mass, grav, sg):
-        """Density slab -> sharded k-space spectrum for source gravity sg."""
+    # particle <-> slab routing (patch<->slab exchange analog)
+    # ------------------------------------------------------------------
+    def _route_out(self, pos, mass, grav):
+        """Send every local particle to the device owning the x-plane of
+        its lower CIC cell.  Returns (rpos [R,3], rmass [R], rgrav [R],
+        rvalid [R], dest [n], rank [n]) with R = n_dev * cap; (dest,
+        rank) address the way back."""
         g, box = self.pm.pmgrid, self.pm.box
-        w = jnp.where(grav == sg, mass, 0.0)
-        grid = cic_assign(pos, w, g, box)               # local particles only
-        slab = jax.lax.psum_scatter(grid, AXIS, scatter_dimension=0,
-                                    tiled=True)         # [S, G, G] summed
-        return _fft_forward_sharded(slab, self.n_dev)
+        n_dev = self.n_dev
+        s = g // n_dev
+        n = pos.shape[0]
+        cap = n  # safe bound; typical occupancy ~n/n_dev (uniform boxes)
+        fac = g / box
+        x0 = jnp.mod(jnp.floor(pos[:, 0] * fac).astype(jnp.int32), g)
+        dest = x0 // s
+        rank = jnp.zeros((n,), jnp.int32)
+        for d in range(n_dev):
+            m = dest == d
+            c = jnp.cumsum(m.astype(jnp.int32))
+            rank = jnp.where(m, c - 1, rank)
+        bcf = lambda a: jax.lax.bitcast_convert_type(
+            a.astype(jnp.int32), jnp.float32)
+        payload = jnp.concatenate(
+            [pos, mass[:, None], bcf(grav)[:, None],
+             jnp.ones((n, 1), jnp.float32)], axis=1)       # [n, 6]
+        send = jnp.zeros((n_dev, cap, 6), jnp.float32) \
+            .at[dest, rank].set(payload, mode="drop")
+        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0,
+                                  tiled=True).reshape(n_dev, cap, 6)
+        r = recv.reshape(n_dev * cap, 6)
+        rgrav = jax.lax.bitcast_convert_type(r[:, 4], jnp.int32)
+        return (r[:, 0:3], r[:, 3], rgrav, r[:, 5] > 0, dest, rank)
 
+    def _route_back(self, values, dest, rank):
+        """Return per-routed-particle values [n_dev*cap, K] to the owner
+        shards, re-addressed by (dest, rank)."""
+        n_dev = self.n_dev
+        r, k = values.shape
+        cap = r // n_dev
+        back = jax.lax.all_to_all(values.reshape(n_dev, cap, k), AXIS,
+                                  split_axis=0, concat_axis=0, tiled=True)
+        back = back.reshape(n_dev, cap, k)
+        return back[dest, rank]
+
+    def _cic_slab(self, rpos, w, rvalid):
+        """CIC scatter of routed particles into my [S, G, G] slab (upper
+        boundary plane exchanged by ppermute ring)."""
+        g, box = self.pm.pmgrid, self.pm.box
+        n_dev = self.n_dev
+        s = g // n_dev
+        my = jax.lax.axis_index(AXIS)
+        fac = g / box
+        u = rpos * fac
+        i0 = jnp.floor(u).astype(jnp.int32)
+        d = u - i0
+        i0 = jnp.mod(i0, g)
+        ix0 = i0[:, 0] - my * s                 # in [0, S) for valid rows
+        ix0 = jnp.where(rvalid, ix0, s + 1)     # park padding out of range
+        iy0, iz0 = i0[:, 1], i0[:, 2]
+        iy1, iz1 = jnp.mod(iy0 + 1, g), jnp.mod(iz0 + 1, g)
+        w = jnp.where(rvalid, w, 0.0)
+        sub = jnp.zeros((s + 2, g, g), w.dtype)
+        for bx, wx in ((ix0, 1 - d[:, 0]), (ix0 + 1, d[:, 0])):
+            for by, wy in ((iy0, 1 - d[:, 1]), (iy1, d[:, 1])):
+                for bz, wz in ((iz0, 1 - d[:, 2]), (iz1, d[:, 2])):
+                    sub = sub.at[bx, by, bz].add(w * wx * wy * wz,
+                                                 mode="drop")
+        # upper boundary plane belongs to the next slab (periodic ring)
+        perm_up = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        extra = jax.lax.ppermute(sub[s], AXIS, perm_up)
+        return sub[:s].at[0].add(extra)
+
+    def _readout_slab(self, grid_p, rpos, rvalid):
+        """Trilinear readout of a ghost-padded [S+1, G, G] slab at the
+        routed positions."""
+        g, box = self.pm.pmgrid, self.pm.box
+        s = g // self.n_dev
+        my = jax.lax.axis_index(AXIS)
+        fac = g / box
+        u = rpos * fac
+        i0 = jnp.floor(u).astype(jnp.int32)
+        d = u - i0
+        i0 = jnp.mod(i0, g)
+        ix0 = jnp.clip(i0[:, 0] - my * s, 0, s - 1)  # padding rows clamp
+        iy0, iz0 = i0[:, 1], i0[:, 2]
+        iy1, iz1 = jnp.mod(iy0 + 1, g), jnp.mod(iz0 + 1, g)
+        out = jnp.zeros(rpos.shape[0], grid_p.dtype)
+        for bx, wx in ((ix0, 1 - d[:, 0]), (ix0 + 1, d[:, 0])):
+            for by, wy in ((iy0, 1 - d[:, 1]), (iy1, d[:, 1])):
+                for bz, wz in ((iz0, 1 - d[:, 2]), (iz1, d[:, 2])):
+                    out = out + grid_p[bx, by, bz] * wx * wy * wz
+        return jnp.where(rvalid, out, 0.0)
+
+    # ------------------------------------------------------------------
     def _smth_chunk(self, tg, sg):
         """Local y-chunk of the k-space multiplier [G, G/n_dev, Gz]."""
         my = jax.lax.axis_index(AXIS)
@@ -123,18 +209,24 @@ class ShardedPMSolver:
 
     def _forces_impl(self, pos, mass, grav):
         g, box = self.pm.pmgrid, self.pm.box
+        n_dev = self.n_dev
         fac = self.pm.G / (math.pi * box) * (g ** 3)
         h = box / g
-        my = jax.lax.axis_index(AXIS)
-        s = g // self.n_dev
-        acc = jnp.zeros_like(pos)
+        s = g // n_dev
+        perm_dn = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+        rpos, rmass, rgrav, rvalid, dest, rank = self._route_out(
+            pos, mass, grav)
+        racc = jnp.zeros((rpos.shape[0], 3), jnp.float32)
         for sg in range(self.n_gravs):
-            rho_k = self._rho_k(pos, mass, grav, sg)
+            w = jnp.where(rgrav == sg, rmass, 0.0)
+            slab = self._cic_slab(rpos, w, rvalid)
+            rho_k = _fft_forward_sharded(slab, n_dev)
             for tg in range(self.n_gravs):
                 psi = _fft_inverse_sharded(rho_k * self._smth_chunk(tg, sg),
-                                           self.n_dev)  # [S, G, G]
-                recv = grav == tg
-                psi_p = _ghost_pad_x(psi, 2)             # [S+4, G, G]
+                                           n_dev)          # [S, G, G]
+                recv = (rgrav == tg) & rvalid
+                psi_p = _ghost_pad_x(psi, 2)                # [S+4, G, G]
                 for dim in range(3):
                     if dim == 0:
                         d1 = psi_p[3:s + 3] - psi_p[1:s + 1]
@@ -145,24 +237,35 @@ class ShardedPMSolver:
                         d2 = (jnp.roll(psi, -2, axis=dim)
                               - jnp.roll(psi, 2, axis=dim))
                     grad = (4.0 / 3 * d1 - 1.0 / 6 * d2) / (2 * h)
-                    full = jax.lax.all_gather(grad, AXIS, tiled=True)
-                    a = cic_readout(full, pos, g, box)
-                    acc = acc.at[:, dim].add(jnp.where(recv, a * fac, 0.0))
-        return acc
+                    # +1 upper ghost plane for the x0+1 readout cell
+                    up = jax.lax.ppermute(grad[0], AXIS, perm_dn)
+                    grad_p = jnp.concatenate([grad, up[None]], axis=0)
+                    a = self._readout_slab(grad_p, rpos, recv)
+                    racc = racc.at[:, dim].add(
+                        jnp.where(recv, a * fac, 0.0))
+        return self._route_back(racc, dest, rank)
 
     def _potential_impl(self, pos, mass, grav):
         g, box = self.pm.pmgrid, self.pm.box
+        n_dev = self.n_dev
         fac = self.pm.G / (math.pi * box) * (g ** 3)
-        pot = jnp.zeros(pos.shape[0], pos.dtype)
+        perm_dn = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        rpos, rmass, rgrav, rvalid, dest, rank = self._route_out(
+            pos, mass, grav)
+        rpot = jnp.zeros((rpos.shape[0], 1), jnp.float32)
         for sg in range(self.n_gravs):
-            rho_k = self._rho_k(pos, mass, grav, sg)
+            w = jnp.where(rgrav == sg, rmass, 0.0)
+            slab = self._cic_slab(rpos, w, rvalid)
+            rho_k = _fft_forward_sharded(slab, n_dev)
             for tg in range(self.n_gravs):
                 psi = _fft_inverse_sharded(rho_k * self._smth_chunk(tg, sg),
-                                           self.n_dev)
-                full = jax.lax.all_gather(psi, AXIS, tiled=True)
-                v = cic_readout(full, pos, g, box)
-                pot = pot - jnp.where(grav == tg, v * fac, 0.0)
-        return pot
+                                           n_dev)
+                up = jax.lax.ppermute(psi[0], AXIS, perm_dn)
+                psi_p = jnp.concatenate([psi, up[None]], axis=0)
+                recv = (rgrav == tg) & rvalid
+                v = self._readout_slab(psi_p, rpos, recv)
+                rpot = rpot - jnp.where(recv[:, None], v[:, None] * fac, 0.0)
+        return self._route_back(rpot, dest, rank)[:, 0]
 
     def forces(self, pos, mass, grav):
         return self._forces(pos, mass, grav)

@@ -440,19 +440,79 @@ class DistributedSimulation:
         return p_out, s_out
 
     def write_snapshot_now(self, path=None):
-        """savepositions (io.c:33) from gathered, re-ordered state."""
-        p, sph = self.gather_ordered()
-        data = build_snapshot_data(
-            self.cfg, self.units, self.tables, float(self.tbi), p, sph,
-            self.n_gas, self.ti_current, self.time,
-            entropy_is_u=self._entropy_pending_u)
+        """savepositions (io.c:33).  Multi-device runs write one file per
+        shard without ever gathering the whole state (io.c:94-112: files
+        written by group masters); single-device falls back to the
+        gathered writer."""
         if path is None:
             path = os.path.join(
                 self.log_dir or ".",
                 f"{self.cfg.snapshot_file_base}_{self.snapshot_count:03d}")
-        write_snapshot_files(self.cfg, path, data)
+        if self.n_dev > 1:
+            self._write_snapshot_sharded(path)
+        else:
+            p, sph = self.gather_ordered()
+            data = build_snapshot_data(
+                self.cfg, self.units, self.tables, float(self.tbi), p, sph,
+                self.n_gas, self.ti_current, self.time,
+                entropy_is_u=self._entropy_pending_u)
+            write_snapshot_files(self.cfg, path, data)
         self.snapshot_count += 1
         return path
+
+    def _write_snapshot_sharded(self, path: str):
+        """Per-shard snapshot files `path.k`: each device's live rows are
+        pulled independently (addressable shard buffers — per-shard host
+        memory, never O(N_total)), type-sorted, and written as one member
+        of a num_files = n_dev Gadget multi-file set that
+        `read_snapshot_set` reassembles."""
+        import dataclasses
+        from ..io.gadget_format import write_snapshot, write_snapshot_hdf5
+
+        cfg = self.cfg
+        n_dev = self.n_dev
+
+        def shard_arrays(tree, k):
+            def one(a):
+                shs = sorted(a.addressable_shards,
+                             key=lambda s: (s.index[0].start or 0))
+                return np.asarray(shs[k].data)
+            return jax.tree.map(one, tree)
+
+        # pass 1: global per-type totals from the small id/type columns
+        totals = np.zeros(6, np.int64)
+        for k in range(n_dev):
+            ids = shard_arrays(self.p.pid, k)
+            tys = shard_arrays(self.p.ptype, k)
+            totals += np.bincount(tys[ids >= 0], minlength=6)
+
+        # pass 2: one shard at a time — peak host memory is one shard
+        for k in range(n_dev):
+            pk = shard_arrays(self.p, k)
+            sk = shard_arrays(self.sph, k) if self.sph is not None else None
+            live = np.nonzero(pk.pid >= 0)[0]
+            order = live[np.argsort(pk.ptype[live], kind="stable")]
+            pk = jax.tree.map(lambda a: a[order], pk)
+            if sk is not None:
+                sk = jax.tree.map(lambda a: a[order], sk)
+            n_gas_k = int((pk.ptype == 0).sum())
+            data = build_snapshot_data(
+                cfg, self.units, self.tables, float(self.tbi), pk, sk,
+                n_gas_k, self.ti_current, self.time,
+                entropy_is_u=self._entropy_pending_u)
+            # consistent set-wide conventions: global totals, explicit
+            # per-particle mass blocks (per-shard mass tables could
+            # disagree when a type is absent on some shard)
+            data.header.npart_total = totals.astype(np.uint32)
+            data.header.num_files = n_dev
+            data.header.mass = np.zeros(6)
+            if cfg.snap_format == 3:
+                write_snapshot_hdf5(f"{path}.{k}.hdf5", data,
+                                    with_pot=cfg.output_potential)
+            else:
+                write_snapshot(f"{path}.{k}", data,
+                               snap_format=cfg.snap_format,
+                               with_pot=cfg.output_potential)
 
     def energy_statistics(self):
         """energy.txt line (run.c:413-433) from gathered state."""

@@ -364,11 +364,16 @@ def test_distributed_simulation_runs(tmp_path):
     assert np.isfinite(pg.accel).all()
     gas = pg.ptype == 0
     assert (sg.density[gas] > 0).all()
-    # snapshot written and readable, with all particles
+    # snapshot written PER SHARD (no full gather, io.c:94-112) and the
+    # multi-file set reassembles to all particles
+    from ngravs_tpu.io.gadget_format import read_snapshot_set
     snaps = sorted(f for f in os.listdir(tmp_path) if f.startswith("snap"))
     assert snaps, os.listdir(tmp_path)
-    data = read_snapshot(os.path.join(tmp_path, snaps[0]))
+    assert any(f.endswith(".0") for f in snaps), snaps  # one file per shard
+    base = os.path.join(tmp_path, snaps[0].rsplit(".", 1)[0])
+    data = read_snapshot_set(base)
     assert data.header.npart.sum() == p.pos.shape[0]
+    assert sorted(np.asarray(data.pid)) == sorted(np.asarray(p.pid))
     assert np.isfinite(data.u).all() and (data.u > 0).all()
     # OUTPUTPOTENTIAL: POT block present, finite, includes the PM part
     assert data.pot is not None and np.isfinite(data.pot).all()
