@@ -60,8 +60,13 @@ def main():
         time_bet_statistics=0.0,
         # PRODUCTION PATH: force the fused BH tree walk (ops/walk.py) —
         # the O(N log N) path the north-star is about — instead of the
-        # exact O(N^2) sweep the auto solver would pick at 60k
-        direct_crossover=1000)
+        # exact O(N^2) sweep the auto solver would pick at 60k.  Depth
+        # and walk caps are preset to the measured GalaxyCollision
+        # demand (benchmarks/SCALE_r03.json) so the first pass does not
+        # burn the measurement window on deepening/cap-regrow recompiles
+        # (the axon backend currently does not persist compiled programs).
+        direct_crossover=1000, tree_depth=12,
+        walk_ent_cap=512, walk_chunk_cap=1024, walk_frontier_cap=1024)
     if platform_note:
         # shrink the CPU-fallback workload so the measurement completes:
         # an honest small number beats a driver timeout
@@ -107,7 +112,7 @@ def main():
     }))
 
 
-def _watchdog(seconds: float = 900.0):
+def _watchdog(seconds: float = 3300.0):
     """The axon TPU tunnel can hang backend init indefinitely; emit a
     parseable failure line and exit rather than timing out silently."""
     import threading

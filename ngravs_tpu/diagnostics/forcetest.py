@@ -48,6 +48,14 @@ def force_test(sim, fraction: float | None = None, seed: int = 42,
     lat = getattr(sim.solver, "oracle_lattice_tables", None)
     if lat is None:
         lat = getattr(sim.solver, "lattice_tables", None)
+    if lat is None and cfg.periodic:
+        # the solver only pre-builds the Ewald oracle tables when
+        # ForceTest is configured (begrun.c:47-49); harnesses calling
+        # force_test() directly (tpmfp/rdep) need them regardless — a
+        # bare minimum-image sum is NOT the periodic force (~20% rms off)
+        from ..ops.lattice import build_lattice_tables
+        lat = build_lattice_tables(sim.wiring, cfg.ngravs_en, cfg.box_size)
+        sim.solver.oracle_lattice_tables = lat
     acc_d, _ = direct_forces(
         sim.wiring, p.pos, p.mass, p.grav, fsoft,
         tgt_idx=jnp.asarray(idx), box=box,

@@ -597,7 +597,7 @@ class Simulation:
                tuple(sorted(solver.fcaps.items())))
         if key in self._tree_multi_cache:
             return self._tree_multi_cache[key]
-        from ..ops.tree import build_tree, refresh_tree
+        from ..ops.tree import build_tree, drift_tree, refresh_tree
         from .timeline import pm_window_update
 
         walk = solver._walk(want_pot=False)
@@ -620,7 +620,15 @@ class Simulation:
                 return jnp.float32(cfg.time_begin) * jnp.exp(tf)
             return jnp.float32(cfg.time_begin) + tf
 
-        def make_tree(p, tree_c, do_build):
+        # tree maintenance cadence (the reference's scheme): full rebuild
+        # every TreeDomainUpdateFrequency*N force updates (domain.c:76),
+        # moment RE-AGGREGATION every few steps, and in between the tree
+        # only DRIFTS (node CMs move with node velocities, the cheap
+        # elementwise dynamic update of predict.c:83-90) — re-aggregating
+        # every step cost ~10x the walk itself at small active sets
+        REFRESH_EVERY = 8
+
+        def make_tree(p, tree_c, mode, dd):
             fsoft = fsoft_by_type[p.ptype]
             aold = err_tol * p.old_acc / G
             zero_h = jnp.zeros_like(p.mass)
@@ -630,18 +638,24 @@ class Simulation:
                                   zero_h, depth=depth, n_gravs=cfg.n_gravs,
                                   bucket=cfg.tree_bucket_size,
                                   box_size=box_t,
-                                  group_size=cfg.walk_group_size)
+                                  group_size=cfg.walk_group_size,
+                                  vel=p.vel)
 
             def _refresh(tc):
                 return refresh_tree(tc, p.pos, p.mass, p.grav, fsoft, aold,
                                     zero_h, depth=depth,
                                     n_gravs=cfg.n_gravs,
-                                    bucket=cfg.tree_bucket_size)
+                                    bucket=cfg.tree_bucket_size,
+                                    vel=p.vel)
 
-            return jax.lax.cond(do_build, _build, _refresh, tree_c)
+            def _drift(tc):
+                return drift_tree(tc, dd)
+
+            return jax.lax.switch(mode, [_drift, _refresh, _build], tree_c)
 
         def tree_one(p, ti_from, min_glob, time_now, dt_disp, tree_c,
-                     since, pm_beg, pm_end):
+                     since, since_agg, pm_beg, pm_end):
+            dd_step = tables.drift_factor(ti_from, min_glob)
             p, _ = self._drift(p, None, ti_from, min_glob)
             if cfg.pmgrid:
                 def pm_on(p):
@@ -651,9 +665,12 @@ class Simulation:
             mask = p.ti_endstep == min_glob
             n_active = jnp.sum(mask)
             do_build = since >= rebuild_every
-            tree = make_tree(p, tree_c, do_build)
+            do_agg = since_agg >= REFRESH_EVERY
+            mode = jnp.where(do_build, 2, jnp.where(do_agg, 1, 0))
+            tree = make_tree(p, tree_c, mode, dd_step)
             since = jnp.where(do_build, 0, since) \
                 + n_active.astype(jnp.int32)
+            since_agg = jnp.where(mode > 0, 0, since_agg + 1)
             mask_s = mask[tree.order]
             tgt = jnp.nonzero(mask_s, size=s, fill_value=-1)[0] \
                 .astype(jnp.int32)
@@ -693,8 +710,8 @@ class Simulation:
             min_next = jnp.min(p.ti_endstep)
             n_next = jnp.sum(p.ti_endstep == min_next)
             nia_sum = jnp.sum(jnp.where(valid, res.ninteract, 0))
-            return (p, n_active, min_next, n_next, tree, since, pm_beg,
-                    pm_end, dt_disp, res.overflow, nia_sum,
+            return (p, n_active, min_next, n_next, tree, since, since_agg,
+                    pm_beg, pm_end, dt_disp, res.overflow, nia_sum,
                     jnp.concatenate(
                         [jnp.stack([res.max_ent, res.max_chunk,
                                     res.max_rows]), res.max_frontier]))
@@ -707,12 +724,13 @@ class Simulation:
                                jnp.zeros_like(p.mass), depth=depth,
                                n_gravs=cfg.n_gravs,
                                bucket=cfg.tree_bucket_size, box_size=box_t,
-                               group_size=cfg.walk_group_size)
+                               group_size=cfg.walk_group_size, vel=p.vel)
             stats0 = jnp.zeros((3 + depth + 1,), jnp.int32)
 
             def cond(c):
                 (p, ti_cur, min_nxt, n_nxt, updates, steps, last_act,
-                 tree, since, pm_b, pm_e, dtd, ovf, stats, rec) = c
+                 tree, since, since_agg, pm_b, pm_e, dtd, ovf, stats,
+                 rec) = c
                 go = ((steps < seg_cap) & (min_nxt <= ti_stop)
                       & ((steps == 0) | (min_nxt > ti_cur))
                       & (n_nxt <= s) & ~ovf)
@@ -726,18 +744,20 @@ class Simulation:
 
             def body(c):
                 (p0, ti_cur, min_nxt, n_nxt, updates, steps, last_act,
-                 tree0_, since0, pm_b0, pm_e0, dtd0, ovf, stats, rec) = c
+                 tree0_, since0, sagg0, pm_b0, pm_e0, dtd0, ovf, stats,
+                 rec) = c
                 time_now = time_at_dev(min_nxt)
-                (p1, n_active, min2, n2, tree1, since1, pm_b1, pm_e1,
-                 dtd1, ovf1, nia1, st1) = tree_one(
+                (p1, n_active, min2, n2, tree1, since1, sagg1, pm_b1,
+                 pm_e1, dtd1, ovf1, nia1, st1) = tree_one(
                     p0, ti_cur, min_nxt, time_now, dtd0, tree0_, since0,
-                    pm_b0, pm_e0)
+                    sagg0, pm_b0, pm_e0)
                 keep = ~ovf1
                 sel = lambda a, b: jax.tree_util.tree_map(
                     lambda x, y: jnp.where(keep, x, y), a, b)
                 p = sel(p1, p0)
                 tree = sel(tree1, tree0_)
                 since = jnp.where(keep, since1, since0)
+                sagg = jnp.where(keep, sagg1, sagg0)
                 pm_b = jnp.where(keep, pm_b1, pm_b0)
                 pm_e = jnp.where(keep, pm_e1, pm_e0)
                 dtd = jnp.where(keep, dtd1, dtd0)
@@ -754,20 +774,21 @@ class Simulation:
                         steps + jnp.where(keep, 1, 0),
                         jnp.where(keep, n_active.astype(jnp.int32),
                                   last_act),
-                        tree, since, pm_b, pm_e, dtd,
+                        tree, since, sagg, pm_b, pm_e, dtd,
                         ovf | ovf1, jnp.maximum(stats, st1), rec)
 
             c0 = (p, jnp.asarray(ti_from, jnp.int32),
                   jnp.asarray(min_glob, jnp.int32),
                   jnp.asarray(n_act, jnp.int32), jnp.int32(0),
                   jnp.int32(0), jnp.int32(0), tree0, jnp.int32(0),
+                  jnp.int32(0),
                   jnp.asarray(pm_beg, jnp.int32),
                   jnp.asarray(pm_end, jnp.int32),
                   jnp.asarray(dt_disp, jnp.float32),
                   jnp.zeros((), bool), stats0,
                   jnp.zeros((seg_cap, 3), jnp.int32))
             (p, ti_cur, min_nxt, n_nxt, updates, steps, last_act, _tree,
-             _since, pm_b, pm_e, dtd, ovf, stats, rec) = \
+             _since, _sagg, pm_b, pm_e, dtd, ovf, stats, rec) = \
                 jax.lax.while_loop(cond, body, c0)
             info = jnp.stack([ti_cur, min_nxt, n_nxt, updates, steps,
                               last_act, pm_b, pm_e,
@@ -816,6 +837,14 @@ class Simulation:
         t0 = _time.time()
         if full:
             n_active = self.p.n
+            if self.cfg.pmgrid and not self.cfg.no_gravity:
+                # a FULL force computation refreshes the long-range PM
+                # force too (long_range_force, accel.c:34-42) — the step
+                # loop gates PM by its own timeline, but standalone
+                # full-force callers (FORCETEST, tpmfp/rdep harnesses,
+                # update_full_potential) need a current accel_pm
+                self.p = self.p.replace(
+                    accel_pm=self.solver.pm_forces(self.p))
         else:
             n_act, _ = self._active_info(self.p, self.ti_current)
             n_active = int(n_act)
@@ -1008,7 +1037,11 @@ class Simulation:
         if cfg.time_bet_statistics > 0 and t_sync >= self._next_stats:
             self._fused_info = None
             return False
-        s = min(_bucket(max(n_act, 1)), _bucket(self.p.n))
+        # ONE segment program for every active-set size: walk cost is
+        # active-block-proportional (tree-aligned blocks), so padding the
+        # target list to N is nearly free, while re-jitting per active
+        # bucket cost 5-8 minutes of compile at every bucket change
+        s = _bucket(self.p.n)
         ti_stop = self._segment_bounds()
         if min_glob > ti_stop:
             self._fused_info = None

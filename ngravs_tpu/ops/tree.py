@@ -63,6 +63,7 @@ class Octree(NamedTuple):
     node_level: jnp.ndarray   # [M] int32
     # per-gravity monopoles (ngravs: allvars.h:642-647)
     node_cm: jnp.ndarray      # [M,NG,3]
+    node_vel: jnp.ndarray     # [M,NG,3] mass-weighted mean velocity
     node_mass: jnp.ndarray    # [M,NG]
     node_count: jnp.ndarray   # [M,NG] particle count per gravity (accumulator)
     node_maxsoft: jnp.ndarray  # [M] max force-softening of members
@@ -74,6 +75,7 @@ class Octree(NamedTuple):
     # children (flat indices into node arrays); nchild == 0 at depth limit
     node_child0: jnp.ndarray  # [M] int32
     node_nchild: jnp.ndarray  # [M] int32
+    node_parent: jnp.ndarray  # [M] int32 (-1 at the root / invalid)
     # aligned leaf-chunk table layout: every *shallowest* terminal node owns
     # ceil(pcount/8) aligned 8-row chunks in the packed source table, so the
     # walk gathers leaf particles as 256-byte contiguous rows instead of
@@ -93,6 +95,7 @@ class Octree(NamedTuple):
     # sorted particle data
     order: jnp.ndarray        # [N] sorted -> original index
     pos_s: jnp.ndarray        # [N,3]
+    vel_s: jnp.ndarray        # [N,3]
     mass_s: jnp.ndarray       # [N]
     grav_s: jnp.ndarray       # [N] int32
     fsoft_s: jnp.ndarray      # [N]
@@ -135,7 +138,8 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
                depth: int = 8, n_gravs: int = 1, bucket: int = 32,
                box_size: float = 0.0, group_size: int = 64,
                group_thresh: int | None = None,
-               ngrp_cap: int | None = None) -> Octree:
+               ngrp_cap: int | None = None,
+               corner=None, root_len=None, vel=None) -> Octree:
     """Construct the octree (force_treebuild, forcetree.c:61-763).
 
     For periodic runs pass box_size > 0: the root cell is the box itself
@@ -144,7 +148,12 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
     """
     assert depth <= MAX_DEPTH
     n = pos.shape[0]
-    if box_size > 0:
+    if corner is not None:
+        # explicit root cell (sharded LET builds: every shard must use
+        # the identical global cell so cells align across shards)
+        corner = jnp.asarray(corner, pos.dtype)
+        root_len = jnp.asarray(root_len, pos.dtype)
+    elif box_size > 0:
         corner = jnp.zeros(3, pos.dtype)
         root_len = jnp.asarray(box_size, pos.dtype)
     else:
@@ -156,10 +165,13 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
 
     if hsml is None:
         hsml = jnp.zeros_like(mass)
+    if vel is None:
+        vel = jnp.zeros_like(pos)
     khi, klo = morton_keys2(pos, corner, inv_len, depth)
     order = sort_by_keys2(khi, klo)
     khi_s, klo_s = khi[order], klo[order]
     pos_s, mass_s = pos[order], mass[order]
+    vel_s = vel[order]
     grav_s = grav[order].astype(jnp.int32)
     fsoft_s, aold_s = fsoft[order], aold[order]
     hsml_s = hsml[order]
@@ -169,10 +181,12 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
 
     centers, levels, cms, masses, counts, maxsofts = [], [], [], [], [], []
     starts, pcounts, terminals, child0s, nchilds = [], [], [], [], []
-    hmaxs = []
+    hmaxs, vels = [], []
+    parents = [jnp.full((1,), -1, jnp.int32)]   # root has no parent
     prev = None  # (start_padded, pcount, cap) of the previous level
 
     mpos = mass_s[:, None] * pos_s
+    mvel = mass_s[:, None] * vel_s
     arange_n = jnp.arange(n, dtype=jnp.int32)
     # shallowest terminal ancestor of each particle + rank within it
     term_node = jnp.full((n,), -1, jnp.int32)
@@ -211,6 +225,8 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
             .reshape(cap, n_gravs)
         mx_g = jax.ops.segment_sum(mpos, sid, nseg)[:-1] \
             .reshape(cap, n_gravs, 3)
+        mv_g = jax.ops.segment_sum(mvel, sid, nseg)[:-1] \
+            .reshape(cap, n_gravs, 3)
         c_g = jax.ops.segment_sum(jnp.ones_like(mass_s), sid,
                                   nseg)[:-1].reshape(cap, n_gravs)
         msoft = jax.ops.segment_max(fsoft_s, jnp.minimum(seg, cap),
@@ -226,6 +242,8 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
                                depth, lvl, corner, root_len)
         cm = jnp.where(m_g[..., None] > 0, mx_g / jnp.maximum(m_g[..., None], 1e-37),
                        center[:, None, :])
+        vbar = jnp.where(m_g[..., None] > 0,
+                         mv_g / jnp.maximum(m_g[..., None], 1e-37), 0.0)
         terminal = (pcount <= bucket) | (lvl == depth)
         terminal = terminal & valid
 
@@ -257,10 +275,16 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
                 start, p_start + jnp.maximum(p_pcount, 1)).astype(jnp.int32)
             child0s.append(offsets[lvl] + lo_c)
             nchilds.append(hi_c - lo_c)
+            # parent of each THIS-level cell by range containment
+            par = jnp.searchsorted(p_start, start, side="right")                 .astype(jnp.int32) - 1
+            parents.append(jnp.where(valid,
+                                     offsets[lvl - 1] + jnp.maximum(par, 0),
+                                     -1))
 
         centers.append(center)
         levels.append(jnp.full((cap,), lvl, jnp.int32))
         cms.append(cm)
+        vels.append(vbar)
         masses.append(m_g)
         counts.append(c_g)
         maxsofts.append(msoft)
@@ -311,6 +335,7 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
         node_center=jnp.concatenate(centers),
         node_level=jnp.concatenate(levels),
         node_cm=jnp.concatenate(cms),
+        node_vel=jnp.concatenate(vels),
         node_mass=jnp.concatenate(masses),
         node_count=jnp.concatenate(counts),
         node_maxsoft=jnp.concatenate(maxsofts),
@@ -320,11 +345,12 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
         node_terminal=jnp.concatenate(terminals),
         node_child0=jnp.concatenate(child0s),
         node_nchild=jnp.concatenate(nchilds),
+        node_parent=jnp.concatenate(parents),
         node_chunk0=chunk0, node_nchunk=nchunk, leaf_row=leaf_row,
         n_chunk_rows=n_chunk_rows,
         blk_start=blk_start, blk_cnt=blk_cnt, n_blocks=n_blocks, pblk=pblk,
-        order=order, pos_s=pos_s, mass_s=mass_s, grav_s=grav_s,
-        fsoft_s=fsoft_s, aold_s=aold_s, hsml_s=hsml_s,
+        order=order, pos_s=pos_s, vel_s=vel_s, mass_s=mass_s,
+        grav_s=grav_s, fsoft_s=fsoft_s, aold_s=aold_s, hsml_s=hsml_s,
         khi_s=khi_s, klo_s=klo_s,
     )
 
@@ -332,7 +358,8 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
 @functools.partial(jax.jit,
                    static_argnames=("depth", "n_gravs", "bucket"))
 def refresh_tree(tree: Octree, pos, mass, grav, fsoft, aold, hsml,
-                 depth: int, n_gravs: int, bucket: int) -> Octree:
+                 depth: int, n_gravs: int, bucket: int,
+                 vel=None) -> Octree:
     """Re-aggregate node moments on the cached tree structure.
 
     The TPU analog of Gadget's dynamic tree updates between rebuilds
@@ -345,13 +372,16 @@ def refresh_tree(tree: Octree, pos, mass, grav, fsoft, aold, hsml,
     n = pos.shape[0]
     order = tree.order
     pos_s, mass_s = pos[order], mass[order]
+    vel_s = (vel[order] if vel is not None
+             else jnp.zeros_like(pos_s))
     grav_s = grav[order].astype(jnp.int32)
     fsoft_s, aold_s, hsml_s = fsoft[order], aold[order], hsml[order]
     mpos = mass_s[:, None] * pos_s
+    mvel = mass_s[:, None] * vel_s
     caps = level_caps(n, depth, bucket=bucket)
     offsets = np.concatenate([[0], np.cumsum(caps)]).astype(np.int32)
 
-    cms, masses, counts, maxsofts, hmaxs = [], [], [], [], []
+    cms, masses, counts, maxsofts, hmaxs, vels = [], [], [], [], [], []
     done = jnp.zeros((n,), bool)   # terminal assigned at a shallower level
     for lvl in range(depth + 1):
         cap = caps[lvl]
@@ -370,6 +400,8 @@ def refresh_tree(tree: Octree, pos, mass, grav, fsoft, aold, hsml,
             .reshape(cap, n_gravs)
         mx_g = jax.ops.segment_sum(mpos, sid, nseg)[:-1] \
             .reshape(cap, n_gravs, 3)
+        mv_g = jax.ops.segment_sum(mvel, sid, nseg)[:-1] \
+            .reshape(cap, n_gravs, 3)
         c_g = jax.ops.segment_sum(jnp.ones_like(mass_s), sid,
                                   nseg)[:-1].reshape(cap, n_gravs)
         pc = tree.node_pcount[offsets[lvl]:offsets[lvl + 1]]
@@ -384,6 +416,9 @@ def refresh_tree(tree: Octree, pos, mass, grav, fsoft, aold, hsml,
         cm = jnp.where(m_g[..., None] > 0,
                        mx_g / jnp.maximum(m_g[..., None], 1e-37),
                        center[:, None, :])
+        vels.append(jnp.where(m_g[..., None] > 0,
+                              mv_g / jnp.maximum(m_g[..., None], 1e-37),
+                              0.0))
         cms.append(cm)
         masses.append(m_g)
         counts.append(c_g)
@@ -396,12 +431,26 @@ def refresh_tree(tree: Octree, pos, mass, grav, fsoft, aold, hsml,
 
     return tree._replace(
         node_cm=jnp.concatenate(cms),
+        node_vel=jnp.concatenate(vels),
         node_mass=jnp.concatenate(masses),
         node_count=jnp.concatenate(counts),
         node_maxsoft=jnp.concatenate(maxsofts),
         node_hmax=jnp.concatenate(hmaxs),
-        pos_s=pos_s, mass_s=mass_s, grav_s=grav_s,
+        pos_s=pos_s, vel_s=vel_s, mass_s=mass_s, grav_s=grav_s,
         fsoft_s=fsoft_s, aold_s=aold_s, hsml_s=hsml_s)
+
+
+def drift_tree(tree: Octree, dd) -> Octree:
+    """Drift the tree between re-aggregations: node CMs move with their
+    mass-weighted mean velocities and sorted particle positions with
+    their own (the reference's dynamic tree updates, predict.c:83-90 /
+    force_update_pseudoparticles) — O(M+N) elementwise, no segment
+    reductions.  Velocities go stale across kicks; the caller
+    re-aggregates (refresh_tree) on a fixed cadence and rebuilds on the
+    TreeDomainUpdateFrequency schedule exactly like the reference."""
+    return tree._replace(
+        node_cm=tree.node_cm + tree.node_vel * dd,
+        pos_s=tree.pos_s + tree.vel_s * dd)
 
 
 # ---------------------------------------------------------------------------

@@ -39,7 +39,8 @@ from jax.sharding import PartitionSpec as P
 
 from ..constants import SOFTFAC_SPLINE
 from ..integrate.kdk import kick
-from ..ops.tree import build_tree, make_tree_forces
+from ..ops.tree import _compact_rows, build_tree, make_tree_forces
+from ..ops.walk import _row_repeat
 from .mesh import AXIS, sharded_dt_displacement
 
 
@@ -346,3 +347,288 @@ def reshard_by_cost(p, mesh, sph=None, alloc_factor: float = 1.25,
         scat = jax.tree.map(lambda *xs: jax.device_put(
             jnp.asarray(np.concatenate(xs)), sharding), *sblocks)
     return pcat, scat
+
+
+def make_let_tree_step(cfg, units, wiring, tables, mesh,
+                       n_local: int,
+                       depth: int | None = None,
+                       expn_cap: int = 4096,
+                       expp_cap: int = 8192,
+                       ec: int = 512,
+                       fcaps: dict | None = None,
+                       opening: str | None = None):
+    """LET-mode sharded gravity step: per-shard memory o(N_total).
+
+    The reference's locally-essential-tree machinery (pseudo-particle
+    moments forcetree.c:345-431,766-819 + the export/import bunch loop
+    gravtree.c:102-285) rebuilt TPU-first as ONE sender-driven exchange:
+
+      1. every shard builds an octree over its OWN particles only, on the
+         shared global root cell (pmin/pmax collectives);
+      2. for every receiver shard r, the sender walks its own node arrays
+         DENSELY ([M_local, n_dev] masks, no pointer chasing) and exports
+         the *locally essential* cut: a node is exported as a monopole
+         row iff the receiver's domain box cannot open it but could open
+         its parent (both opening rules + the intersect rule, evaluated
+         conservatively against r's whole bounding box); opened terminal
+         nodes export their raw particles.  Chain monotonicity of the
+         criteria guarantees the cut partitions the sender's mass.
+      3. one all_to_all ships the packed rows; the receiver adds them as
+         direct sources for ALL its targets (any row acceptable for the
+         whole domain box is acceptable for every target block in it) on
+         top of the exact fused walk over its local tree.
+
+    No shard ever holds another shard's particle set — unlike the
+    replicated-tree path (make_sharded_tree_step), which all_gathers all
+    N_total particles and builds the identical octree everywhere.
+
+    Collisionless, non-PM (TreePM stays on the replicated path for now).
+    Returns step(p, ti_current, ti_next, time_next) ->
+    (p, min_endstep, overflow).
+    """
+    from ..ops.walk import make_fused_walk
+
+    box = cfg.box_size if cfg.periodic else 0.0
+    periodic = box > 0
+    depth = depth if depth is not None else cfg.tree_depth
+    n_dev = mesh.devices.size
+    G = units.G
+    err_tol = cfg.err_tol_force_acc
+    theta = cfg.err_tol_theta
+    NG = cfg.n_gravs
+    fsoft_by_type = jnp.asarray(
+        np.array(cfg.softening, np.float32) * SOFTFAC_SPLINE)
+    soft_by_type = jnp.asarray(np.array(cfg.softening, np.float32))
+    if opening is None:
+        opening = "bh" if cfg.type_of_opening_criterion == 0 else "relative"
+    fcaps = fcaps or {}
+    walk = make_fused_walk(
+        wiring, n_gravs=NG, depth=depth, bucket=cfg.tree_bucket_size,
+        group_size=cfg.walk_group_size, batch_blocks=cfg.walk_batch_blocks,
+        ent_cap=fcaps.get("ent", 2048), chunk_cap=fcaps.get("chunk", 2048),
+        frontier_cap=fcaps.get("frontier", 2048), ec=cfg.walk_ec,
+        theta=theta, opening=opening, box_size=box)
+    from ..ops.solver import apply_cosmo_corrections, cosmo_corrections
+    corr = cosmo_corrections(cfg, G, units.hubble, None)
+    groups = wiring.unique_laws()
+    EXN = ((expn_cap + 7) // 8) * 8
+    EXP = ((expp_cap + 7) // 8) * 8
+    RCAP = ((EXN * NG + EXP + ec - 1) // ec) * ec
+
+    def min_image(d):
+        if not periodic:
+            return d
+        return d - box * jnp.round(d * (1.0 / box))
+
+    def _box_gap(lo_a, hi_a, lo_b, hi_b):
+        """per-axis gap between two boxes (periodic-aware)."""
+        g = jnp.maximum(lo_b - hi_a, lo_a - hi_b)
+        if periodic:
+            gp = jnp.maximum(lo_b - hi_a - box, lo_a - hi_b + box)
+            gm = jnp.maximum(lo_b - hi_a + box, lo_a - hi_b - box)
+            g = jnp.minimum(g, jnp.minimum(gp, gm))
+        return g
+
+    def _step(p, ti_current, ti_next, time_next):
+        nloc = p.pos.shape[0]
+        my = jax.lax.axis_index(AXIS)
+        dd = tables.drift_factor(ti_current, ti_next)
+        p = p.replace(pos=p.pos + p.vel * dd)
+        if box > 0:
+            p = p.replace(pos=jnp.mod(p.pos, box))
+
+        fsoft = fsoft_by_type[p.ptype]
+        aold = err_tol * p.old_acc / G
+        mass = jnp.where(p.pid >= 0, p.mass, 0.0)
+
+        # ---- shared global root cell + receiver domain boxes ------------
+        live = p.pid >= 0
+        big = jnp.float32(1e30)
+        lo_l = jnp.min(jnp.where(live[:, None], p.pos, big), axis=0)
+        hi_l = jnp.max(jnp.where(live[:, None], p.pos, -big), axis=0)
+        if periodic:
+            corner = jnp.zeros(3, p.pos.dtype)
+            root_len = jnp.asarray(box, p.pos.dtype)
+        else:
+            glo = jax.lax.pmin(lo_l, AXIS)
+            ghi = jax.lax.pmax(hi_l, AXIS)
+            root_len = jnp.max(ghi - glo) * 1.0001 + 1e-30
+            corner = (glo + ghi) / 2 - root_len / 2
+        boxes_lo = jax.lax.all_gather(lo_l, AXIS)          # [n_dev, 3]
+        boxes_hi = jax.lax.all_gather(hi_l, AXIS)
+        aold_min = jax.lax.all_gather(
+            jnp.min(jnp.where(live, aold, big)), AXIS)     # [n_dev]
+
+        # ---- LOCAL tree over my particles only --------------------------
+        tree = build_tree(p.pos, mass, p.grav, fsoft, aold,
+                          depth=depth, n_gravs=NG,
+                          bucket=cfg.tree_bucket_size,
+                          group_size=cfg.walk_group_size,
+                          corner=corner, root_len=root_len)
+
+        # ---- sender-driven LET cut --------------------------------------
+        m_tot = jnp.sum(tree.node_mass, axis=-1)           # [M]
+        cl = tree.root_len * (2.0 ** -tree.node_level.astype(jnp.float32))
+        half = 0.5 * cl[:, None]
+        d2 = jnp.zeros((m_tot.shape[0], n_dev), jnp.float32)
+        inter = jnp.ones((m_tot.shape[0], n_dev), bool)
+        for ax in range(3):
+            ga = _box_gap(tree.node_center[:, ax, None] - half,
+                          tree.node_center[:, ax, None] + half,
+                          boxes_lo[None, :, ax], boxes_hi[None, :, ax])
+            d2 = d2 + jnp.maximum(ga, 0.0) ** 2
+            inter = inter & (ga < 0.1 * cl[:, None])
+        open_bh = (cl * cl)[:, None] > d2 * (theta * theta)
+        openable = open_bh | inter                         # [M, n_dev]
+        if opening == "relative":
+            open_rel = (m_tot * cl * cl)[:, None] \
+                > d2 * d2 * aold_min[None, :]
+            openable = openable | open_rel
+        valid = tree.node_pcount > 0
+        par = jnp.maximum(tree.node_parent, 0)
+        par_open = jnp.where((tree.node_parent >= 0)[:, None],
+                             openable[par], True)
+        exp_mono = valid[:, None] & ~openable & par_open
+        exp_leaf = valid[:, None] & tree.node_terminal[:, None] & openable
+        # never export to myself (the local walk covers it)
+        notme = (jnp.arange(n_dev) != my)[None, :]
+        exp_mono = exp_mono & notme
+        exp_leaf = exp_leaf & notme
+
+        # ---- compact per receiver + pack rows ---------------------------
+        nid_m, cnt_m = _compact_rows(
+            jnp.broadcast_to(jnp.arange(m_tot.shape[0], dtype=jnp.int32)
+                             [:, None], exp_mono.shape).T,
+            exp_mono.T, EXN)                               # [n_dev, EXN]
+        nid_l, cnt_l = _compact_rows(
+            jnp.broadcast_to(jnp.arange(m_tot.shape[0], dtype=jnp.int32)
+                             [:, None], exp_leaf.shape).T,
+            exp_leaf.T, EXN)
+        ovf = (jnp.max(cnt_m) > EXN) | (jnp.max(cnt_l) > EXN)
+
+        bcf = lambda a: jax.lax.bitcast_convert_type(
+            a.astype(jnp.int32), jnp.float32)
+        neg1f = np.array(-1, np.int32).view(np.float32)
+        safe_m = jnp.maximum(nid_m, 0)
+        rows_m = []
+        for g in range(NG):
+            mg = tree.node_mass[safe_m, g]                 # [n_dev, EXN]
+            okg = (nid_m >= 0) & (mg > 0)
+            row = jnp.stack(
+                [tree.node_cm[safe_m, g, 0], tree.node_cm[safe_m, g, 1],
+                 tree.node_cm[safe_m, g, 2], jnp.where(okg, mg, 0.0),
+                 tree.node_maxsoft[safe_m],
+                 jnp.maximum(tree.node_count[safe_m, g], 1.0),
+                 jnp.broadcast_to(bcf(jnp.full((1,), g, jnp.int32)),
+                                  mg.shape),
+                 jnp.where(okg, bcf(jnp.full((1,), -2, jnp.int32)), neg1f)],
+                axis=-1)                                   # [n_dev, EXN, 8]
+            rows_m.append(row)
+        rows_m = jnp.concatenate(rows_m, axis=1)           # [n_dev, EXN*NG]
+
+        # leaf particle expansion: ranges (start, pcount<=bucket)
+        st_l = jnp.where(nid_l >= 0, tree.node_start[jnp.maximum(nid_l, 0)],
+                         0)
+        pc_l = jnp.where(nid_l >= 0,
+                         tree.node_pcount[jnp.maximum(nid_l, 0)], 0)
+        cum = jnp.cumsum(pc_l, axis=1)
+        tot_p = cum[:, -1]
+        ovf = ovf | (jnp.max(tot_p) > EXP)
+        rep = _row_repeat(st_l - (cum - pc_l), pc_l, EXP)
+        piota = np.arange(EXP, dtype=np.int32)
+        pidx = rep + piota[None, :]
+        plive = piota[None, :] < tot_p[:, None]
+        pidx = jnp.where(plive, jnp.minimum(pidx, nloc - 1), 0)
+        prow = jnp.stack(
+            [tree.pos_s[pidx, 0], tree.pos_s[pidx, 1], tree.pos_s[pidx, 2],
+             jnp.where(plive, tree.mass_s[pidx], 0.0),
+             tree.fsoft_s[pidx], jnp.ones_like(tree.mass_s[pidx]),
+             bcf(tree.grav_s[pidx]),
+             jnp.where(plive, bcf(jnp.full((1,), -3, jnp.int32)), neg1f)],
+            axis=-1)                                       # [n_dev, EXP, 8]
+
+        send = jnp.concatenate([rows_m, prow], axis=1)
+        pad = RCAP - send.shape[1]
+        if pad:
+            padrow = jnp.zeros((n_dev, pad, 8), jnp.float32) \
+                .at[:, :, 7].set(neg1f)
+            send = jnp.concatenate([send, padrow], axis=1)
+        recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0,
+                                  tiled=True).reshape(n_dev * RCAP, 8)
+
+        # ---- local exact walk + dense remote-row evaluation -------------
+        tgt = jnp.arange(nloc, dtype=jnp.int32)
+        res = walk(tree, tgt, rel=jnp.asarray(opening == "relative"))
+        acc_sorted = res.acc
+        pot_sorted = res.pot
+        nia_sorted = res.ninteract
+
+        tpos = tree.pos_s
+        tgrav = tree.grav_s
+        tsoft = tree.fsoft_s
+        tmass = tree.mass_s
+        n_chunks = recv.shape[0] // ec
+
+        def chunk_body(carry, sl):
+            ax0, ay0, az0, ap0 = carry
+            src = jax.lax.dynamic_slice(recv, (sl * ec, 0), (ec, 8))
+            sg = jax.lax.bitcast_convert_type(src[:, 6], jnp.int32)
+            sid = jax.lax.bitcast_convert_type(src[:, 7], jnp.int32)
+            v = (sid != -1)[None, :]
+            dx = min_image(src[None, :, 0] - tpos[:, 0:1])
+            dy = min_image(src[None, :, 1] - tpos[:, 1:2])
+            dz = min_image(src[None, :, 2] - tpos[:, 2:3])
+            r2 = dx * dx + dy * dy + dz * dz
+            r = jnp.sqrt(r2)
+            h = jnp.maximum(tsoft[:, None], src[None, :, 4])
+            sm = src[None, :, 3]
+            sc = src[None, :, 5] if wiring.accumulator else 1.0
+            fac = jnp.zeros_like(r)
+            pk = jnp.zeros_like(r)
+            multi = len(groups) > 1
+            for law, slots in groups:
+                if multi:
+                    mk = None
+                    for (i, j) in slots:
+                        mij = (tgrav[:, None] == i) & (sg[None, :] == j)
+                        mk = mij if mk is None else (mk | mij)
+                f_k = law.force_factor(tmass[:, None], sm, r2, r, h, sc)
+                p_k = law.potential_factor(tmass[:, None], sm, r2, r, h, sc)
+                fac = jnp.where(mk, f_k, fac) if multi else f_k
+                pk = jnp.where(mk, p_k, pk) if multi else p_k
+            fac = jnp.where(v, fac, 0.0)
+            return (ax0 + jnp.sum(fac * dx, axis=1),
+                    ay0 + jnp.sum(fac * dy, axis=1),
+                    az0 + jnp.sum(fac * dz, axis=1),
+                    ap0 + jnp.sum(jnp.where(v, pk, 0.0), axis=1)), None
+
+        z = jnp.zeros((nloc,), jnp.float32)
+        (rx, ry, rz, rp), _ = jax.lax.scan(
+            chunk_body, (z, z, z, z), np.arange(n_chunks, dtype=np.int32))
+        acc_sorted = acc_sorted + jnp.stack([rx, ry, rz], axis=-1)
+        pot_sorted = pot_sorted + rp
+
+        # unsort to local order, scale by G, corrections, kick
+        inv = jnp.zeros((nloc,), jnp.int32).at[tree.order].set(
+            jnp.arange(nloc, dtype=jnp.int32))
+        acc = acc_sorted[inv] * G
+        pot = pot_sorted[inv] * G
+        nia = nia_sorted[inv]
+        acc, amag, pot = apply_cosmo_corrections(corr, p.pos, mass, p.grav,
+                                                 acc, pot)
+        p = p.replace(accel=acc, potential=pot, old_acc=amag,
+                      grav_cost=nia.astype(p.grav_cost.dtype))
+        dt_disp = sharded_dt_displacement(cfg, units, p, time_next)
+        p, _ = kick(cfg, units, p, None, tables, ti_next, dt_disp,
+                    soft_by_type, time_next)
+        min_end = jax.lax.pmin(jnp.min(p.ti_endstep), AXIS)
+        ovf = jax.lax.pmax(ovf | res.overflow, AXIS)
+        return p, min_end, ovf
+
+    step = jax.shard_map(
+        _step, mesh=mesh,
+        in_specs=(P(AXIS), P(), P(), P()),
+        out_specs=(P(AXIS), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)

@@ -184,3 +184,39 @@ def test_closed_form_shortrange_matches_tables():
         p_cf = p_full * np.asarray(sp(u))
         relp = np.abs(p_cf - p_tab) / np.maximum(np.abs(p_full), 1e-30)
         assert relp.max() < 2e-5, (law.name, relp.max())
+
+
+def test_forcetest_oracle_includes_ewald():
+    """force_test's direct-sum oracle must be the TRUE periodic force:
+    without ForceTest configured the solver skips building the Ewald
+    oracle tables, and a bare minimum-image sum is ~20% rms off — the
+    harness must build them on demand (begrun.c:47-49 analog)."""
+    from ngravs_tpu.diagnostics.forcetest import force_test
+    from ngravs_tpu.integrate.runner import Simulation
+    from ngravs_tpu.particles import Particles
+
+    box = 1000.0
+    rng = np.random.default_rng(5)
+    n = 512
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=1.0, gravity_constant_internal=1.0,
+        softening=(box / 3000,) * 6, max_size_timestep=0.01,
+        periodic=True, box_size=box, pmgrid=64,
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
+        time_bet_statistics=0.0, wiring="newton", ngravs_en=16)
+    pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+    mass = np.full(n, 1.0, np.float32)
+    p = Particles.create(pos, np.zeros((n, 3), np.float32), mass,
+                         np.arange(n), np.ones(n, np.int32),
+                         cfg.type_to_grav)
+    sim = Simulation(cfg, particles=p, log_dir="")
+    sim.compute_forces(full=True)   # must refresh accel_pm too
+    idx, acc_d, acc_s, rel = force_test(sim, fraction=0.5, write=False)
+    fsoft = np.full(n, box / 3000 * 2.8, np.float32)
+    exact = _exact_periodic(sim.wiring, np.asarray(sim.p.pos), mass,
+                            np.zeros(n, np.int32), fsoft, box)
+    rel_oracle = (np.linalg.norm(np.asarray(acc_d) - exact[idx], axis=1)
+                  / np.maximum(np.linalg.norm(exact[idx], axis=1), 1e-12))
+    assert np.sqrt((rel_oracle ** 2).mean()) < 1e-3, \
+        "oracle is not the periodic force"
+    assert np.sqrt((rel ** 2).mean()) < 0.03, rel
