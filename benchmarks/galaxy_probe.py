@@ -65,7 +65,7 @@ for attempt in range(8):
     walk_raw = make_fused_walk(
         w, n_gravs=cfg.n_gravs, depth=DEPTH, bucket=cfg.tree_bucket_size,
         group_size=GG, batch_blocks=BB,
-        ent_cap=solver.fcaps["ent"], chunk_cap=solver.fcaps["chunk"],
+        chunk_cap=solver.fcaps["chunk"],
         frontier_cap=solver.fcaps["frontier"], ec=cfg.walk_ec,
         theta=0.5, opening="bh", stage_limit=STAGE)
     walk = jax.jit(lambda tr, tg: walk_raw(tr, tg))
@@ -80,7 +80,7 @@ for attempt in range(8):
     if not ovf:
         if not tightened:
             tightened = True
-            if solver.tighten_caps(me, mc, mf):
+            if solver.tighten_caps(me, mc, mf, mr):
                 print("  tightened:", solver.fcaps, flush=True)
                 continue
         break
@@ -105,7 +105,7 @@ if STAGE == 0:
             w, n_gravs=cfg.n_gravs, depth=DEPTH,
             bucket=cfg.tree_bucket_size,
             group_size=GG, batch_blocks=BB,
-            ent_cap=solver.fcaps["ent"], chunk_cap=solver.fcaps["chunk"],
+            chunk_cap=solver.fcaps["chunk"],
             frontier_cap=solver.fcaps["frontier"], ec=cfg.walk_ec,
             theta=0.5, opening="bh", stage_limit=st)
         wj = jax.jit(lambda tr, tg: wr(tr, tg))

@@ -77,10 +77,11 @@ for attempt in range(8):
     walk_raw = make_fused_walk(
         wiring, n_gravs=2, depth=depth, bucket=32,
         group_size=cfg.walk_group_size, batch_blocks=cfg.walk_batch_blocks,
-        ent_cap=solver.fcaps["ent"], chunk_cap=solver.fcaps["chunk"],
+        chunk_cap=solver.fcaps["chunk"],
         frontier_cap=solver.fcaps["frontier"], ec=cfg.walk_ec,
         theta=0.5, opening="bh", use_pallas=USE_PALLAS,
         box_size=box if TREEPM else 0.0, treepm=treepm,
+        want_pot=bool(int(os.environ.get("WALK_POT", "0"))),
         stage_limit=STAGE)
     walk = jax.jit(lambda tr, tg: walk_raw(tr, tg))
     NT = int(os.environ.get("NT_LIMIT", N))
@@ -96,7 +97,7 @@ for attempt in range(8):
     if not ovf:
         if not tightened:
             tightened = True
-            if solver.tighten_caps(me, mc, mf):
+            if solver.tighten_caps(me, mc, mf, mr):
                 print("  tightened:", solver.fcaps, flush=True)
                 continue
         break

@@ -27,7 +27,9 @@ TYPE_NAMES = ("Gas", "Halo", "Disk", "Bulge", "Stars", "Bndry")
 class SimulationConfig:
     # --- Relevant files (begrun.c parameterfile tags) ---
     init_cond_file: str = ""
-    output_dir: str = "./"
+    # empty = no log files and snapshots fall back to a temp directory;
+    # stock parameter files always set OutputDir explicitly (begrun.c:356)
+    output_dir: str = ""
     snapshot_file_base: str = "snapshot"
     restart_file: str = "restart"
     energy_file: str = "energy.txt"
@@ -220,8 +222,9 @@ class SimulationConfig:
     # initial caps: deliberately modest — the solver clamps them to
     # theoretical maxima for small N and grows them to measured demand on
     # overflow (a few recompiles at most per run)
-    walk_ent_cap: int = 2048         # per-BLOCK accepted monopole nodes
+    walk_ent_cap: int = 2048         # per-BLOCK opened leaf records
     walk_chunk_cap: int = 512        # per-BLOCK leaf 8-row chunks
+    walk_mono_cap: int = 1024        # per-BLOCK accepted monopole octets
     walk_frontier_cap: int = 4096    # per-BLOCK per-level frontier slots
     walk_ec: int = 512               # eval chunk length (sources per step)
     mesh_shape: Optional[tuple] = None  # device mesh (n_shards,) or None

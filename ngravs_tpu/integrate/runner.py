@@ -982,7 +982,7 @@ class Simulation:
             self.p.ti_endstep, self.ti_current))
         hsml = self.sph.hsml if self.sph is not None else None
         p2, _, _ = self.solver.compute(p_all, self.ti_current, self.p.n,
-                                       hsml=hsml)
+                                       hsml=hsml, want_pot=True)
         pot = p2.potential
         if self.cfg.pmgrid:
             # long-range PM potential (potential.c:268-306)

@@ -178,7 +178,15 @@ def make_pairwise_kernel(wiring: GravityWiring, n_gravs: int,
 
         t_spec = pl.BlockSpec((group, 1), lambda b, i, *_: (b, 0),
                               memory_space=pltpu.VMEM)
-        s_spec = pl.BlockSpec((1, 8, s_chunk), lambda b, i, *_: (b, 0, i),
+
+        def s_index(b, i, nsrc):
+            # clamp chunk steps past this block's live source count to the
+            # last live chunk: consecutive equal indices elide the DMA, so
+            # dead steps (skipped by the kernel's early exit) cost nothing
+            last = jnp.maximum((nsrc[b] + s_chunk - 1) // s_chunk - 1, 0)
+            return (b, 0, jnp.minimum(i, last))
+
+        s_spec = pl.BlockSpec((1, 8, s_chunk), s_index,
                               memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((group, 8), lambda b, i, *_: (b, 0),
                                 memory_space=pltpu.VMEM)

@@ -167,7 +167,6 @@ class GravitySolver:
         # frontier = per-level traversal slots (normalized to a tuple)
         from .walk import normalize_frontier_caps
         self.fcaps = dict(
-            ent=_bucket(cfg.walk_ent_cap, 256),
             chunk=_bucket(cfg.walk_chunk_cap, 64),
             frontier=normalize_frontier_caps(cfg.walk_frontier_cap,
                                              self.depth))
@@ -190,27 +189,31 @@ class GravitySolver:
         small problems would otherwise pay full static shapes.  Demand
         can never exceed these bounds, so measured-demand growth is
         unaffected.  All caps are per-BLOCK (walk.py v3 row layout)."""
-        from .tree import level_caps
-        from .walk import normalize_frontier_caps
-        caps_l = level_caps(n, self.depth,
-                            bucket=self.cfg.tree_bucket_size)
-        m = int(np.sum(caps_l))                # total node rows
+        from .walk import (frontier_slot_caps, normalize_frontier_caps,
+                           octet_counts)
+        slot_caps = frontier_slot_caps(n, self.depth,
+                                       bucket=self.cfg.tree_bucket_size)
+        n_oct = int(np.sum(octet_counts(n, self.depth,
+                                        self.cfg.tree_bucket_size)))
         cap2 = ((int(n * self.leaf_factor) + 8 + 7) // 8) * 8
         fc = self.fcaps
-        fc["ent"] = min(fc["ent"], _bucket(m, 64))
-        fc["chunk"] = min(fc["chunk"], _bucket(cap2 // 8 + 1, 64))
+        # unified chunk list: leaf chunks + n_gravs chunks per octet
+        fc["chunk"] = min(fc["chunk"],
+                          _bucket(cap2 // 8 + 1 + n_oct * self.cfg.n_gravs,
+                                  64))
         fl = normalize_frontier_caps(fc["frontier"], self.depth)
-        fc["frontier"] = tuple(min(f, c) for f, c in zip(fl, caps_l))
+        fc["frontier"] = tuple(min(f, c) for f, c in zip(fl, slot_caps))
 
     def grow_caps(self, max_ent: int, max_chunk: int, max_rows: int,
                   lvl_demand) -> None:
         """Resize the walk caps to measured peak demand (+25% margin,
         power-of-two buckets).  Per-level frontier demand equal to its
-        cap means the level was truncated: at least double it."""
+        cap means the level was truncated: at least double it.
+        `max_chunk` is the peak per-block UNIFIED chunk demand; max_ent /
+        max_rows are informational (record counts)."""
         from .walk import normalize_frontier_caps
         grow = lambda cur, mx: max(cur, _bucket(int(mx) * 5 // 4, 64))
         fc = self.fcaps
-        fc["ent"] = grow(fc["ent"], max_ent)
         fc["chunk"] = grow(fc["chunk"], max_chunk)
         fl = list(normalize_frontier_caps(fc["frontier"], self.depth))
         for lvl, d in enumerate(np.asarray(lvl_demand).reshape(-1)):
@@ -221,14 +224,15 @@ class GravitySolver:
                 fl[lvl] = max(fl[lvl] * 2, _bucket(d * 5 // 4, 64))
         self.fcaps["frontier"] = tuple(fl)
 
-    def tighten_caps(self, max_ent: int, max_chunk: int, lvl_demand) -> bool:
+    def tighten_caps(self, max_ent: int, max_chunk: int, lvl_demand,
+                     max_rows: int = 0) -> bool:
         """Shrink caps toward measured demand (long runs: one recompile
         buys every later pass smaller static shapes).  Returns True if
-        anything changed."""
+        anything changed.  `max_rows` is the measured mono OCTET record
+        demand; 0 keeps the mono cap unchanged."""
         from .walk import normalize_frontier_caps
         tight = lambda mx: _bucket(int(mx) * 5 // 4, 64)
         fc = dict(self.fcaps)
-        fc["ent"] = min(self.fcaps["ent"], tight(max_ent))
         fc["chunk"] = min(self.fcaps["chunk"], tight(max_chunk))
         fl = list(normalize_frontier_caps(self.fcaps["frontier"],
                                           self.depth))
@@ -256,7 +260,6 @@ class GravitySolver:
             bucket=cfg.tree_bucket_size,
             group_size=cfg.walk_group_size,
             batch_blocks=cfg.walk_batch_blocks,
-            ent_cap=self.fcaps["ent"],
             chunk_cap=self.fcaps["chunk"],
             frontier_cap=self.fcaps["frontier"],
             ec=cfg.walk_ec,
@@ -322,9 +325,12 @@ class GravitySolver:
         self._fns[key] = fn
         return fn
 
-    def _tree_scatter_fn(self, s: int):
-        """Jitted: scatter walk results back to original particle order."""
-        key = ("scatter", s)
+    def _tree_scatter_fn(self, s: int, want_pot: bool):
+        """Jitted: scatter walk results back to original particle order.
+        Plain force passes leave p.potential untouched (the reference
+        refreshes potentials only in dedicated compute_potential passes,
+        potential.c:22; accelerations never read it)."""
+        key = ("scatter", s, want_pot)
         if key in self._fns:
             return self._fns[key]
         G = self.G
@@ -338,7 +344,8 @@ class GravitySolver:
             acc, amag, pot = self._apply_corr(
                 p.pos[safe], p.mass[safe], p.grav[safe], acc * G, pot * G)
             new_acc = p.accel.at[orig].set(acc, mode="drop")
-            new_pot = p.potential.at[orig].set(pot, mode="drop")
+            new_pot = (p.potential.at[orig].set(pot, mode="drop")
+                       if want_pot else p.potential)
             new_old = p.old_acc.at[orig].set(amag, mode="drop")
             new_cost = p.grav_cost.at[orig].set(
                 ninteract.astype(p.grav_cost.dtype), mode="drop")
@@ -398,10 +405,15 @@ class GravitySolver:
 
     # ------------------------------------------------------------------
     def compute(self, p, ti_current, n_active: int, opening: str = "relative",
-                hsml=None):
+                hsml=None, want_pot: bool = False):
         """Compute forces for the active set; returns (particles', n_ia,
         tree) — the octree is shared with the SPH passes (hsml feeds the
         node hmax fields used by the symmetric neighbor search).
+
+        `want_pot=False` (the default force pass) skips the potential
+        accumulation entirely — roughly half the pair-evaluation FLOPs —
+        and leaves p.potential stale, exactly like the reference
+        (potentials only refresh in compute_potential passes).
 
         Handles walk-cap overflow by resizing the offending caps to the
         measured demand and recompiling (at most a few times per run).
@@ -461,7 +473,8 @@ class GravitySolver:
             # fat leaves: deepen the tree (recompiles build + walk)
             self.depth = min(self.depth + 3, MAX_DEPTH)
         for _ in range(8):
-            res = self._walk()(tree, tgt_sorted, opening_override=opening)
+            res = self._walk(want_pot)(tree, tgt_sorted,
+                                       opening_override=opening)
             ovf, me, mc, mr = (int(x) for x in jax.device_get(
                 (res.overflow, res.max_ent, res.max_chunk, res.max_rows)))
             mf = jax.device_get(res.max_frontier)
@@ -471,7 +484,7 @@ class GravitySolver:
                 # recompile buys every later pass ~cap-slack x less work
                 if not getattr(self, "_tightened", False):
                     self._tightened = True
-                    self.tighten_caps(me, mc, mf)
+                    self.tighten_caps(me, mc, mf, mr)
                 break
             # resize each cap to the measured peak demand (+25% margin,
             # rounded to a power of two) and recompile once.  Truncated
@@ -480,8 +493,8 @@ class GravitySolver:
         else:
             raise RuntimeError(
                 f"tree walk caps still overflowing at {self.fcaps}")
-        p, n_ia = self._tree_scatter_fn(s)(p, tree.order, tgt_sorted,
-                                           res.acc, res.pot, res.ninteract)
+        p, n_ia = self._tree_scatter_fn(s, want_pot)(
+            p, tree.order, tgt_sorted, res.acc, res.pot, res.ninteract)
         if can_refresh:
             self._forces_since_build += min(n_active, p.n)
         else:

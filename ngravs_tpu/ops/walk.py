@@ -1,51 +1,51 @@
-"""Fused single-dispatch Barnes-Hut walk with inline monopole evaluation.
+"""Fused single-dispatch Barnes-Hut walk: octet traversal + Pallas pair eval.
 
-The production force path of the framework, replacing the host-paced
-two-phase walk of `tree.py` for single-chip runs.  Rebuild of the
-reference's hot loop `force_treeevaluate[_shortrange]` (forcetree.c:1244,
-1623) as ONE traceable program per force pass, so it can run inside
-device-resident multi-step segments (no host round trips — on a tunneled
-TPU every sync costs tens of milliseconds).
+The production force path of the framework.  Rebuild of the reference's hot
+loop `force_treeevaluate[_shortrange]` (forcetree.c:1244, 1623) as ONE
+traceable program per force pass, so it runs inside device-resident
+multi-step segments (no host round trips — on a tunneled TPU every sync
+costs tens of milliseconds).
 
-v4 layout (round 3): **evaluate monopoles while traversing**.  Profiling
-on the chip showed the v3 walk spent 99.5% of a force pass building and
-gathering interaction *lists* (per-level sorts / full-capacity flatten
-gathers / take_along_axis at max-over-block caps) and 0.5% evaluating
-them; every irregular XLA op (gather/scatter/sort) on this hardware runs
-at ~1e8 rows/s while dense VPU math runs at ~5e9 pair-interactions/s.
-The v4 design removes the monopole lists entirely:
+v5 layout (round 4).  Profiling on the chip (benchmarks/SCALE_r03.json)
+showed v4 ran at 1.8% of the measured pair-kernel ceiling, for two reasons:
+every XLA gather/scatter/repeat on this hardware runs at 1-7 GB/s
+(~7e7 gathered rows/s) while dense VPU math runs at ~2e10 pair
+interactions/s, and the v4 eval tiles were XLA broadcast programs that
+materialize [B, K, G] planes in HBM.  v5 splits the work so XLA only does
+the irregular part and a Pallas kernel does all the math:
 
- 1. **Traverse + evaluate** — level-synchronous frontier expansion, one
-    frontier `[B, F_l]` per tree level (live prefix per row).  The walk
-    table row of every frontier node (gathered once per visit) carries
-    everything the pair force needs — per-gravity CM, mass, count, max
-    softening — so nodes passing the acceptance test are evaluated
-    **immediately** as a dense `[B, F, G]` tile against the block's
-    targets and accumulated into `[B, G, 3]`; nothing is ever written to
-    an interaction list.  Opening tests use per-SUBGROUP target bounding
-    boxes (S sub-boxes of G/S targets each): a node is opened iff some
-    subgroup requires it, which keeps Morton-straddling blocks (whose
-    full-block bbox spans distant clumps) from opening the entire tree.
-    Criteria are the same conservative per-block forms of
-    forcetree.c:1437-1473 (both BH and relative), Rcut discard for
-    TreePM (forcetree.c:1828-1862), and the "intersects" rule forcing
-    open for nodes overlapping the target box.
+ 1. **Octet traversal** — tree nodes are scattered once per pass into
+    8-aligned SIBLING OCTETS (all 8 child slots of a parent, dead slots
+    zero), an indexing layout computed from the packed tree in
+    `build_octet_layout` (the build itself is untouched).  The
+    level-synchronous frontier holds OCTET ids: one chunk-granular gather
+    `[B, Fo, 8, W]` per level (8x fewer gathered rows than v4, each
+    256B-aligned), and expansion emits exactly ONE child-octet id per
+    opened node — a cumsum + one dropping scatter, no `repeat` at all.
+    Opening tests are the same conservative per-SUBGROUP forms of
+    forcetree.c:1437-1473 (BH + relative criteria), Rcut discard for
+    TreePM (forcetree.c:1828-1862), and the "intersects" rule.
 
- 2. **Leaf lists** — only *leaf chunks* (8-row aligned particle blocks of
-    opened bucket nodes) still go through a list: per-block compaction
-    (cumsum + one dropping scatter), per-row run expansion to chunk ids,
-    and ONE chunk-granular gather `[B, CL, 64]` from the packed source
-    table (256-byte contiguous rows).
+ 2. **Unified 8-row chunk lists** — both interaction kinds reduce to
+    8-row-aligned chunks of ONE packed source table: leaf particles live
+    in aligned chunks (as in v4), and node monopoles are laid out
+    gravity-major per octet (rows `[octet, g, slot]`), so an accepted
+    octet contributes exactly NG chunks, each with an 8-bit row mask
+    (accepted AND mass>0 per slot).  Per-block lists are built by cumsum
+    compaction (never a sort), demand-bounded gathers fill packed
+    `[B, S, 8]` buffers, masked rows get gid = -1.
 
- 3. **Leaf evaluation** — a dense masked `[B, CL*8, G]` pair tile
-    against the block targets, scanned in slices to bound the live
-    temporary, on the VPU; identical physics dispatch to the monopole
-    tile (unique-law loop with broadcast gravity masks — never a traced
-    2-D index gather).
+ 3. **Pallas pair evaluation** — the gathered buffers feed the pairwise
+    kernel (ops/pairwise_pallas.py): [G x s_chunk] tiles on the VPU in
+    VMEM, per-block early exit past each block's live source count, law
+    dispatch by broadcast equality masks.  The XLA fallback path (CPU
+    test suite, tabulated-transition laws, and the periodic lattice
+    correction) evaluates the SAME gathered buffers with the same
+    physics, so both paths share one list construction.
 
-Total work = sum over blocks of (accepted rows x G) pair evaluations —
-the TPU analog of Gadget's per-particle interaction count
-(forcetree.c:1595), reported per target for GravCost/timings parity.
+Total work = sum over blocks of (list rows x G) pair evaluations; the
+per-target valid-pair count is the TPU analog of Gadget's per-particle
+interaction count (forcetree.c:1595), reported for GravCost/timings parity.
 """
 
 from __future__ import annotations
@@ -67,6 +67,9 @@ INT32_MAX = np.int32(2**31 - 1)
 # packed source-row columns (bitcast int32 in 6/7)
 FX, FY, FZ, FMASS, FSOFT, FCOUNT, IGRAV, IGID = 0, 1, 2, 3, 4, 5, 6, 7
 
+# walk-table columns (before the per-gravity block)
+WCX, WCY, WCZ, WFLAGS, WCHOCT, WCHUNK0, WNCHUNK, WSOFT = range(8)
+
 
 def _p2(x, minimum: int = 8) -> int:
     return max(minimum, 1 << int(math.ceil(math.log2(max(int(x), 1)))))
@@ -79,78 +82,97 @@ def _rup(x: int, m: int) -> int:
 class FusedWalkResult(NamedTuple):
     acc: jnp.ndarray        # [Nt, 3] sorted-target order
     pot: jnp.ndarray        # [Nt]
-    ninteract: jnp.ndarray  # [Nt] rows accepted for the target's block
+    ninteract: jnp.ndarray  # [Nt] valid pair interactions of the target
     overflow: jnp.ndarray   # scalar bool — any cap exceeded
-    max_ent: jnp.ndarray    # scalar int32 peak per-BLOCK leaf records
-    max_chunk: jnp.ndarray  # scalar int32 peak per-BLOCK leaf chunks
-    max_rows: jnp.ndarray   # scalar int32 peak per-block monopole rows
-    max_frontier: jnp.ndarray  # [depth+1] int32 peak per-level frontier
+    max_ent: jnp.ndarray    # scalar int32 peak per-block leaf records
+    max_chunk: jnp.ndarray  # scalar int32 peak per-block leaf chunks
+    max_rows: jnp.ndarray   # scalar int32 peak per-block mono OCTET records
+    max_frontier: jnp.ndarray  # [depth+1] int32 peak per-level slots (8*oct)
 
 
-def source_table_layout(n: int, m: int, n_gravs: int, leaf_factor: float):
-    """Row layout of the packed generalized-source table (leaf-particle
-    chunks, then per-(node,gravity) monopole rows, then 8 null + 8 junk)."""
-    cap2 = _rup(max(int(n * leaf_factor) + 8, n), 8)
-    nstart = cap2
-    rows = cap2 + _rup(m * n_gravs, 8) + 16
-    null_row = rows - 16
-    return cap2, nstart, rows, null_row
+# ---------------------------------------------------------------------------
+# Octet layout: sibling groups of 8 child slots, computed from the packed
+# tree (build_tree's per-level occupied-cell arrays are untouched).
+# ---------------------------------------------------------------------------
+
+def octet_counts(n: int, depth: int, bucket: int):
+    """Static per-level OCTET caps.  Octets at level l+1 = level-l nodes
+    with children; each such node holds > bucket particles, so their
+    count is <= min(cells_l, n/(bucket+1)+1, 8^l)."""
+    caps = level_caps(n, depth, bucket=bucket)
+    nt_max = n // (bucket + 1) + 1
+    noct = [1]
+    for lvl in range(1, depth + 1):
+        noct.append(max(1, min(8 ** (lvl - 1), caps[lvl - 1], nt_max)))
+    return noct
 
 
-@functools.partial(jax.jit, static_argnames=("n_gravs", "leaf_factor",
-                                             "accumulator"))
-def pack_source_table(tree: Octree, n_gravs: int, leaf_factor: float,
-                      accumulator: bool = False):
-    """[R, 8] packed sources: x, y, z, mass, soft, count, grav, gid
-    (6/7 bitcast int32).  Leaf particles live in aligned 8-row chunks
-    (256-byte contiguous gathers); node monopoles one row per gravity."""
-    n = tree.pos_s.shape[0]
-    m = tree.node_mass.shape[0]
-    cap2, nstart, rows, null_row = source_table_layout(
-        n, m, n_gravs, leaf_factor)
-    bc = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.int32),
-                                                jnp.float32)
-    neg1f = np.array(-1, np.int32).view(np.float32)
+def frontier_slot_caps(n: int, depth: int, bucket: int):
+    """Per-level frontier demand bounds in SLOT units (8 * octets)."""
+    return [8 * c for c in octet_counts(n, depth, bucket)]
 
-    prow = jnp.stack(
-        [tree.pos_s[:, 0], tree.pos_s[:, 1], tree.pos_s[:, 2],
-         tree.mass_s, tree.fsoft_s, jnp.ones_like(tree.mass_s),
-         bc(tree.grav_s), bc(np.arange(n, dtype=np.int32))], axis=1)
 
-    cm = tree.node_cm.reshape(m * n_gravs, 3)
-    nmass = tree.node_mass.reshape(m * n_gravs)
-    if accumulator:
-        ncount = jnp.maximum(tree.node_count.reshape(m * n_gravs), 1.0)
-    else:
-        ncount = jnp.ones_like(nmass)
-    nsoft = jnp.repeat(tree.node_maxsoft, n_gravs)
-    ngrav = np.tile(np.arange(n_gravs, dtype=np.int32), m)
-    nrow = jnp.stack(
-        [cm[:, 0], cm[:, 1], cm[:, 2], nmass, nsoft, ncount,
-         bc(ngrav), bc(np.full((m * n_gravs,), -2, np.int32))], axis=1)
+@functools.partial(jax.jit, static_argnames=("n", "depth", "bucket"))
+def build_octet_layout(tree: Octree, n: int, depth: int, bucket: int):
+    """Per-packed-node octet indexing: returns (slot8 [M] global slot id
+    or -1, child_oct [M] global child OCTET id or -1, ovf bool).
 
-    tbl = jnp.asarray(np.zeros((rows, 8), np.float32)).at[:, IGID].set(neg1f)
-    lr = jnp.where(tree.leaf_row < cap2, tree.leaf_row, rows - 8)
-    tbl = tbl.at[lr].set(prow, mode="drop")
-    tbl = jax.lax.dynamic_update_slice(tbl, nrow, (nstart, 0))
-    tbl = tbl.at[rows - 16:, IGID].set(neg1f)
-    tbl = tbl.at[rows - 16:, FMASS].set(0.0)
-    return tbl
+    Children of one parent occupy the 8 slots of one octet (dead slots
+    stay zero when scattered); the octet rank of a parent equals its rank
+    among same-level nodes with children, which matches the rank of its
+    children's distinct-parent runs because build_tree packs child ranges
+    in ascending parent order (forcetree.c:292 creates the same complete
+    sibling groups via force_create_empty_nodes)."""
+    caps = level_caps(n, depth, bucket=bucket)
+    offs = np.concatenate([[0], np.cumsum(caps)]).astype(np.int32)
+    noct = octet_counts(n, depth, bucket)
+    ooffs = np.concatenate([[0], np.cumsum(noct)]).astype(np.int32)
+    m = int(offs[-1])
+
+    slot8 = jnp.full((m,), -1, jnp.int32).at[0].set(0)
+    child_oct = jnp.full((m,), -1, jnp.int32)
+    ovf = jnp.zeros((), bool)
+    for lvl in range(depth + 1):
+        sl = slice(int(offs[lvl]), int(offs[lvl + 1]))
+        valid = tree.node_pcount[sl] > 0
+        if lvl < depth:
+            has = (tree.node_nchild[sl] > 0) & valid
+            crank = jnp.cumsum(has.astype(jnp.int32)) - 1
+            child_oct = jax.lax.dynamic_update_slice(
+                child_oct,
+                jnp.where(has & (crank < noct[lvl + 1]),
+                          ooffs[lvl + 1] + crank, -1),
+                (int(offs[lvl]),))
+            ovf = ovf | (jnp.sum(has.astype(jnp.int32)) > noct[lvl + 1])
+        if lvl >= 1:
+            par = tree.node_parent[sl]
+            pc = tree.node_center[jnp.maximum(par, 0)]
+            c = tree.node_center[sl]
+            octant = ((c[:, 0] > pc[:, 0]).astype(jnp.int32)
+                      | ((c[:, 1] > pc[:, 1]).astype(jnp.int32) << 1)
+                      | ((c[:, 2] > pc[:, 2]).astype(jnp.int32) << 2))
+            po = child_oct[jnp.maximum(par, 0)]
+            s8 = jnp.where(valid & (par >= 0) & (po >= 0),
+                           8 * po + octant, -1)
+            slot8 = jax.lax.dynamic_update_slice(slot8, s8,
+                                                 (int(offs[lvl]),))
+    return slot8, child_oct, ovf
 
 
 def walk_table_width(n_gravs: int, accumulator: bool) -> int:
-    """Columns of the traversal/eval walk table, padded to a multiple
-    of 8 for efficient row gathers."""
-    w = 9 + 4 * n_gravs + (n_gravs if accumulator else 0)
+    """Columns of the octet walk table, padded to a multiple of 8."""
+    w = 8 + 4 * n_gravs + (n_gravs if accumulator else 0)
     return _rup(w, 8)
 
 
-@functools.partial(jax.jit, static_argnames=("n_gravs", "accumulator"))
-def pack_walk_table(tree: Octree, n_gravs: int, accumulator: bool = False):
-    """[M, W] traversal+eval rows: center xyz, flags, child0, nchild,
+@functools.partial(jax.jit, static_argnames=("n_gravs", "accumulator",
+                                             "n_oct"))
+def pack_walk_table8(tree: Octree, slot8, child_oct, n_gravs: int,
+                     n_oct: int, accumulator: bool = False):
+    """[n_oct, 8, W] octet walk table: center xyz, flags, child_oct,
     chunk0, nchunk, maxsoft, then per-gravity (cm xyz, mass)
-    [, per-gravity count].  flags layout: bit0 terminal, bits 1..NG
-    per-gravity mass>0, bits 8..12 node level (informational)."""
+    [, per-gravity count].  flags: bit0 terminal, bits 1..NG per-gravity
+    mass>0, bits 8.. node level.  Dead slots are all-zero (flags 0)."""
     bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     flags = tree.node_terminal.astype(jnp.int32)
     for g in range(n_gravs):
@@ -159,7 +181,7 @@ def pack_walk_table(tree: Octree, n_gravs: int, accumulator: bool = False):
     flags = flags | (tree.node_level << 8)
     cols = [tree.node_center[:, 0], tree.node_center[:, 1],
             tree.node_center[:, 2], bc(flags),
-            bc(tree.node_child0), bc(tree.node_nchild),
+            bc(child_oct),
             bc(tree.node_chunk0), bc(tree.node_nchunk),
             tree.node_maxsoft]
     for g in range(n_gravs):
@@ -171,19 +193,82 @@ def pack_walk_table(tree: Octree, n_gravs: int, accumulator: bool = False):
     w = walk_table_width(n_gravs, accumulator)
     while len(cols) < w:
         cols.append(jnp.zeros_like(tree.node_maxsoft))
-    return jnp.stack(cols, axis=1)
+    rows = jnp.stack(cols, axis=1)                      # [M, W]
+    idx = jnp.where(slot8 >= 0, slot8, n_oct * 8)
+    tbl = jnp.zeros((n_oct * 8, w), jnp.float32).at[idx].set(
+        rows, mode="drop")
+    return tbl.reshape(n_oct, 8, w)
 
 
-def _row_repeat(vals, repeats, total: int):
-    """Batched `jnp.repeat(vals[b], repeats[b], total_repeat_length=total)`
-    per row — cumsum + row scatter of run starts, no sorts."""
-    def one(v, r):
-        return jnp.repeat(v, r, total_repeat_length=total)
-    return jax.vmap(one)(vals, repeats)
+def source_table_layout(n: int, n_oct: int, n_gravs: int,
+                        leaf_factor: float):
+    """Row layout of the packed generalized-source table: leaf-particle
+    chunks, then gravity-major octet monopole rows, then 8 null + 8
+    junk rows.  Monopole row of (octet o, gravity g, slot s) =
+    nstart + o*8*NG + g*8 + s, so chunk (o, g) = nstart/8 + o*NG + g."""
+    cap2 = _rup(max(int(n * leaf_factor) + 8, n), 8)
+    nstart = cap2
+    rows = cap2 + n_oct * 8 * n_gravs + 16
+    null_row = rows - 16
+    return cap2, nstart, rows, null_row
+
+
+@functools.partial(jax.jit, static_argnames=("n_gravs", "leaf_factor",
+                                             "accumulator", "n_oct"))
+def pack_source_table(tree: Octree, slot8, n_gravs: int, n_oct: int,
+                      leaf_factor: float, accumulator: bool = False):
+    """[R, 8] packed sources: x, y, z, mass, soft, count, grav, gid
+    (6/7 bitcast int32).  Leaf particles live in aligned 8-row chunks
+    (256-byte contiguous gathers); node monopoles gravity-major per
+    octet (source_table_layout)."""
+    n = tree.pos_s.shape[0]
+    m = tree.node_mass.shape[0]
+    cap2, nstart, rows, null_row = source_table_layout(
+        n, n_oct, n_gravs, leaf_factor)
+    bc = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.int32),
+                                                jnp.float32)
+    neg1f = np.array(-1, np.int32).view(np.float32)
+
+    prow = jnp.stack(
+        [tree.pos_s[:, 0], tree.pos_s[:, 1], tree.pos_s[:, 2],
+         tree.mass_s, tree.fsoft_s, jnp.ones_like(tree.mass_s),
+         bc(tree.grav_s), bc(np.arange(n, dtype=np.int32))], axis=1)
+
+    cm = tree.node_cm.reshape(m, n_gravs, 3)
+    nmass = tree.node_mass
+    if accumulator:
+        ncount = jnp.maximum(tree.node_count, 1.0)
+    else:
+        ncount = jnp.ones_like(nmass)
+    gi = np.arange(n_gravs, dtype=np.int32)
+    nrow = jnp.stack(
+        [cm[:, :, 0], cm[:, :, 1], cm[:, :, 2], nmass,
+         jnp.broadcast_to(tree.node_maxsoft[:, None], nmass.shape),
+         ncount,
+         jnp.broadcast_to(bc(gi)[None, :], nmass.shape),
+         jnp.broadcast_to(np.float32(np.array(-2, np.int32)
+                                     .view(np.float32)), nmass.shape)],
+        axis=2)                                          # [M, NG, 8]
+    # gravity-major octet rows
+    o = slot8 // 8
+    s = slot8 % 8
+    nidx = jnp.where(slot8[:, None] >= 0,
+                     nstart + (o[:, None] * n_gravs + gi[None, :]) * 8
+                     + s[:, None],
+                     rows)                               # [M, NG]
+
+    tbl = jnp.asarray(np.zeros((rows, 8), np.float32)).at[:, IGID].set(neg1f)
+    lr = jnp.where(tree.leaf_row < cap2, tree.leaf_row, rows - 8)
+    tbl = tbl.at[lr].set(prow, mode="drop")
+    tbl = tbl.at[nidx.reshape(-1)].set(nrow.reshape(-1, 8), mode="drop")
+    tbl = tbl.at[rows - 16:, IGID].set(neg1f)
+    tbl = tbl.at[rows - 16:, FMASS].set(0.0)
+    return tbl
 
 
 def normalize_frontier_caps(frontier_caps, depth: int):
-    """Per-level frontier caps as a tuple[depth+1]; int -> clamped 8^l."""
+    """Per-level frontier caps (SLOT units) as a tuple[depth+1];
+    int -> clamped 8^l."""
     if isinstance(frontier_caps, (int, np.integer)):
         return tuple(min(int(frontier_caps), 8 ** min(lvl, 10))
                      for lvl in range(depth + 1))
@@ -198,6 +283,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                     batch_blocks: int = 128,
                     ent_cap: int = 2048,
                     chunk_cap: int = 512,
+                    mono_cap: int = 1024,
                     frontier_cap=2048,
                     ec: int = 512,
                     theta: float = 0.5,
@@ -210,30 +296,38 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                     use_pallas: bool | None = None,
                     interpret: bool = False,
                     stage_limit: int = 3,
-                    subgroups: int = 4):
+                    subgroups: int = 4,
+                    s_chunk: int = 256):
     """Build the fused walk.  Returns fn(tree, tgt_sorted, rel) ->
     FusedWalkResult — fully traceable (usable under jit / while_loop /
     shard_map).  All caps are static **per-block** quantities; exceeding
     any sets .overflow and the caller re-tunes (the analog of Gadget
     growing TreeAllocFactor on "too many nodes", forcetree.c:3176).
 
-    `ent_cap`: per-block leaf RECORDS (opened bucket nodes);
-    `chunk_cap`: per-block leaf 8-row chunks; `frontier_cap`: per-level
-    frontier slots per block (int, or a per-level tuple learned from
-    demand).  `ec` slices the dense eval loops (live-temporary bound).
+    `chunk_cap`: per-block UNIFIED 8-row source chunks (accepted
+    monopole octet runs + opened leaf ranges share one list);
+    `frontier_cap`: per-level frontier SLOTS per block (int, or a
+    per-level tuple learned from demand; rounded up to whole octets).
+    `ent_cap`/`mono_cap` are accepted for compatibility and ignored.
+    `ec` slices the XLA-fallback dense eval loops.
 
     `treepm`: dict(sr_ftab, sr_ptab, asmth, rcut) enables the short-range
     walk (Rcut discard forcetree.c:1828-1862 + closed-form/tabulated
     truncation :1958-2027).
+
+    `use_pallas`: None = auto (TPU backend only).  The Pallas path needs
+    closed-form short-range kernels and no lattice pass; otherwise the
+    XLA fallback evaluates the same gathered lists.
     """
     G = group_size
     NG = n_gravs
     B = batch_blocks
     S = subgroups
     GS = G // S
-    E = _rup(ent_cap, 8)          # leaf records per block
-    CL = _rup(chunk_cap, 8)       # leaf chunks per block
-    EVK = max(128, ec // 4)       # dense-eval slice length (sources)
+    del ent_cap, mono_cap          # legacy caps: the unified list has one
+    SCH = s_chunk                  # pallas source chunk (rows per grid step)
+    CL = _rup(chunk_cap, SCH // 8)     # UNIFIED chunks per block (mono+leaf)
+    EVK = max(128, ec)             # XLA-fallback eval slice (rows)
 
     assert G % S == 0 and G % 8 == 0
     periodic = box_size > 0
@@ -242,6 +336,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
     use_count = wiring.accumulator
     W = walk_table_width(NG, use_count)
     fcaps_l = normalize_frontier_caps(frontier_cap, depth)
+    foct_l = tuple(max(1, (c + 7) // 8) for c in fcaps_l)
 
     rcut = 0.0
     tpm_tuple = None
@@ -254,6 +349,19 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         inv2a = 0.5 / float(treepm["asmth"])
     closed_form = treepm is None or all(
         law.kernel_shortrange() is not None for law, _ in groups)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and not interpret
+    pallas_ok = (closed_form and lattice_tables is None
+                 and stage_limit >= 3)
+    kernel_fn = None
+    if (use_pallas or interpret) and pallas_ok:
+        from .pairwise_pallas import make_pairwise_kernel
+        kernel_fn = make_pairwise_kernel(
+            wiring, NG, group=G, s_chunk=SCH, box_size=box_size,
+            want_pot=want_pot, accumulator=use_count,
+            treepm_asmth=(treepm["asmth"] if treepm is not None else 0.0),
+            interpret=interpret)
 
     fac_intp = (2 * (lattice_tables.shape[1] - 1) / box_size
                 if lattice_tables is not None else 0.0)
@@ -274,9 +382,8 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         return g
 
     # ------------------------------------------------------------------
-    # Physics dispatch (shared by monopole and leaf tiles).
-    # All operands broadcast over an arbitrary tile shape; `sg` may be a
-    # static int (monopole NG-unrolled loop) or a traced array (leaves).
+    # Physics dispatch for the XLA fallback eval (identical math to the
+    # Pallas kernel, ops/pairwise_pallas.py).
     # ------------------------------------------------------------------
     def law_factors(law, tmass, smass, r2, r, h, scount, pair_full=None):
         """Pair force/potential factors; closed-form TreePM truncation
@@ -319,8 +426,8 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         return fac, pot
 
     def dispatch(tg, sg, tm, sm, r2, r, h, scount):
-        """Evaluate the law matrix over a tile.  `sg` static int or
-        array; dispatch by broadcast equality masks (never gathers)."""
+        """Evaluate the law matrix over a tile; dispatch by broadcast
+        equality masks (never gathers)."""
         pair_full = None
         if tpm_tuple is not None and not closed_form:
             pair_full = (tg * NG + sg).astype(jnp.int32)
@@ -330,69 +437,60 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         fac = jnp.zeros_like(r2)
         pot = jnp.zeros_like(r2) if want_pot else None
         for law, slots in groups:
-            if isinstance(sg, int):
-                tslots = sorted({i for (i, j) in slots if j == sg})
-                if not tslots:
-                    continue
-                mk = None
-                for i in tslots:
-                    mij = (tg == i)
-                    mk = mij if mk is None else (mk | mij)
-            else:
-                mk = None
-                for (i, j) in slots:
-                    mij = (tg == i) & (sg == j)
-                    mk = mij if mk is None else (mk | mij)
+            mk = None
+            for (i, j) in slots:
+                mij = (tg == i) & (sg == j)
+                mk = mij if mk is None else (mk | mij)
             f_k, p_k = law_factors(law, tm, sm, r2, r, h, scount, pair_full)
             fac = jnp.where(mk, f_k, fac)
             if want_pot:
                 pot = jnp.where(mk, p_k, pot)
         return fac, pot
 
-    def pair_tile(tpos, tgrav, tsoft, tmass, spos, sgrav, ssoft, smass,
-                  scount, valid):
-        """Dense pair evaluation: targets [..., G] vs sources [..., K]
-        broadcast to a [..., K, G] tile.  Returns (ax, ay, az, pot)
-        accumulated over the K axis -> [..., G]."""
-        dx = min_image(spos[0] - tpos[0])
-        dy = min_image(spos[1] - tpos[1])
-        dz = min_image(spos[2] - tpos[2])
+    def pair_tile(tpos, tgrav, tsoft, tmass, tgid, src):
+        """XLA-fallback dense pair evaluation of packed sources
+        [B, 8fields, K] against targets [B, 1, G] -> (ax, ay, az, pot,
+        nv) each [B, G]."""
+        bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        sgid = bc(src[:, IGID, :])
+        sgrav = bc(src[:, IGRAV, :])[:, :, None]
+        valid = (sgid[:, :, None] != -1) & (tgid >= 0) \
+            & (sgid[:, :, None] != tgid)
+        scount = src[:, FCOUNT, :, None] if use_count else 1.0
+        dx = min_image(src[:, FX, :, None] - tpos[0])
+        dy = min_image(src[:, FY, :, None] - tpos[1])
+        dz = min_image(src[:, FZ, :, None] - tpos[2])
         r2 = dx * dx + dy * dy + dz * dz
         r = jnp.sqrt(r2)
-        h = jnp.maximum(tsoft, ssoft)
-        fac, pot = dispatch(tgrav, sgrav, tmass, smass, r2, r, h, scount)
+        h = jnp.maximum(tsoft, src[:, FSOFT, :, None])
+        fac, pot = dispatch(tgrav, sgrav, tmass, src[:, FMASS, :, None],
+                            r2, r, h, scount)
         fac = jnp.where(valid, fac, 0.0)
         ax = jnp.sum(fac * dx, axis=-2)
         ay = jnp.sum(fac * dy, axis=-2)
         az = jnp.sum(fac * dz, axis=-2)
-        if want_pot:
-            pp = jnp.sum(jnp.where(valid, pot, 0.0), axis=-2)
-        else:
-            pp = jnp.zeros_like(ax)
-        return ax, ay, az, pp
+        pp = (jnp.sum(jnp.where(valid, pot, 0.0), axis=-2) if want_pot
+              else jnp.zeros_like(ax))
+        nv = jnp.sum(valid.astype(jnp.int32), axis=-2)
+        return ax, ay, az, pp, nv
 
     # ------------------------------------------------------------------
-    # The traversal + inline monopole evaluation for one batch of B
-    # blocks.  Level-synchronous per-block-row frontiers [B, F_l] (live
-    # prefix per row); opening rules per forcetree.c:1437-1473 with
-    # per-subgroup bounding boxes.  Accepted nodes are evaluated on the
-    # spot from the walk-table row already in registers.
+    # One batch of B blocks: octet traversal -> chunk lists -> eval.
     # ------------------------------------------------------------------
-    def _walk_batch(tree, wtab, gsrc, gsrc8, layout, tp, ta, rel,
+    def _walk_batch(tree, wtab8, gsrc, gsrc8, layout, octs, tp, ta, rel,
                     n_static: int):
         init_lvl = min(2, depth)
-        caps_l = level_caps(n_static, depth, bucket=bucket)
-        offs_l = np.concatenate([[0], np.cumsum(caps_l)]).astype(np.int32)
-        n_sh = int(offs_l[init_lvl])
-        n_init = int(offs_l[init_lvl + 1] - offs_l[init_lvl])
-        off0 = int(offs_l[init_lvl])
+        noct = octet_counts(n_static, depth, bucket)
+        ooffs = np.concatenate([[0], np.cumsum(noct)]).astype(np.int32)
+        n_oct = int(ooffs[-1])
 
         cap2, nstart, rows, null_row = layout
-        # gsrc8 = leaf chunks + one null chunk appended at cap2//8
-        null_chunk = cap2 // 8
-        max_chunk_id = cap2 // 8
+        null_chunk = null_row // 8           # gid = -1 rows
         bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+        bcf = lambda a: jax.lax.bitcast_convert_type(
+            a.astype(jnp.int32), jnp.float32)
         big = np.float32(1e30)
+        pow2 = np.asarray(1 << np.arange(8), np.int32)
 
         tpos = tp[..., 0:3]                               # [B, G, 3]
         tgid = bc(tp[..., IGID])                          # [B, G]
@@ -412,7 +510,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         aold_s = jnp.min(jnp.where(tval_s, ta.reshape(B, S, GS), big),
                          axis=2)                          # [B, S]
 
-        # target columns for pair tiles: [B, 1, G]
+        # target columns for the fallback pair tiles: [B, 1, G]
         tx = tpos[:, None, :, 0]
         ty = tpos[:, None, :, 1]
         tz = tpos[:, None, :, 2]
@@ -421,90 +519,54 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         tmass_t = tp[:, None, :, FMASS]
         tgid_t = tgid[:, None, :]
 
-        acc_x = jnp.zeros((B, G), jnp.float32)
-        acc_y = jnp.zeros((B, G), jnp.float32)
-        acc_z = jnp.zeros((B, G), jnp.float32)
-        acc_p = jnp.zeros((B, G), jnp.float32)
-        nia_mono = jnp.zeros((B,), jnp.int32)
-
         ovf = tree.n_chunk_rows > cap2
 
-        # leaf-record lists (c0, nchunk) per block, filled by compaction
-        nc_ls, c0_ls = [], []
-        # accepted-monopole record lists, kept ONLY for the periodic
-        # lattice-correction pass (the primary force is inline)
-        mid_ls, mgb_ls = [], []
+        # per-level record lists (concatenated after the loop)
+        nc_ls, c0_ls = [], []        # leaf records (chunk0, nchunk runs)
+        mo_ls, ml_ls, mm_ls = [], [], []  # mono records (start, len, masks)
         lvl_live = [jnp.zeros((), jnp.int32)] * (depth + 1)
 
-        def eval_mono(wn, accept_g, state):
-            """Accepted monopoles of one frontier slice: dense
-            [B, F, G] tile per source gravity (static NG unroll)."""
-            acc_x, acc_y, acc_z, acc_p, nia = state
-            if stage_limit < 2:
-                nia = nia + jnp.sum(
-                    jnp.sum(accept_g, axis=-1).astype(jnp.int32), axis=1)
-                return acc_x, acc_y, acc_z, acc_p, nia
-            msoft = wn[:, :, 8:9]                        # [B, F, 1]
-            for g in range(NG):
-                a_g = accept_g[:, :, g]                  # [B, F]
-                cg = wn[:, :, 9 + 4 * g: 13 + 4 * g]
-                spos = (cg[:, :, 0, None], cg[:, :, 1, None],
-                        cg[:, :, 2, None])               # [B, F, 1]
-                smass = cg[:, :, 3, None]
-                if use_count:
-                    scount = wn[:, :, 9 + 4 * NG + g, None]
-                else:
-                    scount = 1.0
-                ax, ay, az, pp = pair_tile(
-                    (tx, ty, tz), tgrav_t, tsoft_t, tmass_t,
-                    spos, g, msoft, smass,
-                    scount, a_g[:, :, None] & tvalid[:, None, :])
-                acc_x = acc_x + ax
-                acc_y = acc_y + ay
-                acc_z = acc_z + az
-                if want_pot:
-                    acc_p = acc_p + pp
-            nia = nia + jnp.sum(
-                jnp.sum(accept_g, axis=-1).astype(jnp.int32), axis=1)
-            return acc_x, acc_y, acc_z, acc_p, nia
-
-        if n_sh:
-            # shallow real leaves (above the init level) go straight to
-            # exact summation: one range per (block, shallow leaf)
-            s_node = np.arange(n_sh, dtype=np.int32)
-            swn = wtab[s_node]                           # [n_sh, W]
-            s_nch = bc(swn[:, 7])
-            s_ok = blk_ok[:, None] & (s_nch > 0)[None, :]
+        # shallow real leaves (above the init level) go straight to the
+        # leaf lists: their records come from the first ooffs[init] octets
+        if init_lvl > 0:
+            n_sho = int(ooffs[init_lvl])
+            swn = wtab8[:n_sho].reshape(n_sho * 8, W)
+            s_fl = bc(swn[:, WFLAGS])
+            s_nch = bc(swn[:, WNCHUNK])
+            s_term = ((s_fl & 1) > 0) & ((s_fl & 255) != 0)
+            s_ok = blk_ok[:, None] & (s_term & (s_nch > 0))[None, :]
             nc_ls.append(jnp.where(s_ok, s_nch[None, :], 0))
-            c0_ls.append(jnp.broadcast_to(bc(swn[:, 6])[None, :],
-                                          (B, n_sh)))
+            c0_ls.append(jnp.broadcast_to(bc(swn[:, WCHUNK0])[None, :],
+                                          (B, n_sho * 8)))
 
-        # initial frontier: every live block x every init-level node
-        F = min(n_init, fcaps_l[init_lvl])
-        fnode = jnp.broadcast_to(
-            off0 + np.arange(F, dtype=np.int32)[None, :], (B, F))
-        nlive = jnp.where(blk_ok, np.int32(min(n_init, F)), 0)
-        ovf = ovf | (n_init > F)
-
-        mono_state = (acc_x, acc_y, acc_z, acc_p, nia_mono)
+        # initial frontier: every live block x every init-level octet
+        Fo = min(int(noct[init_lvl]), foct_l[init_lvl])
+        foct = jnp.broadcast_to(
+            int(ooffs[init_lvl]) + np.arange(Fo, dtype=np.int32)[None, :],
+            (B, Fo))
+        nlive = jnp.where(blk_ok, np.int32(min(int(noct[init_lvl]), Fo)), 0)
+        ovf = ovf | (int(noct[init_lvl]) > Fo)
 
         for lvl in range(init_lvl, depth + 1):
-            F = int(fnode.shape[1])
-            fiota = np.arange(F, dtype=np.int32)
-            live = fiota[None, :] < nlive[:, None]          # [B, F]
-            lvl_live[lvl] = jnp.max(nlive)
+            Fo = int(foct.shape[1])
+            F = Fo * 8
+            fiota = np.arange(Fo, dtype=np.int32)
+            live_o = fiota[None, :] < nlive[:, None]        # [B, Fo]
+            lvl_live[lvl] = jnp.max(nlive) * 8
 
-            wn = wtab[jnp.where(live, fnode, 0)]            # [B, F, W]
-            flags = bc(wn[:, :, 3])
+            wno = wtab8[jnp.where(live_o, foct, 0)]         # [B, Fo, 8, W]
+            wn = wno.reshape(B, F, W)
+            live = jnp.repeat(live_o, 8, axis=1)            # [B, F]
+            flags = bc(wn[:, :, WFLAGS])
             valid = live & ((flags & 255) != 0)
             terminal = (flags & 1) > 0
-            nch = bc(wn[:, :, 7])
+            nch = bc(wn[:, :, WNCHUNK])
             # nodes of the complete shallow levels under a real shallow
             # leaf carry moments but no chunks; the preamble already
             # summed those leaves directly — never re-count them
             valid = valid & ~(terminal & (nch == 0))
-            center = wn[:, :, 0:3]
-            cg = wn[:, :, 9:9 + 4 * NG].reshape(B, F, NG, 4)
+            center = wn[:, :, WCX:WCZ + 1]
+            cg = wn[:, :, 8:8 + 4 * NG].reshape(B, F, NG, 4)
             cm = cg[..., 0:3]
             m_g = cg[..., 3]
             cell_len = tree.root_len * np.float32(2.0 ** -lvl)
@@ -546,196 +608,233 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             leaf_here = rest & terminal
             expand = rest & ~terminal
 
-            # inline monopole evaluation of accepted nodes
-            hasg = ((flags[..., None] >>
-                     (1 + np.arange(NG, dtype=np.int32))) & 1) > 0
-            mono_state = eval_mono(wn, accept[..., None] & hasg, mono_state)
+            # accepted octet records: NG-chunk runs (gravity-major octet
+            # rows in the source table) + per-gravity 8-bit slot masks
+            # (accepted AND mass>0)
+            acc_o = accept.reshape(B, Fo, 8)
+            hasg = ((flags.reshape(B, Fo, 8)[..., None]
+                     >> (1 + np.arange(NG, dtype=np.int32))) & 1) > 0
+            mbits = jnp.sum((acc_o[..., None] & hasg).astype(jnp.int32)
+                            * pow2[None, None, :, None], axis=2)  # [B,Fo,NG]
+            any_a = jnp.any(acc_o, axis=2)
+            mo_ls.append(nstart // 8 + foct * NG)
+            ml_ls.append(jnp.where(any_a, NG, 0))
+            mm_ls.append(mbits)
 
             nc_ls.append(jnp.where(leaf_here, nch, 0))
-            c0_ls.append(bc(wn[:, :, 6]))
-            if lattice_tables is not None:
-                mid_ls.append(jnp.where(accept, fnode, -1))
-                mgb_ls.append(jnp.where(accept, flags, 0))
+            c0_ls.append(bc(wn[:, :, WCHUNK0]))
 
             if lvl == depth:
                 break  # depth-level nodes are terminal by construction
 
-            # expand children into the next frontier with ONE per-row
-            # repeat: fnode = rep(child0 - cumex) + iota, since child
-            # ranges are ascending and disjoint (nextnode = child0[run]
-            # + offset-in-run and offset-in-run = iota - cumex[run])
-            Fn = min(fcaps_l[lvl + 1], caps_l[lvl + 1], 8 * F)
-            ncc = jnp.where(expand, bc(wn[:, :, 5]), 0)
-            cum = jnp.cumsum(ncc, axis=1)
-            total = cum[:, -1]
-            cumex = cum - ncc
-            child0 = bc(wn[:, :, 4])
-            rep = _row_repeat(child0 - cumex, ncc, Fn)
-            niota = np.arange(Fn, dtype=np.int32)
-            fnode = jnp.where(niota[None, :] < total[:, None],
-                              rep + niota[None, :], 0)
+            # expand: each opened node emits exactly ONE child octet id;
+            # compacted with a cumsum + one dropping scatter (no repeat)
+            Fn = min(foct_l[lvl + 1], int(noct[lvl + 1]))
+            co = bc(wn[:, :, WCHOCT])
+            exp_ok = expand & (co >= 0)
+            pos = jnp.cumsum(exp_ok.astype(jnp.int32), axis=1)
+            total = pos[:, -1]
+            idx = jnp.where(exp_ok, pos - 1, Fn)
+            rows2 = np.arange(B, dtype=np.int32)[:, None]
+            foct = jnp.zeros((B, Fn), jnp.int32) \
+                .at[rows2, idx].set(co, mode="drop")
             nlive = jnp.minimum(total, Fn)
             ovf = ovf | jnp.any(total > Fn)
 
-        acc_x, acc_y, acc_z, acc_p, nia_mono = mono_state
-        ncs = jnp.concatenate(nc_ls, axis=1)
-        c0s = jnp.concatenate(c0_ls, axis=1)
-
-        # ------------------------------------------------------------
-        # Leaf lists: compact (c0, nc) records -> expand to chunk ids.
-        # ------------------------------------------------------------
         rows2 = np.arange(B, dtype=np.int32)[:, None]
-        rv = ncs > 0
-        rpos = jnp.cumsum(rv.astype(jnp.int32), axis=1)
-        nrec = rpos[:, -1]
-        ridx = jnp.where(rv, rpos - 1, E)
-        c0c = jnp.zeros((B, E), jnp.int32) \
-            .at[rows2, ridx].set(c0s, mode="drop")
-        ncr = jnp.zeros((B, E), jnp.int32) \
-            .at[rows2, ridx].set(ncs, mode="drop")
-        cum_r = jnp.cumsum(ncr, axis=1)
-        cl = jnp.sum(ncs, axis=1)
-        ovf = ovf | jnp.any(nrec > E) | jnp.any(cl > CL)
-        # single-repeat run expansion: chid = rep(c0 - cumex) + iota
-        rep = _row_repeat(c0c - (cum_r - ncr), ncr, CL)
-        ciota = np.arange(CL, dtype=np.int32)
-        chid = rep + ciota[None, :]
-        chid = jnp.where(ciota[None, :] < cl[:, None], chid, null_chunk)
-        chid = jnp.where(chid < max_chunk_id, chid, null_chunk)
-
-        nia = nia_mono + cl * 8
-        stats = jnp.stack([jnp.max(nrec), jnp.max(cl), jnp.max(nia_mono)])
-
-        if stage_limit < 3:
-            out = jnp.stack([acc_x, acc_y, acc_z, acc_p], axis=-1)
-            nia_t = jnp.broadcast_to(nia[:, None], (B, G)).astype(jnp.int32)
-            return out, nia_t, ovf, stats, jnp.stack(lvl_live)
 
         # ------------------------------------------------------------
-        # Leaf evaluation: chunk-granular gather + dense masked tile,
-        # scanned in slices of EVK/8 chunks to bound the live temporary.
+        # UNIFIED chunk list straight from the UNCOMPACTED record
+        # streams — no per-record compaction, no batched repeat.  Every
+        # record is a contiguous chunk RUN (start, len): accepted mono
+        # octets contribute NG gravity chunks, opened leaves their
+        # aligned chunk ranges.  The expansion is one delta-scatter of
+        # per-run base values at run starts + one associative
+        # forward-fill scan: chid[i] = start[run(i)] + (i - pos0[run(i)])
+        # = basefill[i] + i.
         # ------------------------------------------------------------
-        KC = EVK // 8      # chunks per slice
-        nslice = CL // KC if CL % KC == 0 else CL // KC + 1
-        CLp = nslice * KC
-        if CLp != CL:
-            chid_p = jnp.concatenate(
-                [chid, jnp.full((B, CLp - CL), null_chunk, jnp.int32)],
-                axis=1)
-        else:
-            chid_p = chid
+        starts = jnp.concatenate(mo_ls + c0_ls, axis=1)    # [B, T]
+        lens = jnp.concatenate(ml_ls + nc_ls, axis=1)
+        mms = jnp.concatenate(mm_ls, axis=1)               # [B, Tm, NG]
+        Tm = int(mms.shape[1])
 
-        def leaf_slice(state, ch_slice):
-            ax0, ay0, az0, ap0 = state
-            src = gsrc8[ch_slice]                    # [B, KC, 8, 8]
-            src = src.reshape(B, KC * 8, 8)
-            sgid = bc(src[:, :, IGID])
-            sgrav = bc(src[:, :, IGRAV])
-            v = (sgid[:, :, None] != -1) & (tgid_t >= 0) \
-                & (sgid[:, :, None] != tgid_t)
-            scount = src[:, :, FCOUNT, None] if use_count else 1.0
-            ax, ay, az, pp = pair_tile(
-                (tx, ty, tz), tgrav_t, tsoft_t, tmass_t,
-                (src[:, :, FX, None], src[:, :, FY, None],
-                 src[:, :, FZ, None]),
-                sgrav[:, :, None], src[:, :, FSOFT, None],
-                src[:, :, FMASS, None], scount, v)
-            return (ax0 + ax, ay0 + ay, az0 + az, ap0 + pp), None
+        UC = CL
+        cum = jnp.cumsum(lens, axis=1)
+        n_uch = cum[:, -1]
+        pos0 = cum - lens
+        live_r = lens > 0
+        ovf = ovf | jnp.any(n_uch > UC)
+        SENT = np.int32(-(2**30))
+        vidx = jnp.where(live_r & (pos0 < UC), pos0, UC)
+        base = jnp.full((B, UC), SENT, jnp.int32) \
+            .at[rows2, vidx].set(starts - pos0, mode="drop")
+        base = jax.lax.associative_scan(
+            lambda a, b: jnp.where(b == SENT, a, b), base, axis=1)
+        uiota = np.arange(UC, dtype=np.int32)
+        uch = base + uiota[None, :]
+        uch = jnp.where((uiota[None, :] < n_uch[:, None]) & (base != SENT),
+                        uch, null_chunk)
+        uch = jnp.where((uch >= 0) & (uch < rows // 8), uch, null_chunk)
 
-        # demand-bounded slice loop: only ceil(max-demand/KC) slices of
-        # the static chunk-list cap are gathered and evaluated (the caps
-        # are max-over-run; per-batch demand is usually far smaller)
-        ns_live = (jnp.max(cl) + KC - 1) // KC
+        # per-chunk 8-bit row masks: mono records scatter their per-
+        # gravity masks at pos0 + g; everything else is fully live
+        garange = np.arange(NG, dtype=np.int32)
+        mpos = pos0[:, :Tm, None] + garange[None, None, :]
+        mi = jnp.where(live_r[:, :Tm, None] & (mpos < UC), mpos, UC)
+        um8 = jnp.full((B, UC), 255, jnp.int32) \
+            .at[rows2[:, :, None], mi].set(mms, mode="drop")
 
-        def leaf_cond(c):
-            return c[0] < ns_live
+        n_mono = jnp.sum(lens[:, :Tm], axis=1) // NG
+        stats = jnp.stack([jnp.max(jnp.sum(live_r.astype(jnp.int32),
+                                           axis=1)),
+                           jnp.max(n_uch), jnp.max(n_mono)])
+        lvls = jnp.stack(lvl_live)
 
-        def leaf_body(c):
-            s, st = c
-            ch_slice = jax.lax.dynamic_slice_in_dim(chid_p, s * KC, KC,
-                                                    axis=1)
-            st, _ = leaf_slice(st, ch_slice)
-            return (s + 1, st)
+        if stage_limit < 2:
+            z = jnp.zeros((B, G), jnp.float32)
+            zi = jnp.broadcast_to(
+                (n_uch * 8)[:, None], (B, G)).astype(jnp.int32)
+            out = jnp.stack([z, z, z, z], axis=-1)
+            return out, zi, ovf, stats, lvls
 
-        _, (acc_x, acc_y, acc_z, acc_p) = jax.lax.while_loop(
-            leaf_cond, leaf_body,
-            (jnp.int32(0), (acc_x, acc_y, acc_z, acc_p)))
+        # ------------------------------------------------------------
+        # Demand-bounded gather: fill the packed [B, 8, UC*8] buffer
+        # (fields on sublanes, sources on lanes — the kernel layout) in
+        # SCH-row slices up to the batch's max live chunk count, masking
+        # dead rows (gid = -1) from the per-chunk mask bits.  gsrc8 is
+        # the chunk-transposed [NC, 8fields, 8rows] table, so the gather
+        # output only needs a middle-axes swap (minor dim intact — a
+        # layout copy, not a lane shuffle).
+        # ------------------------------------------------------------
+        KC = SCH // 8
+        neg1f = np.float32(np.array(-1, np.int32).view(np.float32))
+        bit_iota = np.arange(8, dtype=np.int32)
 
-        if lattice_tables is not None:
+        def gather_body(c):
+            s, bf = c
+            sl = jax.lax.dynamic_slice_in_dim(uch, s * KC, KC, axis=1)
+            src = gsrc8[sl]                              # [B, KC, 8r, 8f]
+            src = jnp.transpose(src, (0, 3, 1, 2)).reshape(B, 8, KC * 8)
+            msl = jax.lax.dynamic_slice_in_dim(um8, s * KC, KC, axis=1)
+            bit = ((msl[:, :, None] >> bit_iota) & 1) > 0
+            src = src.at[:, IGID, :].set(
+                jnp.where(bit.reshape(B, KC * 8), src[:, IGID, :], neg1f))
+            bf = jax.lax.dynamic_update_slice(bf, src, (0, 0, s * SCH))
+            return (s + 1, bf)
+
+        ubuf = jnp.zeros((B, 8, UC * 8), jnp.float32) \
+            .at[:, IGID, :].set(neg1f)
+        ns_live = (jnp.max(n_uch) + KC - 1) // KC
+        _, ubuf = jax.lax.while_loop(lambda c: c[0] < ns_live, gather_body,
+                                     (jnp.int32(0), ubuf))
+
+        if stage_limit == 2:
+            # probe mode: consume the gathered buffer so the gather is
+            # actually timed (XLA would otherwise dead-code it away)
+            import os as _os
+            if _os.environ.get("WALK_STAGE2_LISTS"):
+                z = jnp.broadcast_to(
+                    (jnp.sum(uch, axis=1)
+                     + jnp.sum(um8, axis=1)).astype(jnp.float32)[:, None],
+                    (B, G))
+            else:
+                z = jnp.broadcast_to(jnp.sum(ubuf, axis=(1, 2))[:, None],
+                                     (B, G))
+            zi = jnp.broadcast_to(
+                (n_uch * 8)[:, None], (B, G)).astype(jnp.int32)
+            out = jnp.stack([z, z, z, z], axis=-1)
+            return out, zi, ovf, stats, lvls
+
+        acc_x = jnp.zeros((B, G), jnp.float32)
+        acc_y = jnp.zeros((B, G), jnp.float32)
+        acc_z = jnp.zeros((B, G), jnp.float32)
+        acc_p = jnp.zeros((B, G), jnp.float32)
+        nia = jnp.zeros((B, G), jnp.int32)
+
+        if stage_limit >= 3 and kernel_fn is not None:
+            targets = dict(
+                x=tpos[..., 0].reshape(B * G, 1),
+                y=tpos[..., 1].reshape(B * G, 1),
+                z=tpos[..., 2].reshape(B * G, 1),
+                mass=tp[..., FMASS].reshape(B * G, 1),
+                grav=tgrav.reshape(B * G, 1),
+                fsoft=tsoft.reshape(B * G, 1),
+                gid=tgid.reshape(B * G, 1))
+            a3, pp, nv = kernel_fn(targets, ubuf,
+                                   (n_uch * 8).reshape(B, 1))
+            a3 = a3.reshape(B, G, 3)
+            acc_x = a3[..., 0]
+            acc_y = a3[..., 1]
+            acc_z = a3[..., 2]
+            acc_p = pp.reshape(B, G)
+            nia = nv.reshape(B, G)
+        elif stage_limit >= 3:
+            # XLA fallback: identical physics over the same buffers,
+            # scanned in EVK-row slices to bound the live temporary
+            def eval_buf(state, buf, n_src_rows):
+                nsl = (jnp.max(n_src_rows) + EVK - 1) // EVK
+
+                def body(c):
+                    s, (ax0, ay0, az0, ap0, ni0) = c
+                    src = jax.lax.dynamic_slice_in_dim(
+                        buf, s * EVK, EVK, axis=2)
+                    ax, ay, az, pp, nv = pair_tile(
+                        (tx, ty, tz), tgrav_t, tsoft_t, tmass_t, tgid_t,
+                        src)
+                    return (s + 1, (ax0 + ax, ay0 + ay, az0 + az,
+                                    ap0 + pp, ni0 + nv))
+
+                _, state = jax.lax.while_loop(lambda c: c[0] < nsl, body,
+                                              (jnp.int32(0), state))
+                return state
+
+            state = (acc_x, acc_y, acc_z, acc_p, nia)
+            state = eval_buf(state, ubuf, n_uch * 8)
+            acc_x, acc_y, acc_z, acc_p, nia = state
+
+        if lattice_tables is not None and stage_limit >= 3:
             # periodic lattice (Ewald) correction, the reference's second
-            # walk (forcetree.c:2077-2432): applied to the SAME accepted
-            # interaction set — leaf particle rows and accepted monopole
-            # rows (recorded per level above, compacted here).
+            # walk (forcetree.c:2077-2432): applied to the SAME
+            # interaction set via the same gathered buffers
             from .lattice import lattice_correction
 
-            def lat_tile(src):
-                """Lattice correction of source rows [B, K, 8]."""
-                sgid = bc(src[:, :, IGID])
-                sgrav = bc(src[:, :, IGRAV])
-                v = (sgid[:, :, None] != -1) & (tgid_t >= 0) \
-                    & (sgid[:, :, None] != tgid_t)
-                dx = min_image(src[:, :, FX, None] - tx)
-                dy = min_image(src[:, :, FY, None] - ty)
-                dz = min_image(src[:, :, FZ, None] - tz)
-                pidx = (tgrav_t * NG + sgrav[:, :, None]).astype(jnp.int32)
-                fcx, fcy, fcz, pc = lattice_correction(
-                    lattice_tables, fac_intp, dx, dy, dz, pidx)
-                sm = jnp.where(v, src[:, :, FMASS, None], 0.0)
-                return (jnp.sum(sm * fcx, axis=-2),
-                        jnp.sum(sm * fcy, axis=-2),
-                        jnp.sum(sm * fcz, axis=-2),
-                        jnp.sum(sm * pc, axis=-2))
+            def lat_eval(state, buf, n_src_rows):
+                nsl = (jnp.max(n_src_rows) + EVK - 1) // EVK
 
-            def lat_leaf_body(c):
-                s, (ax0, ay0, az0, ap0) = c
-                ch_slice = jax.lax.dynamic_slice_in_dim(chid_p, s * KC, KC,
-                                                        axis=1)
-                src = gsrc8[ch_slice].reshape(B, KC * 8, 8)
-                ax, ay, az, pp = lat_tile(src)
-                return (s + 1, (ax0 + ax, ay0 + ay, az0 + az, ap0 + pp))
+                def body(c):
+                    s, (ax0, ay0, az0, ap0) = c
+                    src = jax.lax.dynamic_slice_in_dim(
+                        buf, s * EVK, EVK, axis=2)
+                    bci = lambda a: jax.lax.bitcast_convert_type(
+                        a, jnp.int32)
+                    sgid = bci(src[:, IGID, :])
+                    sgrav = bci(src[:, IGRAV, :])
+                    v = (sgid[:, :, None] != -1) & (tgid_t >= 0) \
+                        & (sgid[:, :, None] != tgid_t)
+                    dx = min_image(src[:, FX, :, None] - tx)
+                    dy = min_image(src[:, FY, :, None] - ty)
+                    dz = min_image(src[:, FZ, :, None] - tz)
+                    pidx = (tgrav_t * NG
+                            + sgrav[:, :, None]).astype(jnp.int32)
+                    fcx, fcy, fcz, pc = lattice_correction(
+                        lattice_tables, fac_intp, dx, dy, dz, pidx)
+                    sm = jnp.where(v, src[:, FMASS, :, None], 0.0)
+                    return (s + 1,
+                            (ax0 + jnp.sum(sm * fcx, axis=-2),
+                             ay0 + jnp.sum(sm * fcy, axis=-2),
+                             az0 + jnp.sum(sm * fcz, axis=-2),
+                             ap0 + jnp.sum(sm * pc, axis=-2)))
 
-            _, (acc_x, acc_y, acc_z, acc_p) = jax.lax.while_loop(
-                lambda c: c[0] < ns_live, lat_leaf_body,
-                (jnp.int32(0), (acc_x, acc_y, acc_z, acc_p)))
+                _, state = jax.lax.while_loop(lambda c: c[0] < nsl, body,
+                                              (jnp.int32(0), state))
+                return state
 
-            # compact accepted-monopole records -> row ids -> gather
-            EM = _rup(E * 4, 8)
-            mids = jnp.concatenate(mid_ls, axis=1)
-            mgbs = jnp.concatenate(mgb_ls, axis=1)
-            mv = mids >= 0
-            mpos = jnp.cumsum(mv.astype(jnp.int32), axis=1)
-            ovf = ovf | jnp.any(mpos[:, -1] > EM)
-            midx = jnp.where(mv, mpos - 1, EM)
-            midc = jnp.full((B, EM), -1, jnp.int32) \
-                .at[rows2, midx].set(mids, mode="drop")
-            mgbc = jnp.zeros((B, EM), jnp.int32) \
-                .at[rows2, midx].set(mgbs, mode="drop")
-            garange = np.arange(NG, dtype=np.int32)
-            mhas = (((mgbc[..., None] >> (1 + garange)) & 1) > 0) \
-                & (midc[..., None] >= 0)
-            mrows = jnp.where(mhas, nstart + midc[..., None] * NG + garange,
-                              null_row).reshape(B, EM * NG)
-
-            def lat_mono_slice(state, sl):
-                ax0, ay0, az0, ap0 = state
-                src = gsrc[sl]                       # [B, EVK, 8]
-                ax, ay, az, pp = lat_tile(src)
-                return (ax0 + ax, ay0 + ay, az0 + az, ap0 + pp), None
-
-            MK = EVK
-            nms = (EM * NG + MK - 1) // MK
-            mpad = nms * MK - EM * NG
-            if mpad:
-                mrows = jnp.concatenate(
-                    [mrows, jnp.full((B, mpad), null_row, jnp.int32)],
-                    axis=1)
-            mrows_s = mrows.reshape(B, nms, MK).transpose(1, 0, 2)
-            (acc_x, acc_y, acc_z, acc_p), _ = jax.lax.scan(
-                lat_mono_slice, (acc_x, acc_y, acc_z, acc_p), mrows_s)
+            state = (acc_x, acc_y, acc_z, acc_p)
+            state = lat_eval(state, ubuf, n_uch * 8)
+            acc_x, acc_y, acc_z, acc_p = state
 
         out = jnp.stack([acc_x, acc_y, acc_z, acc_p], axis=-1)
-        nia_t = jnp.broadcast_to(nia[:, None], (B, G)).astype(jnp.int32)
-        return out, nia_t, ovf, stats, jnp.stack(lvl_live)
+        return out, nia, ovf, stats, lvls
 
     # ------------------------------------------------------------------
     # Composition.
@@ -757,17 +856,21 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             rel = rel_default if opening_override is None else \
                 (rel_true if opening_override == "relative" else rel_false)
         n = tree.pos_s.shape[0]
-        m = tree.node_mass.shape[0]
         assert tree.blk_start.shape[0] > 0
-        layout = source_table_layout(n, m, NG, leaf_factor)
+        noct = octet_counts(n, depth, bucket)
+        n_oct = int(np.sum(noct))
+        layout = source_table_layout(n, n_oct, NG, leaf_factor)
         cap2, _, rows_t, null_row = layout
-        gsrc = pack_source_table(tree, NG, leaf_factor,
+
+        slot8, child_oct, oovf = build_octet_layout(tree, n, depth, bucket)
+        gsrc = pack_source_table(tree, slot8, NG, n_oct, leaf_factor,
                                  accumulator=wiring.accumulator)
-        # chunked leaf view + one null chunk appended at id cap2//8
-        gsrc8 = jnp.concatenate(
-            [gsrc[:cap2], gsrc[null_row:null_row + 8]]
-        ).reshape(cap2 // 8 + 1, 8, 8)
-        wtab = pack_walk_table(tree, NG, wiring.accumulator)
+        # contiguous chunk view [NC, 8rows, 8fields]: gathers read whole
+        # 256B chunks; the (cheap) field transpose runs on the gathered
+        # output, never fused into the gather as strided reads
+        gsrc8 = gsrc.reshape(rows_t // 8, 8, 8)
+        wtab8 = pack_walk_table8(tree, slot8, child_oct, NG, n_oct,
+                                 wiring.accumulator)
 
         nt = int(tgt_sorted.shape[0])
         NGRP = int(tree.blk_start.shape[0])
@@ -793,7 +896,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         blk_ids = jnp.full((NGRP + B,), -1, jnp.int32) \
             .at[bidx].set(np.arange(NGRP, dtype=np.int32), mode="drop")
         nbatch = (nact + B - 1) // B
-        ovf0 = tree.n_blocks > NGRP
+        ovf0 = oovf | (tree.n_blocks > NGRP)
 
         giota = np.arange(G, dtype=np.int32)
 
@@ -812,7 +915,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                 bcf(jnp.where(in_blk, slots, -1)))
             ta = tree.aold_s[safe]
             out, nia_t, ovf1, stats1, lvl1 = _walk_batch(
-                tree, wtab, gsrc, gsrc8, layout, tp, ta, rel, n)
+                tree, wtab8, gsrc, gsrc8, layout, noct, tp, ta, rel, n)
             rows = jnp.where(in_blk, slots, n).reshape(-1)
             accbuf = accbuf.at[rows].set(out.reshape(-1, 4), mode="drop")
             niabuf = niabuf.at[rows].set(nia_t.reshape(-1), mode="drop")
@@ -841,4 +944,14 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
     fused_forces.group_size = G
     fused_forces.batch_blocks = B
     fused_forces.frontier_caps = fcaps_l
+    fused_forces.uses_pallas = kernel_fn is not None
     return fused_forces
+
+
+def _row_repeat(vals, repeats, total: int):
+    """Batched `jnp.repeat(vals[b], repeats[b], total_repeat_length=total)`
+    per row (leaf-record run expansion only — the traversal itself no
+    longer repeats)."""
+    def one(v, r):
+        return jnp.repeat(v, r, total_repeat_length=total)
+    return jax.vmap(one)(vals, repeats)

@@ -390,6 +390,17 @@ def make_let_tree_step(cfg, units, wiring, tables, mesh,
 
     box = cfg.box_size if cfg.periodic else 0.0
     periodic = box > 0
+    if periodic and not cfg.pmgrid:
+        # A periodic pure-tree walk needs the Ewald lattice-correction
+        # pass (forcetree.c:2077); the LET exchange evaluates remote rows
+        # minimum-image only and would be silently ~20% rms off.  Refuse
+        # until the correction is wired; periodic runs go through the
+        # TreePM LET path (the mesh carries the periodicity) or the
+        # replicated path (which builds the tables, tree_sharded.py:104).
+        raise NotImplementedError(
+            "LET mode does not yet apply the periodic lattice correction; "
+            "use TreePM (pmgrid>0) or the replicated-tree path for "
+            "periodic boxes")
     depth = depth if depth is not None else cfg.tree_depth
     n_dev = mesh.devices.size
     G = units.G
@@ -406,6 +417,7 @@ def make_let_tree_step(cfg, units, wiring, tables, mesh,
         wiring, n_gravs=NG, depth=depth, bucket=cfg.tree_bucket_size,
         group_size=cfg.walk_group_size, batch_blocks=cfg.walk_batch_blocks,
         ent_cap=fcaps.get("ent", 2048), chunk_cap=fcaps.get("chunk", 2048),
+        mono_cap=fcaps.get("mono", 1024),
         frontier_cap=fcaps.get("frontier", 2048), ec=cfg.walk_ec,
         theta=theta, opening=opening, box_size=box)
     from ..ops.solver import apply_cosmo_corrections, cosmo_corrections
