@@ -84,10 +84,17 @@ def main():
     else:
         sim = Simulation(cfg, log_dir="", segment_steps=64)
 
-    # warmup: compile all kernels on the shapes the loop will use
+    # warmup: compile all kernels on the shapes the loop will use AND let
+    # the demand-driven walk caps settle (each cap change recompiles; a
+    # 64-step segment call only reveals demand once it runs, so several
+    # calls are needed before the measurement window is recompile-free)
     warm = sim.step_count
-    while sim.step_count - warm < 8:
+    caps = None
+    while sim.step_count - warm < 200 or caps != sim.solver.fcaps:
+        caps = dict(sim.solver.fcaps)
         sim.step()
+        if sim.step_count - warm > 400:
+            break
 
     import ngravs_tpu.constants as C
     n0 = sim.num_force_updates

@@ -82,6 +82,7 @@ for attempt in range(8):
         theta=0.5, opening="bh", use_pallas=USE_PALLAS,
         box_size=box if TREEPM else 0.0, treepm=treepm,
         want_pot=bool(int(os.environ.get("WALK_POT", "0"))),
+        subgroups=int(os.environ.get("WALK_S", "4")),
         stage_limit=STAGE)
     walk = jax.jit(lambda tr, tg: walk_raw(tr, tg))
     NT = int(os.environ.get("NT_LIMIT", N))

@@ -628,32 +628,41 @@ class Simulation:
         # every step cost ~10x the walk itself at small active sets
         REFRESH_EVERY = 8
 
-        def make_tree(p, tree_c, mode, dd):
+        def make_tree(p, tree_c, wt_c, mode, dd):
+            """Tree + packed walk-table maintenance on the reference's
+            cadence: drift steps only move positions/CMs elementwise
+            (tables drift too — no layout derivation, no re-scatter);
+            refreshes re-aggregate moments and repack values on the
+            CACHED octet layout; rebuilds re-derive everything."""
             fsoft = fsoft_by_type[p.ptype]
             aold = err_tol * p.old_acc / G
             zero_h = jnp.zeros_like(p.mass)
 
-            def _build(tc):
-                return build_tree(p.pos, p.mass, p.grav, fsoft, aold,
+            def _build(tc, wc):
+                tree = build_tree(p.pos, p.mass, p.grav, fsoft, aold,
                                   zero_h, depth=depth, n_gravs=cfg.n_gravs,
                                   bucket=cfg.tree_bucket_size,
                                   box_size=box_t,
                                   group_size=cfg.walk_group_size,
                                   vel=p.vel)
+                return tree, walk.pack_tables(tree)
 
-            def _refresh(tc):
-                return refresh_tree(tc, p.pos, p.mass, p.grav, fsoft, aold,
+            def _refresh(tc, wc):
+                tree = refresh_tree(tc, p.pos, p.mass, p.grav, fsoft, aold,
                                     zero_h, depth=depth,
                                     n_gravs=cfg.n_gravs,
                                     bucket=cfg.tree_bucket_size,
                                     vel=p.vel)
+                return tree, walk.pack_tables(
+                    tree, layout=(wc.slot8, wc.child_oct, wc.layout_ovf))
 
-            def _drift(tc):
-                return drift_tree(tc, dd)
+            def _drift(tc, wc):
+                return drift_tree(tc, dd), walk.drift_tables(wc, dd)
 
-            return jax.lax.switch(mode, [_drift, _refresh, _build], tree_c)
+            return jax.lax.switch(mode, [_drift, _refresh, _build],
+                                  tree_c, wt_c)
 
-        def tree_one(p, ti_from, min_glob, time_now, dt_disp, tree_c,
+        def tree_one(p, ti_from, min_glob, time_now, dt_disp, tree_c, wt_c,
                      since, since_agg, pm_beg, pm_end):
             dd_step = tables.drift_factor(ti_from, min_glob)
             p, _ = self._drift(p, None, ti_from, min_glob)
@@ -667,14 +676,14 @@ class Simulation:
             do_build = since >= rebuild_every
             do_agg = since_agg >= REFRESH_EVERY
             mode = jnp.where(do_build, 2, jnp.where(do_agg, 1, 0))
-            tree = make_tree(p, tree_c, mode, dd_step)
+            tree, wt = make_tree(p, tree_c, wt_c, mode, dd_step)
             since = jnp.where(do_build, 0, since) \
                 + n_active.astype(jnp.int32)
             since_agg = jnp.where(mode > 0, 0, since_agg + 1)
             mask_s = mask[tree.order]
             tgt = jnp.nonzero(mask_s, size=s, fill_value=-1)[0] \
                 .astype(jnp.int32)
-            res = walk(tree, tgt, rel=rel)
+            res = walk(tree, tgt, rel=rel, tables=wt)
             valid = tgt >= 0
             orig = jnp.where(valid, tree.order[jnp.maximum(tgt, 0)], p.n)
             safe = jnp.minimum(orig, p.n - 1)
@@ -710,8 +719,9 @@ class Simulation:
             min_next = jnp.min(p.ti_endstep)
             n_next = jnp.sum(p.ti_endstep == min_next)
             nia_sum = jnp.sum(jnp.where(valid, res.ninteract, 0))
-            return (p, n_active, min_next, n_next, tree, since, since_agg,
-                    pm_beg, pm_end, dt_disp, res.overflow, nia_sum,
+            return (p, n_active, min_next, n_next, tree, wt, since,
+                    since_agg, pm_beg, pm_end, dt_disp, res.overflow,
+                    nia_sum,
                     jnp.concatenate(
                         [jnp.stack([res.max_ent, res.max_chunk,
                                     res.max_rows]), res.max_frontier]))
@@ -725,11 +735,12 @@ class Simulation:
                                n_gravs=cfg.n_gravs,
                                bucket=cfg.tree_bucket_size, box_size=box_t,
                                group_size=cfg.walk_group_size, vel=p.vel)
+            wt0 = walk.pack_tables(tree0)
             stats0 = jnp.zeros((3 + depth + 1,), jnp.int32)
 
             def cond(c):
                 (p, ti_cur, min_nxt, n_nxt, updates, steps, last_act,
-                 tree, since, since_agg, pm_b, pm_e, dtd, ovf, stats,
+                 tree, wt, since, since_agg, pm_b, pm_e, dtd, ovf, stats,
                  rec) = c
                 go = ((steps < seg_cap) & (min_nxt <= ti_stop)
                       & ((steps == 0) | (min_nxt > ti_cur))
@@ -744,18 +755,19 @@ class Simulation:
 
             def body(c):
                 (p0, ti_cur, min_nxt, n_nxt, updates, steps, last_act,
-                 tree0_, since0, sagg0, pm_b0, pm_e0, dtd0, ovf, stats,
-                 rec) = c
+                 tree0_, wt0_, since0, sagg0, pm_b0, pm_e0, dtd0, ovf,
+                 stats, rec) = c
                 time_now = time_at_dev(min_nxt)
-                (p1, n_active, min2, n2, tree1, since1, sagg1, pm_b1,
+                (p1, n_active, min2, n2, tree1, wt1, since1, sagg1, pm_b1,
                  pm_e1, dtd1, ovf1, nia1, st1) = tree_one(
-                    p0, ti_cur, min_nxt, time_now, dtd0, tree0_, since0,
-                    sagg0, pm_b0, pm_e0)
+                    p0, ti_cur, min_nxt, time_now, dtd0, tree0_, wt0_,
+                    since0, sagg0, pm_b0, pm_e0)
                 keep = ~ovf1
                 sel = lambda a, b: jax.tree_util.tree_map(
                     lambda x, y: jnp.where(keep, x, y), a, b)
                 p = sel(p1, p0)
                 tree = sel(tree1, tree0_)
+                wt = sel(wt1, wt0_)
                 since = jnp.where(keep, since1, since0)
                 sagg = jnp.where(keep, sagg1, sagg0)
                 pm_b = jnp.where(keep, pm_b1, pm_b0)
@@ -774,13 +786,13 @@ class Simulation:
                         steps + jnp.where(keep, 1, 0),
                         jnp.where(keep, n_active.astype(jnp.int32),
                                   last_act),
-                        tree, since, sagg, pm_b, pm_e, dtd,
+                        tree, wt, since, sagg, pm_b, pm_e, dtd,
                         ovf | ovf1, jnp.maximum(stats, st1), rec)
 
             c0 = (p, jnp.asarray(ti_from, jnp.int32),
                   jnp.asarray(min_glob, jnp.int32),
                   jnp.asarray(n_act, jnp.int32), jnp.int32(0),
-                  jnp.int32(0), jnp.int32(0), tree0, jnp.int32(0),
+                  jnp.int32(0), jnp.int32(0), tree0, wt0, jnp.int32(0),
                   jnp.int32(0),
                   jnp.asarray(pm_beg, jnp.int32),
                   jnp.asarray(pm_end, jnp.int32),
@@ -788,7 +800,7 @@ class Simulation:
                   jnp.zeros((), bool), stats0,
                   jnp.zeros((seg_cap, 3), jnp.int32))
             (p, ti_cur, min_nxt, n_nxt, updates, steps, last_act, _tree,
-             _since, _sagg, pm_b, pm_e, dtd, ovf, stats, rec) = \
+             _wt, _since, _sagg, pm_b, pm_e, dtd, ovf, stats, rec) = \
                 jax.lax.while_loop(cond, body, c0)
             info = jnp.stack([ti_cur, min_nxt, n_nxt, updates, steps,
                               last_act, pm_b, pm_e,

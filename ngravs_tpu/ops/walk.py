@@ -79,6 +79,24 @@ def _rup(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+class WalkTables(NamedTuple):
+    """Packed walk/source tables + octet layout, cacheable across steps.
+
+    The octet layout (slot8/child_oct) depends only on the tree
+    STRUCTURE, which is frozen between rebuilds; the packed values drift
+    with per-row velocities between moment refreshes — the packed-table
+    analog of the reference's dynamic tree updates (predict.c:83-90,
+    force_update_pseudoparticles), so device-resident segments never
+    re-derive the layout or re-scatter the tables on drift-only steps."""
+    slot8: jnp.ndarray      # [M] int32 global octet slot (-1 dead)
+    child_oct: jnp.ndarray  # [M] int32 child octet id (-1 none)
+    layout_ovf: jnp.ndarray  # scalar bool
+    wtab8: jnp.ndarray      # [n_oct, 8, W]
+    wvel8: jnp.ndarray      # [n_oct, 8, NG*3] cm drift velocities
+    gsrc: jnp.ndarray       # [R, 8] packed source rows
+    gvel: jnp.ndarray       # [R, 3] source row drift velocities
+
+
 class FusedWalkResult(NamedTuple):
     acc: jnp.ndarray        # [Nt, 3] sorted-target order
     pot: jnp.ndarray        # [Nt]
@@ -197,7 +215,12 @@ def pack_walk_table8(tree: Octree, slot8, child_oct, n_gravs: int,
     idx = jnp.where(slot8 >= 0, slot8, n_oct * 8)
     tbl = jnp.zeros((n_oct * 8, w), jnp.float32).at[idx].set(
         rows, mode="drop")
-    return tbl.reshape(n_oct, 8, w)
+    # per-gravity CM drift velocities for dynamic updates between
+    # refreshes (predict.c:83-86)
+    vrows = tree.node_vel.reshape(-1, n_gravs * 3)
+    vtbl = jnp.zeros((n_oct * 8, n_gravs * 3), jnp.float32) \
+        .at[idx].set(vrows, mode="drop")
+    return tbl.reshape(n_oct, 8, w), vtbl.reshape(n_oct, 8, n_gravs * 3)
 
 
 def source_table_layout(n: int, n_oct: int, n_gravs: int,
@@ -263,7 +286,59 @@ def pack_source_table(tree: Octree, slot8, n_gravs: int, n_oct: int,
     tbl = tbl.at[nidx.reshape(-1)].set(nrow.reshape(-1, 8), mode="drop")
     tbl = tbl.at[rows - 16:, IGID].set(neg1f)
     tbl = tbl.at[rows - 16:, FMASS].set(0.0)
-    return tbl
+    # per-row drift velocities (particle vel / per-gravity node CM vel)
+    vtbl = jnp.zeros((rows, 3), jnp.float32) \
+        .at[lr].set(tree.vel_s, mode="drop") \
+        .at[nidx.reshape(-1)].set(tree.node_vel.reshape(-1, 3),
+                                  mode="drop")
+    return tbl, vtbl
+
+
+@functools.partial(jax.jit, static_argnames=("n", "depth", "bucket",
+                                             "n_gravs", "leaf_factor",
+                                             "accumulator"))
+def pack_walk_tables(tree: Octree, n: int, depth: int, bucket: int,
+                     n_gravs: int, leaf_factor: float,
+                     accumulator: bool = False,
+                     layout=None) -> WalkTables:
+    """Derive the octet layout (unless `layout` carries a cached one from
+    an earlier build of the SAME tree structure) and pack both walk
+    tables.  Called once per tree build/refresh; between calls the
+    tables only `drift_walk_tables`."""
+    noct = octet_counts(n, depth, bucket)
+    n_oct = int(np.sum(noct))
+    if layout is None:
+        slot8, child_oct, oovf = build_octet_layout(tree, n, depth, bucket)
+    else:
+        slot8, child_oct, oovf = layout
+    gsrc, gvel = pack_source_table(tree, slot8, n_gravs, n_oct,
+                                   leaf_factor, accumulator=accumulator)
+    wtab8, wvel8 = pack_walk_table8(tree, slot8, child_oct, n_gravs,
+                                    n_oct, accumulator)
+    return WalkTables(slot8=slot8, child_oct=child_oct, layout_ovf=oovf,
+                      wtab8=wtab8, wvel8=wvel8, gsrc=gsrc, gvel=gvel)
+
+
+@functools.partial(jax.jit, static_argnames=("n_gravs",))
+def drift_walk_tables(wt: WalkTables, dd, n_gravs: int) -> WalkTables:
+    """Elementwise drift of the packed tables: source rows move with
+    their row velocities, walk-table per-gravity CMs with the node CM
+    velocities (cell centers are frozen) — the packed analog of the
+    reference's dynamic tree update (predict.c:83-90)."""
+    gsrc = jnp.concatenate([wt.gsrc[:, :3] + wt.gvel * dd, wt.gsrc[:, 3:]],
+                           axis=1)
+    n_oct = wt.wtab8.shape[0]
+    w = wt.wtab8.shape[2]
+    parts = [wt.wtab8[:, :, :8]]
+    for g in range(n_gravs):
+        c = 8 + 4 * g
+        parts.append(wt.wtab8[:, :, c:c + 3]
+                     + wt.wvel8[:, :, 3 * g:3 * g + 3] * dd)
+        parts.append(wt.wtab8[:, :, c + 3:c + 4])
+    tail = 8 + 4 * n_gravs
+    if tail < w:
+        parts.append(wt.wtab8[:, :, tail:])
+    return wt._replace(gsrc=gsrc, wtab8=jnp.concatenate(parts, axis=2))
 
 
 def normalize_frontier_caps(frontier_caps, depth: int):
@@ -845,13 +920,18 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
 
     def fused_forces(tree: Octree, tgt_sorted: jnp.ndarray,
                      opening_override: str | None = None,
-                     rel=None) -> FusedWalkResult:
+                     rel=None, tables: WalkTables | None = None
+                     ) -> FusedWalkResult:
         """Forces on sorted-order target indices (-1 padding).  One traced
         program.  Targets are processed by TREE-ALIGNED blocks (the
         tree's group-node blocks, <= G consecutive sorted particles in
         one cell) so block bounding boxes are tight tree cells; only
         blocks containing a requested target are walked, in batches of B
-        under a dynamic-trip-count while_loop (device-resident)."""
+        under a dynamic-trip-count while_loop (device-resident).
+
+        `tables`: pre-packed (and possibly drifted) WalkTables from
+        `pack_walk_tables` — segments pass these to skip the per-pass
+        layout derivation and table scatters on drift-only steps."""
         if rel is None:
             rel = rel_default if opening_override is None else \
                 (rel_true if opening_override == "relative" else rel_false)
@@ -862,15 +942,17 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         layout = source_table_layout(n, n_oct, NG, leaf_factor)
         cap2, _, rows_t, null_row = layout
 
-        slot8, child_oct, oovf = build_octet_layout(tree, n, depth, bucket)
-        gsrc = pack_source_table(tree, slot8, NG, n_oct, leaf_factor,
-                                 accumulator=wiring.accumulator)
+        if tables is None:
+            tables = pack_walk_tables(tree, n, depth, bucket, NG,
+                                      leaf_factor,
+                                      accumulator=wiring.accumulator)
+        oovf = tables.layout_ovf
+        gsrc = tables.gsrc
         # contiguous chunk view [NC, 8rows, 8fields]: gathers read whole
         # 256B chunks; the (cheap) field transpose runs on the gathered
         # output, never fused into the gather as strided reads
         gsrc8 = gsrc.reshape(rows_t // 8, 8, 8)
-        wtab8 = pack_walk_table8(tree, slot8, child_oct, NG, n_oct,
-                                 wiring.accumulator)
+        wtab8 = tables.wtab8
 
         nt = int(tgt_sorted.shape[0])
         NGRP = int(tree.blk_start.shape[0])
@@ -945,6 +1027,10 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
     fused_forces.batch_blocks = B
     fused_forces.frontier_caps = fcaps_l
     fused_forces.uses_pallas = kernel_fn is not None
+    fused_forces.pack_tables = lambda tree, layout=None: pack_walk_tables(
+        tree, tree.pos_s.shape[0], depth, bucket, NG, leaf_factor,
+        accumulator=wiring.accumulator, layout=layout)
+    fused_forces.drift_tables = lambda wt, dd: drift_walk_tables(wt, dd, NG)
     return fused_forces
 
 
