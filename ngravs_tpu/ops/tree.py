@@ -90,6 +90,7 @@ class Octree(NamedTuple):
     # always a single tree cell — never a Morton-straddling span
     blk_start: jnp.ndarray    # [NGRP] int32 first sorted-particle index
     blk_cnt: jnp.ndarray      # [NGRP] int32 particles in block (0 pad)
+    blk_level: jnp.ndarray    # [NGRP] int32 tree level of the group node
     n_blocks: jnp.ndarray     # scalar int32 live blocks (> NGRP: overflow)
     pblk: jnp.ndarray         # [N] int32 block id of each sorted particle
     # sorted particle data
@@ -327,6 +328,11 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
     blk_cnt = jnp.where(
         live_b,
         jnp.clip(pcount_all[runid] - k_in * group_size, 0, group_size), 0)
+    # group-node tree level: a density proxy used by the walk to batch
+    # demand-similar blocks together (deep group cells = dense regions =
+    # long interaction lists), so per-batch max demand tracks the mean
+    level_all = jnp.concatenate(levels)
+    blk_level = jnp.where(live_b, level_all[runid], 0)
     pblk = blk_base[grp_node] + (arange_n - start_all[grp_node]) // group_size
     pblk = jnp.minimum(pblk, ngrp - 1).astype(jnp.int32)
 
@@ -348,7 +354,8 @@ def build_tree(pos, mass, grav, fsoft, aold, hsml=None,
         node_parent=jnp.concatenate(parents),
         node_chunk0=chunk0, node_nchunk=nchunk, leaf_row=leaf_row,
         n_chunk_rows=n_chunk_rows,
-        blk_start=blk_start, blk_cnt=blk_cnt, n_blocks=n_blocks, pblk=pblk,
+        blk_start=blk_start, blk_cnt=blk_cnt, blk_level=blk_level,
+        n_blocks=n_blocks, pblk=pblk,
         order=order, pos_s=pos_s, vel_s=vel_s, mass_s=mass_s,
         grav_s=grav_s, fsoft_s=fsoft_s, aold_s=aold_s, hsml_s=hsml_s,
         khi_s=khi_s, klo_s=klo_s,

@@ -401,7 +401,8 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
     GS = G // S
     del ent_cap, mono_cap          # legacy caps: the unified list has one
     SCH = s_chunk                  # pallas source chunk (rows per grid step)
-    CL = _rup(chunk_cap, SCH // 8)     # UNIFIED chunks per block (mono+leaf)
+    GCHW = _rup(max(4 * SCH, 1024), SCH)   # gather-loop rows per slice
+    CL = _rup(chunk_cap, GCHW // 8)    # UNIFIED chunks per block (mono+leaf)
     EVK = max(128, ec)             # XLA-fallback eval slice (rows)
 
     assert G % S == 0 and G % 8 == 0
@@ -775,13 +776,13 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         # ------------------------------------------------------------
         # Demand-bounded gather: fill the packed [B, 8, UC*8] buffer
         # (fields on sublanes, sources on lanes — the kernel layout) in
-        # SCH-row slices up to the batch's max live chunk count, masking
-        # dead rows (gid = -1) from the per-chunk mask bits.  gsrc8 is
-        # the chunk-transposed [NC, 8fields, 8rows] table, so the gather
-        # output only needs a middle-axes swap (minor dim intact — a
-        # layout copy, not a lane shuffle).
+        # GCH-row slices up to the batch's max live chunk count, masking
+        # dead rows (gid = -1) from the per-chunk mask bits.  GCH is a
+        # multiple of the kernel chunk, large enough that the loop is
+        # bandwidth- not op-launch-bound.
         # ------------------------------------------------------------
-        KC = SCH // 8
+        GCH = min(GCHW, UC * 8)
+        KC = GCH // 8
         neg1f = np.float32(np.array(-1, np.int32).view(np.float32))
         bit_iota = np.arange(8, dtype=np.int32)
 
@@ -794,7 +795,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             bit = ((msl[:, :, None] >> bit_iota) & 1) > 0
             src = src.at[:, IGID, :].set(
                 jnp.where(bit.reshape(B, KC * 8), src[:, IGID, :], neg1f))
-            bf = jax.lax.dynamic_update_slice(bf, src, (0, 0, s * SCH))
+            bf = jax.lax.dynamic_update_slice(bf, src, (0, 0, s * GCH))
             return (s + 1, bf)
 
         ubuf = jnp.zeros((B, 8, UC * 8), jnp.float32) \
@@ -965,18 +966,25 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
              tree.mass_s, tree.fsoft_s, jnp.zeros_like(tree.mass_s),
              bcf(tree.grav_s), bcf(np.arange(n, dtype=np.int32))], axis=-1)
 
-        # active blocks: any member requested
+        # active blocks: any member requested.  Batched in DEMAND order
+        # (group-node depth = local density proxy, descending) instead of
+        # Morton order: gather/eval loop trip counts are per-batch maxima,
+        # so demand-homogeneous batches keep the max near the mean — one
+        # dense-nucleus block no longer sets the pace for 127 sparse ones.
         act = jnp.zeros((n,), jnp.bool_) \
             .at[jnp.where(tgt_sorted >= 0, tgt_sorted, n)] \
             .set(True, mode="drop")
         blk_act = jax.ops.segment_max(act.astype(jnp.int32), tree.pblk,
                                       NGRP) > 0
         blk_act = blk_act & (tree.blk_cnt > 0)
-        bpos = jnp.cumsum(blk_act.astype(jnp.int32))
-        nact = bpos[-1]
-        bidx = jnp.where(blk_act, bpos - 1, NGRP)
-        blk_ids = jnp.full((NGRP + B,), -1, jnp.int32) \
-            .at[bidx].set(np.arange(NGRP, dtype=np.int32), mode="drop")
+        nact = jnp.sum(blk_act.astype(jnp.int32))
+        sort_key = jnp.where(blk_act, -tree.blk_level, INT32_MAX)
+        _, sorted_ids = jax.lax.sort(
+            (sort_key, jnp.arange(NGRP, dtype=jnp.int32)), num_keys=1)
+        blk_ids = jnp.concatenate(
+            [jnp.where(np.arange(NGRP, dtype=np.int32) < nact,
+                       sorted_ids, -1),
+             jnp.full((B,), -1, jnp.int32)])
         nbatch = (nact + B - 1) // B
         ovf0 = oovf | (tree.n_blocks > NGRP)
 
