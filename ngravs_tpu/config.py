@@ -121,6 +121,11 @@ class SimulationConfig:
     ngravs_en: int = 64          # Ewald table resolution (-DNGRAVS_EN)
     asmth: float = 1.25          # -DASMTH override
     rcut: float = 4.5            # -DRCUT override
+    # PM gradient: "fd4" = the reference's 4th-order finite difference
+    # (pm_periodic.c:686-726); "spectral" = exact ik differentiation in k
+    # space (3 inverse FFTs per convolution round instead of 1, but no
+    # stencil error — the large-r TreePM accuracy limiter)
+    pm_gradient: str = "fd4"
 
     # --- Integration mode flags (compile-time in the reference) ---
     synchronization: bool = True  # -DSYNCHRONIZATION (default mode)

@@ -103,7 +103,8 @@ class PMSolver:
     """
 
     def __init__(self, wiring: GravityWiring, pmgrid: int, box: float,
-                 n_gravs: int, g_const: float, asmth_cells: float = ASMTH):
+                 n_gravs: int, g_const: float, asmth_cells: float = ASMTH,
+                 gradient: str = "fd4"):
         self.pmgrid = int(pmgrid)
         self.box = float(box)
         self.n_gravs = n_gravs
@@ -111,10 +112,33 @@ class PMSolver:
         self.asmth_cells = float(asmth_cells)
         self.asmth = asmth_cells * box / pmgrid        # length units
         self.rcut = RCUT * self.asmth
+        self.gradient = gradient
+        assert gradient in ("fd4", "spectral"), gradient
         smth = np.stack([np.stack([
             _deconv_smth(wiring, tg, sg, self.pmgrid, asmth_cells)
             for sg in range(n_gravs)]) for tg in range(n_gravs)])
         self.smth = jnp.asarray(smth, jnp.float32)     # [NG,NG,G,G,G/2+1]
+        # receiver groups per source: the convolution + gradient of every
+        # receiver gravity wired to the SAME law from this source is
+        # identical — compute it once and mask the readout by the union
+        # of receiver types (9 -> 5 rounds for the three_species wiring)
+        self.recv_groups = []
+        for sg in range(n_gravs):
+            groups = {}
+            for tg in range(n_gravs):
+                groups.setdefault(id(wiring.law(tg, sg)), []).append(tg)
+            self.recv_groups.append(sorted(groups.values()))
+        # spectral (ik) gradient wavenumbers (physical), Nyquist zeroed —
+        # exact differentiation replacing the 4th-order stencil when
+        # gradient="spectral" (the reference's FD is pm_periodic.c:686)
+        if gradient == "spectral":
+            g = self.pmgrid
+            kx, ky, kz = _kgrid(g)
+            kfac = 2 * math.pi / box
+            def kz_(k):
+                k = np.where(np.abs(k) == g // 2, 0.0, k)
+                return jnp.asarray(k * kfac, jnp.float32)
+            self.kvec = (kz_(kx), kz_(ky), kz_(kz))
         self._forces = jax.jit(self._forces_impl)
         self._potential = jax.jit(self._potential_impl)
 
@@ -140,9 +164,21 @@ class PMSolver:
         acc = jnp.zeros_like(pos)
         for sg in range(self.n_gravs):
             rho_k = self._phi_k(pos, mass, grav, sg)
-            for tg in range(self.n_gravs):
-                psi = jnp.fft.irfftn(rho_k * self.smth[tg, sg], s=(g, g, g))
-                recv = grav == tg
+            for tgs in self.recv_groups[sg]:
+                conv = rho_k * self.smth[tgs[0], sg]
+                recv = grav == tgs[0]
+                for tg in tgs[1:]:
+                    recv = recv | (grav == tg)
+                if self.gradient == "spectral":
+                    # exact ik differentiation in k space
+                    for dim in range(3):
+                        grad = jnp.fft.irfftn(1j * self.kvec[dim] * conv,
+                                              s=(g, g, g))
+                        a = cic_readout(grad, pos, g, self.box)
+                        acc = acc.at[:, dim].add(
+                            jnp.where(recv, a * fac, 0.0))
+                    continue
+                psi = jnp.fft.irfftn(conv, s=(g, g, g))
                 for dim in range(3):
                     # 4th-order centered difference (pm_periodic.c:686-726)
                     d1 = (jnp.roll(psi, -1, axis=dim)
@@ -162,10 +198,14 @@ class PMSolver:
         pot = jnp.zeros(pos.shape[0], pos.dtype)
         for sg in range(self.n_gravs):
             rho_k = self._phi_k(pos, mass, grav, sg)
-            for tg in range(self.n_gravs):
-                psi = jnp.fft.irfftn(rho_k * self.smth[tg, sg], s=(g, g, g))
+            for tgs in self.recv_groups[sg]:
+                psi = jnp.fft.irfftn(rho_k * self.smth[tgs[0], sg],
+                                     s=(g, g, g))
+                recv = grav == tgs[0]
+                for tg in tgs[1:]:
+                    recv = recv | (grav == tg)
                 v = cic_readout(psi, pos, g, self.box)
-                pot = pot - jnp.where(grav == tg, v * fac, 0.0)
+                pot = pot - jnp.where(recv, v * fac, 0.0)
         return pot
 
     def forces(self, pos, mass, grav):
