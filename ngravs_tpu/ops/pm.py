@@ -139,6 +139,9 @@ class PMSolver:
                 k = np.where(np.abs(k) == g // 2, 0.0, k)
                 return jnp.asarray(k * kfac, jnp.float32)
             self.kvec = (kz_(kx), kz_(ky), kz_(kz))
+        # the smth tables are passed as ARGUMENTS (not jit-closure
+        # constants): at PMGRID 256 x NG^2 they are GB-scale and baked-in
+        # constants blow up the serialized program
         self._forces = jax.jit(self._forces_impl)
         self._potential = jax.jit(self._potential_impl)
 
@@ -148,7 +151,7 @@ class PMSolver:
         rho = cic_assign(pos, w, self.pmgrid, self.box)
         return jnp.fft.rfftn(rho)
 
-    def _forces_impl(self, pos, mass, grav):
+    def _forces_impl(self, pos, mass, grav, smth):
         """PM accelerations [N,3] (times G), all gravity pairs.
 
         Normalization: with the DFT pair rho_k = fftn(mass grid) and
@@ -165,7 +168,7 @@ class PMSolver:
         for sg in range(self.n_gravs):
             rho_k = self._phi_k(pos, mass, grav, sg)
             for tgs in self.recv_groups[sg]:
-                conv = rho_k * self.smth[tgs[0], sg]
+                conv = rho_k * smth[tgs[0], sg]
                 recv = grav == tgs[0]
                 for tg in tgs[1:]:
                     recv = recv | (grav == tg)
@@ -190,7 +193,7 @@ class PMSolver:
                     acc = acc.at[:, dim].add(jnp.where(recv, a * fac, 0.0))
         return acc
 
-    def _potential_impl(self, pos, mass, grav):
+    def _potential_impl(self, pos, mass, grav, smth):
         """PM potential [N] (times G) — pmpotential_periodic
         (pm_periodic.c:798)."""
         g = self.pmgrid
@@ -199,7 +202,7 @@ class PMSolver:
         for sg in range(self.n_gravs):
             rho_k = self._phi_k(pos, mass, grav, sg)
             for tgs in self.recv_groups[sg]:
-                psi = jnp.fft.irfftn(rho_k * self.smth[tgs[0], sg],
+                psi = jnp.fft.irfftn(rho_k * smth[tgs[0], sg],
                                      s=(g, g, g))
                 recv = grav == tgs[0]
                 for tg in tgs[1:]:
@@ -209,7 +212,7 @@ class PMSolver:
         return pot
 
     def forces(self, pos, mass, grav):
-        return self._forces(pos, mass, grav)
+        return self._forces(pos, mass, grav, self.smth)
 
     def potential(self, pos, mass, grav):
-        return self._potential(pos, mass, grav)
+        return self._potential(pos, mass, grav, self.smth)

@@ -238,7 +238,12 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
 
     pm_update = bool(cfg.pmgrid) and pm_step
 
-    def _step(p, sph, ti_current, ti_next, time_next, pm_beg, pm_end):
+    from .mesh import make_mode_kick
+    mode_kick, n_mode_extras = make_mode_kick(cfg, units, tables,
+                                              soft_by_type)
+
+    def _step(p, sph, ti_current, ti_next, time_next, pm_beg, pm_end,
+              *mode_extras):
         nloc = p.pos.shape[0]
         my = jax.lax.axis_index(AXIS)
         gath = lambda a: jax.lax.all_gather(a, AXIS, tiled=True)
@@ -418,8 +423,8 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
         # ---- kick + sync point (timestep.c; run.c:165), with the
         # cross-shard RMS-displacement constraint (timestep.c:587-651) ----
         dt_disp = sharded_dt_displacement(cfg, units, p, time_next)
-        p, sph = kick(cfg, units, p, sph, tables, ti_next, dt_disp,
-                      soft_by_type, time_next)
+        p, sph = mode_kick(p, sph, ti_next, dt_disp, time_next,
+                           mode_extras)
         new_beg = new_end = pm_beg
         if pm_update:
             # PM long-range kick over the PM midpoint window
@@ -448,22 +453,23 @@ def make_sharded_full_step(cfg, units, wiring, tables, mesh,
             return p, sph, min_end, ovf, new_beg, new_end
         return p, sph, min_end, ovf
 
+    mspec = (P(),) * n_mode_extras
     if pm_update:
         step = jax.shard_map(
             _step, mesh=mesh,
-            in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P(), P()),
+            in_specs=(P(AXIS), P(AXIS), P(), P(), P(), P(), P()) + mspec,
             out_specs=(P(AXIS), P(AXIS), P(), P(), P(), P()),
             check_vma=False,
         )
         return jax.jit(step)
 
-    def _step_nopm(p, sph, ti_current, ti_next, time_next):
+    def _step_nopm(p, sph, ti_current, ti_next, time_next, *mode_extras):
         return _step(p, sph, ti_current, ti_next, time_next,
-                     jnp.int32(0), jnp.int32(0))
+                     jnp.int32(0), jnp.int32(0), *mode_extras)
 
     step = jax.shard_map(
         _step_nopm, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(), P(), P()),
+        in_specs=(P(AXIS), P(AXIS), P(), P(), P()) + mspec,
         out_specs=(P(AXIS), P(AXIS), P(), P()),
         check_vma=False,
     )

@@ -96,6 +96,84 @@ def sharded_dt_displacement(cfg, units, p, atime):
     return dt_min
 
 
+def make_mode_kick(cfg, units, tables, soft_by_type):
+    """Distributed kick honoring the reference's special timestep modes.
+
+    Returns kick_fn(p, sph, ti_next, dt_disp, time_next, mode_extras) for
+    use INSIDE shard_map step bodies, plus the number of extra replicated
+    scalar/array inputs the step signature gains:
+
+      * SYNCHRONIZATION (default)   — plain kdk.kick, no extras
+      * FLEXSTEPS (timestep.c:196)  — extras (present_min_step,
+        present_max_step); per-particle phase groups recomputed from the
+        ID-keyed seed-42 table (system.c:29-47), so they are identical on
+        any shard count and survive resharding with no extra state
+      * PSEUDOSYMMETRIC (timestep.c:202-238) — extras (rnd_table[3000],)
+        refreshed per step by the host driver (set_random_numbers)
+      * MAKEGLASS (timestep.c:85-133) — no extras; reversed-gravity
+        displacement with the global max-displacement clamp via pmax,
+        then a MaxSizeTimestep advance of the active set
+    """
+    import math as _m
+
+    from ..constants import TIMEBASE
+    from ..integrate.timeline import timebase_interval
+
+    tbi = timebase_interval(cfg)
+    n_extras = 0
+    if cfg.flexsteps:
+        n_extras = 2
+        _r42 = np.random.default_rng(42).random(3000)
+        flextab = jnp.asarray((TIMEBASE * _r42).astype(np.int64)
+                              .astype(np.int32))
+    elif cfg.pseudosymmetric:
+        n_extras = 1
+
+    glass_ticks = max(1, int(cfg.max_size_timestep / tbi)) \
+        if cfg.make_glass else 0
+
+    def kick_fn(p, sph, ti_next, dt_disp, time_next, extras):
+        if cfg.make_glass:
+            acc = -(p.accel + p.accel_pm)
+            disp_fac = 2.0 / (3 * units.hubble ** 2)
+            disp = jnp.linalg.norm(acc, axis=-1) * disp_fac
+            live = p.pid >= 0
+            dmax = jax.lax.pmax(jnp.max(jnp.where(live, disp, 0.0)), AXIS)
+            rho_crit = (cfg.omega0 * 3 * units.hubble ** 2
+                        / (8 * np.pi * units.G))
+            msum = jax.lax.psum(jnp.sum(jnp.where(live, p.mass, 0.0)),
+                                AXIS)
+            ncnt = jax.lax.psum(jnp.sum(live.astype(jnp.float32)), AXIS)
+            dmean = (msum / jnp.maximum(ncnt, 1)
+                     / max(rho_crit, 1e-37)) ** (1.0 / 3)
+            fac = jnp.where(dmax > dmean, dmean / jnp.maximum(dmax, 1e-37),
+                            1.0)
+            pos = p.pos + fac * acc * disp_fac
+            if cfg.periodic and cfg.box_size > 0:
+                pos = jnp.mod(pos, cfg.box_size)
+            act = p.ti_endstep == ti_next
+            return p.replace(
+                pos=pos, vel=jnp.zeros_like(p.vel),
+                accel=jnp.zeros_like(p.accel),
+                accel_pm=jnp.zeros_like(p.accel_pm),
+                ti_begstep=jnp.where(act, p.ti_endstep, p.ti_begstep),
+                ti_endstep=jnp.where(act, p.ti_endstep + glass_ticks,
+                                     p.ti_endstep)), sph
+        if cfg.flexsteps:
+            pmin_step, pmax_step = extras
+            flex_grp = flextab[p.pid % 3000]
+            return kick(cfg, units, p, sph, tables, ti_next, dt_disp,
+                        soft_by_type, time_next,
+                        flex=(flex_grp, pmin_step, pmax_step))
+        if cfg.pseudosymmetric:
+            return kick(cfg, units, p, sph, tables, ti_next, dt_disp,
+                        soft_by_type, time_next, rnd_table=extras[0])
+        return kick(cfg, units, p, sph, tables, ti_next, dt_disp,
+                    soft_by_type, time_next)
+
+    return kick_fn, n_extras
+
+
 def make_sharded_step(cfg, units, wiring, tables, mesh: Mesh,
                       chunk: int = 512):
     """Build a jitted full simulation step over the mesh:

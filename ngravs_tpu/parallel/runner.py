@@ -68,11 +68,6 @@ class DistributedSimulation:
                  alloc_factor: float = 1.25, cand_cap: int = 2048,
                  fcap: int = 65536, sph_group: int = 64,
                  entropy_is_u: bool = False):
-        if cfg.flexsteps or cfg.pseudosymmetric or cfg.make_glass:
-            raise ValueError(
-                "FLEXSTEPS / PSEUDOSYMMETRIC / MAKEGLASS are single-chip "
-                "modes — use integrate.runner.Simulation (the reference's "
-                "SYNCHRONIZATION mode is what the sharded step implements)")
         self.cfg = cfg
         self.units = set_units(cfg)
         self.wiring = build_wiring(cfg)
@@ -139,8 +134,81 @@ class DistributedSimulation:
                              if cfg.time_bet_snapshot > 0 else float("inf"))
         self._next_stats = (cfg.time_begin if cfg.time_bet_statistics > 0
                             else float("inf"))
+        # special timestep modes (distributed via make_mode_kick): host
+        # state mirroring the single-chip driver (runner.py FLEXSTEPS /
+        # PSEUDOSYMMETRIC blocks)
+        if cfg.pseudosymmetric:
+            self._rnd_rng = np.random.default_rng(42)
+        if cfg.flexsteps:
+            self.present_min_step = C.TIMEBASE
+            self.present_max_step = C.TIMEBASE
+            self._flex_min_fn = self._build_flex_min()
         if entropy_is_u and self.has_gas:
             self.convert_u_to_entropy()
+
+    def _build_flex_min(self):
+        """Sharded min active timestep (PresentMinStep refresh,
+        timestep.c:140-162): compute_timestep_ticks per shard + pmin."""
+        cfg, units, tables = self.cfg, self.units, self.tables
+        from jax.sharding import PartitionSpec as P
+
+        from ..integrate.kdk import compute_timestep_ticks, cosmo_factors
+        from .mesh import AXIS as _AX, sharded_dt_displacement
+        soft_by_type = jnp.asarray(np.array(cfg.softening, np.float32))
+
+        def fn(p, sph, ti_current, time_now):
+            cf = cosmo_factors(cfg, units, time_now)
+            dt_disp = sharded_dt_displacement(cfg, units, p, time_now)
+            ti_step = compute_timestep_ticks(cfg, units, p, sph, cf,
+                                             dt_disp, soft_by_type)
+            active = (p.ti_endstep == ti_current) & (p.pid >= 0)
+            mn = jnp.min(jnp.where(active, ti_step, C.TIMEBASE))
+            return jax.lax.pmin(mn, _AX), dt_disp
+
+        sph_spec = P(_AX) if self.has_gas else None
+        return jax.jit(jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(P(_AX), sph_spec, P(), P()),
+            out_specs=(P(), P()), check_vma=False))
+
+    def _mode_extras(self, ti_next, time_next):
+        """Per-step replicated inputs for the special timestep modes."""
+        cfg = self.cfg
+        if cfg.pseudosymmetric:
+            # set_random_numbers (system.c:37): fresh table every step
+            return (jnp.asarray(self._rnd_rng.random(3000), jnp.float32),)
+        if cfg.flexsteps:
+            # PresentMinStep doubling schedule (timestep.c:140-162); the
+            # refresh itself happens post-step from the steps actually
+            # assigned (_flex_post_step) — pre-step accelerations can be
+            # stale/zero.  PresentMaxStep from the displacement
+            # constraint (timestep.c:164-175).
+            if (self.ti_current % (4 * self.present_min_step)) == 0 \
+                    and 1 < self.present_min_step < C.TIMEBASE:
+                self.present_min_step *= 2
+            _, dt_disp = self._flex_min_fn(
+                self.p, self.sph if self.has_gas else None,
+                self.ti_current, time_next)
+            from ..integrate.timeline import pow2_floor_i32
+            mx = max(1, min(int(min(float(dt_disp),
+                                    cfg.max_size_timestep) / self.tbi),
+                            C.TIMEBASE))
+            self.present_max_step = int(pow2_floor_i32(
+                jnp.asarray(mx, jnp.int32)))
+            return (jnp.asarray(self.present_min_step, jnp.int32),
+                    jnp.asarray(self.present_max_step, jnp.int32))
+        return ()
+
+    def _flex_post_step(self):
+        """PresentMinStep refresh from the steps just assigned
+        (timestep.c:150-162: All.PresentMinStep tracks the smallest
+        active step)."""
+        ends = self.p.ti_endstep
+        begs = self.p.ti_begstep
+        live = self.p.pid >= 0
+        steps = jnp.where(live & (ends > begs), ends - begs, C.TIMEBASE)
+        self.present_min_step = min(self.present_min_step,
+                                    int(jnp.min(steps)))
 
     # ------------------------------------------------------------------
     def _build_step(self):
@@ -183,7 +251,9 @@ class DistributedSimulation:
         retained state are untouched)."""
         assert self.has_gas
         p0, s0 = self.p, self.sph
-        _, s_tmp, _, ovf = self._step_fn(p0, s0, 0, 0, self.cfg.time_begin)
+        _, s_tmp, _, ovf = self._step_fn(
+            p0, s0, 0, 0, self.cfg.time_begin,
+            *self._mode_extras(0, self.cfg.time_begin))
         if bool(ovf):
             self._grow_caps()
             return self.convert_u_to_entropy()
@@ -227,10 +297,11 @@ class DistributedSimulation:
 
         time_next = ti_to_time(cfg, ti_next)
         pm_beg2 = pm_end2 = None
+        mode_extra = self._mode_extras(ti_next, time_next)
         for _ in range(6):
             fn = self._step_pm_fn if pm_due else self._step_fn
-            extra = (self.pm_ti_begstep, self.pm_ti_endstep) if pm_due \
-                else ()
+            extra = ((self.pm_ti_begstep, self.pm_ti_endstep) if pm_due
+                     else ()) + mode_extra
             if self.has_gas:
                 out = fn(self.p, self.sph, self.ti_current, ti_next,
                          time_next, *extra)
@@ -262,6 +333,8 @@ class DistributedSimulation:
         self.p, self.sph = p2, s2
         self.ti_current = ti_next
         self._min_end = int(min_end)
+        if cfg.flexsteps:
+            self._flex_post_step()
         if pm_due:
             self.pm_ti_begstep = int(pm_beg2)
             self.pm_ti_endstep = int(pm_end2)

@@ -119,8 +119,12 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
         treepm=treepm)
     from ..ops.solver import apply_cosmo_corrections, cosmo_corrections
     corr = cosmo_corrections(cfg, G, units.hubble, lattice_tables)
+    from .mesh import make_mode_kick
+    mode_kick, n_mode_extras = make_mode_kick(cfg, units, tables,
+                                              soft_by_type)
 
-    def _step(p, ti_current, ti_next, time_next, pm_beg, pm_end):
+    def _step(p, ti_current, ti_next, time_next, pm_beg, pm_end,
+              *mode_extras):
         nloc = p.pos.shape[0]
         my = jax.lax.axis_index(AXIS)
 
@@ -184,9 +188,9 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
 
         # kick the active set (timestep.c) — purely local, masked, with
         # the cross-shard RMS-displacement constraint (timestep.c:587-651)
+        # and the FLEXSTEPS / PSEUDOSYMMETRIC / MAKEGLASS special modes
         dt_disp = sharded_dt_displacement(cfg, units, p, time_next)
-        p, _ = kick(cfg, units, p, None, tables, ti_next, dt_disp,
-                    soft_by_type, time_next)
+        p, _ = mode_kick(p, None, ti_next, dt_disp, time_next, mode_extras)
         new_beg = new_end = pm_beg
         if pm_update:
             # PM long-range kick over the PM midpoint window
@@ -202,22 +206,23 @@ def make_sharded_tree_step(cfg, units, wiring, tables, mesh,
             return p, min_end, ovf, new_beg, new_end
         return p, min_end, ovf
 
+    mspec = (P(),) * n_mode_extras
     if pm_update:
         step = jax.shard_map(
             _step, mesh=mesh,
-            in_specs=(P(AXIS), P(), P(), P(), P(), P()),
+            in_specs=(P(AXIS), P(), P(), P(), P(), P()) + mspec,
             out_specs=(P(AXIS), P(), P(), P(), P()),
             check_vma=False,
         )
         return jax.jit(step)
 
-    def _step_nopm(p, ti_current, ti_next, time_next):
+    def _step_nopm(p, ti_current, ti_next, time_next, *mode_extras):
         return _step(p, ti_current, ti_next, time_next,
-                     jnp.int32(0), jnp.int32(0))
+                     jnp.int32(0), jnp.int32(0), *mode_extras)
 
     step = jax.shard_map(
         _step_nopm, mesh=mesh,
-        in_specs=(P(AXIS), P(), P(), P()),
+        in_specs=(P(AXIS), P(), P(), P()) + mspec,
         out_specs=(P(AXIS), P(), P()),
         check_vma=False,
     )

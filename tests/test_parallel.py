@@ -641,3 +641,90 @@ def test_let_tree_step_matches_replicated():
     # at least as refined as the replicated walk's block tests
     assert np.sqrt((rel ** 2).mean()) < 2e-2, np.sqrt((rel ** 2).mean())
     assert int(me_l) == int(me_r)
+
+
+def _collisionless_cfg(**kw):
+    base = dict(
+        time_begin=0.0, time_max=2.0, gravity_constant_internal=1.0,
+        softening=(0.02,) * 6, max_size_timestep=0.02,
+        n_gravs=1, type_to_grav=(0,) * 6, wiring="newton",
+        err_tol_int_accuracy=0.02)
+    base.update(kw)
+    return SimulationConfig(**base)
+
+
+def _small_halo(n=768, seed=11):
+    """Centrally-concentrated blob: accelerations (hence criterion-0
+    timesteps) spread over decades, so the step hierarchy is non-trivial."""
+    rng = np.random.default_rng(seed)
+    r = 0.05 + 3.0 * rng.random(n) ** 3
+    u = rng.normal(size=(n, 3))
+    pos = 5.0 + r[:, None] * u / np.linalg.norm(u, axis=1, keepdims=True)
+    vel = rng.normal(0, 0.05, (n, 3))
+    return pos, vel
+
+
+@pytest.mark.parametrize("mode", ["flexsteps", "pseudosymmetric"])
+def test_distributed_special_timestep_modes(mode):
+    """FLEXSTEPS / PSEUDOSYMMETRIC on the 8-device mesh (timestep.c:85-246
+    under MPI in the reference; make_mode_kick here): the sharded run
+    advances the integer timeline with per-particle steps and stays
+    finite.  FLEXSTEPS must produce step ends OFF the power-of-two grid
+    (its entire point, timestep.c:196-199)."""
+    from ngravs_tpu.parallel.runner import DistributedSimulation
+
+    cfg = _collisionless_cfg(**{mode: True})
+    pos, vel = _small_halo()
+    n = pos.shape[0]
+    p = Particles.create(pos, vel, np.full(n, 1.0 / n), np.arange(n),
+                         np.ones(n, np.int32), cfg.type_to_grav)
+    sim = DistributedSimulation(cfg, p, mesh=make_mesh(8))
+    sim.run(max_steps=6)
+    assert sim.step_count >= 3 and sim.ti_current > 0
+    ends = np.asarray(jax.device_get(sim.p.ti_endstep))
+    pid = np.asarray(jax.device_get(sim.p.pid))
+    live = pid >= 0
+    assert np.isfinite(np.asarray(jax.device_get(sim.p.pos))[live]).all()
+    assert (ends[live] > 0).all()
+    if mode == "flexsteps":
+        # the defining FLEXSTEPS property (timestep.c:196-199): step ends
+        # sit on per-ID phase-shifted grids, so SOME particle's end is
+        # NOT aligned to its own step size — impossible under
+        # SYNCHRONIZATION, where end % (end - beg) == 0 always
+        begs = np.asarray(jax.device_get(sim.p.ti_begstep))
+        steps = ends[live] - begs[live]
+        ok = steps > 0
+        assert ((ends[live][ok] % steps[ok]) != 0).any()
+
+
+def test_distributed_makeglass():
+    """MAKEGLASS over the mesh (timestep.c:85-133): reversed-gravity
+    displacement with the global pmax clamp; velocities stay zero and
+    particles move toward uniformity."""
+    from ngravs_tpu.parallel.runner import DistributedSimulation
+
+    cfg = _collisionless_cfg(
+        make_glass=True, periodic=True, box_size=10.0,
+        comoving_integration=True, omega0=1.0, omega_lambda=0.0,
+        hubble_param=1.0, time_begin=0.1, time_max=0.2,
+        time_bet_snapshot=0.0, time_of_first_snapshot=1e30)
+    rng = np.random.default_rng(5)
+    n = 512
+    pos = rng.uniform(0, 10.0, (n, 3))
+    p = Particles.create(pos, np.zeros((n, 3)), np.full(n, 1.0 / n),
+                         np.arange(n), np.ones(n, np.int32),
+                         cfg.type_to_grav)
+    sim = DistributedSimulation(cfg, p, mesh=make_mesh(8))
+    pid0 = np.asarray(jax.device_get(sim.p.pid)).copy()
+    p0 = np.asarray(jax.device_get(sim.p.pos)).copy()
+    by_id0 = {int(i): p0[k] for k, i in enumerate(pid0) if i >= 0}
+    sim.run(max_steps=3)
+    live = np.asarray(jax.device_get(sim.p.pid)) >= 0
+    pid1 = np.asarray(jax.device_get(sim.p.pid))
+    pos1 = np.asarray(jax.device_get(sim.p.pos))
+    vel1 = np.asarray(jax.device_get(sim.p.vel))
+    assert np.abs(vel1[live]).max() == 0.0
+    assert np.isfinite(pos1[live]).all()
+    moved = [np.abs(pos1[k] - by_id0[int(i)]).max()
+             for k, i in enumerate(pid1) if i >= 0]
+    assert max(moved) > 0
