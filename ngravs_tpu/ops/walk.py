@@ -91,10 +91,13 @@ class WalkTables(NamedTuple):
     slot8: jnp.ndarray      # [M] int32 global octet slot (-1 dead)
     child_oct: jnp.ndarray  # [M] int32 child octet id (-1 none)
     layout_ovf: jnp.ndarray  # scalar bool
-    wtab8: jnp.ndarray      # [n_oct, 8, W]
-    wvel8: jnp.ndarray      # [n_oct, 8, NG*3] cm drift velocities
-    gsrc: jnp.ndarray       # [R, 8] packed source rows
-    gvel: jnp.ndarray       # [R, 3] source row drift velocities
+    wtab8: jnp.ndarray      # [n_oct, 8*W] octet walk rows, chunk-flat
+    wvel8: jnp.ndarray      # [n_oct, 8*NG*3] cm drift velocities
+    gsrc: jnp.ndarray       # [NC, 64] packed source rows, chunk-flat
+    gvel: jnp.ndarray       # [NC, 24] source row drift velocities
+    # NB: everything row-shaped is stored CHUNK-FLAT (minor dim >= 64):
+    # XLA tiles f32 operands (8, 128), so a [R, 8] gather operand would
+    # be re-laid with 16x padding — 21 GB at N = 1e7
 
 
 class FusedWalkResult(NamedTuple):
@@ -220,7 +223,8 @@ def pack_walk_table8(tree: Octree, slot8, child_oct, n_gravs: int,
     vrows = tree.node_vel.reshape(-1, n_gravs * 3)
     vtbl = jnp.zeros((n_oct * 8, n_gravs * 3), jnp.float32) \
         .at[idx].set(vrows, mode="drop")
-    return tbl.reshape(n_oct, 8, w), vtbl.reshape(n_oct, 8, n_gravs * 3)
+    return (tbl.reshape(n_oct, 8 * w),
+            vtbl.reshape(n_oct, 8 * n_gravs * 3))
 
 
 def source_table_layout(n: int, n_oct: int, n_gravs: int,
@@ -291,7 +295,7 @@ def pack_source_table(tree: Octree, slot8, n_gravs: int, n_oct: int,
         .at[lr].set(tree.vel_s, mode="drop") \
         .at[nidx.reshape(-1)].set(tree.node_vel.reshape(-1, 3),
                                   mode="drop")
-    return tbl, vtbl
+    return tbl.reshape(rows // 8, 64), vtbl.reshape(rows // 8, 24)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "depth", "bucket",
@@ -324,21 +328,22 @@ def drift_walk_tables(wt: WalkTables, dd, n_gravs: int) -> WalkTables:
     """Elementwise drift of the packed tables: source rows move with
     their row velocities, walk-table per-gravity CMs with the node CM
     velocities (cell centers are frozen) — the packed analog of the
-    reference's dynamic tree update (predict.c:83-90)."""
-    gsrc = jnp.concatenate([wt.gsrc[:, :3] + wt.gvel * dd, wt.gsrc[:, 3:]],
-                           axis=1)
-    n_oct = wt.wtab8.shape[0]
-    w = wt.wtab8.shape[2]
-    parts = [wt.wtab8[:, :, :8]]
-    for g in range(n_gravs):
-        c = 8 + 4 * g
-        parts.append(wt.wtab8[:, :, c:c + 3]
-                     + wt.wvel8[:, :, 3 * g:3 * g + 3] * dd)
-        parts.append(wt.wtab8[:, :, c + 3:c + 4])
-    tail = 8 + 4 * n_gravs
-    if tail < w:
-        parts.append(wt.wtab8[:, :, tail:])
-    return wt._replace(gsrc=gsrc, wtab8=jnp.concatenate(parts, axis=2))
+    reference's dynamic tree update (predict.c:83-90).  Both tables are
+    chunk-flat; the velocity-to-position column mapping is a tiny static
+    0/1 matmul so no awkwardly-tiled intermediates materialize."""
+    pv = np.zeros((24, 64), np.float32)
+    for r in range(8):
+        for a in range(3):
+            pv[r * 3 + a, r * 8 + a] = 1.0
+    gsrc = wt.gsrc + (wt.gvel * dd) @ jnp.asarray(pv)
+    w = wt.wtab8.shape[1] // 8
+    pw = np.zeros((8 * n_gravs * 3, 8 * w), np.float32)
+    for s in range(8):
+        for g in range(n_gravs):
+            for a in range(3):
+                pw[(s * n_gravs + g) * 3 + a, s * w + 8 + 4 * g + a] = 1.0
+    wtab8 = wt.wtab8 + (wt.wvel8 * dd) @ jnp.asarray(pw)
+    return wt._replace(gsrc=gsrc, wtab8=wtab8)
 
 
 def normalize_frontier_caps(frontier_caps, depth: int):
@@ -553,7 +558,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
     # ------------------------------------------------------------------
     # One batch of B blocks: octet traversal -> chunk lists -> eval.
     # ------------------------------------------------------------------
-    def _walk_batch(tree, wtab8, gsrc, gsrc8, layout, octs, tp, ta, rel,
+    def _walk_batch(tree, wtab8, gsrc8, layout, octs, tp, ta, rel,
                     n_static: int):
         init_lvl = min(2, depth)
         noct = octet_counts(n_static, depth, bucket)
@@ -630,7 +635,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             live_o = fiota[None, :] < nlive[:, None]        # [B, Fo]
             lvl_live[lvl] = jnp.max(nlive) * 8
 
-            wno = wtab8[jnp.where(live_o, foct, 0)]         # [B, Fo, 8, W]
+            wno = wtab8[jnp.where(live_o, foct, 0)]         # [B, Fo, 8*W]
             wn = wno.reshape(B, F, W)
             live = jnp.repeat(live_o, 8, axis=1)            # [B, F]
             flags = bc(wn[:, :, WFLAGS])
@@ -789,7 +794,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         def gather_body(c):
             s, bf = c
             sl = jax.lax.dynamic_slice_in_dim(uch, s * KC, KC, axis=1)
-            src = gsrc8[sl]                              # [B, KC, 8r, 8f]
+            src = gsrc8[sl].reshape(B, KC, 8, 8)         # [B, KC, 8r, 8f]
             src = jnp.transpose(src, (0, 3, 1, 2)).reshape(B, 8, KC * 8)
             msl = jax.lax.dynamic_slice_in_dim(um8, s * KC, KC, axis=1)
             bit = ((msl[:, :, None] >> bit_iota) & 1) > 0
@@ -948,11 +953,9 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                                       leaf_factor,
                                       accumulator=wiring.accumulator)
         oovf = tables.layout_ovf
-        gsrc = tables.gsrc
-        # contiguous chunk view [NC, 8rows, 8fields]: gathers read whole
-        # 256B chunks; the (cheap) field transpose runs on the gathered
-        # output, never fused into the gather as strided reads
-        gsrc8 = gsrc.reshape(rows_t // 8, 8, 8)
+        # FLAT chunk table [NC, 64]: gathers read whole 256B chunks, and
+        # the field de-interleave happens on the (small) gathered output
+        gsrc8 = tables.gsrc
         wtab8 = tables.wtab8
 
         nt = int(tgt_sorted.shape[0])
@@ -1005,7 +1008,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                 bcf(jnp.where(in_blk, slots, -1)))
             ta = tree.aold_s[safe]
             out, nia_t, ovf1, stats1, lvl1 = _walk_batch(
-                tree, wtab8, gsrc, gsrc8, layout, noct, tp, ta, rel, n)
+                tree, wtab8, gsrc8, layout, noct, tp, ta, rel, n)
             rows = jnp.where(in_blk, slots, n).reshape(-1)
             accbuf = accbuf.at[rows].set(out.reshape(-1, 4), mode="drop")
             niabuf = niabuf.at[rows].set(nia_t.reshape(-1), mode="drop")

@@ -67,7 +67,14 @@ class DistributedSimulation:
     def __init__(self, cfg, particles, sph=None, mesh=None, log_dir=None,
                  alloc_factor: float = 1.25, cand_cap: int = 2048,
                  fcap: int = 65536, sph_group: int = 64,
-                 entropy_is_u: bool = False):
+                 entropy_is_u: bool = False, use_let: bool = False):
+        if use_let and sph is not None:
+            raise NotImplementedError(
+                "LET mode is collisionless-only for now; SPH runs use the "
+                "replicated-tree step")
+        self.use_let = use_let
+        self.let_expn_cap = 4096
+        self.let_expp_cap = 8192
         self.cfg = cfg
         self.units = set_units(cfg)
         self.wiring = build_wiring(cfg)
@@ -228,6 +235,15 @@ class DistributedSimulation:
                     node_list_cap=self.node_list_cap,
                     leaf_list_cap=self.leaf_list_cap,
                     leaf_factor=self.leaf_factor, pm_step=pm))
+            elif self.use_let:
+                # locally-essential-tree production path: per-shard
+                # memory o(N_total) (gravtree.c:102-285 analog)
+                from .tree_sharded import make_let_tree_step
+                fns.append(make_let_tree_step(
+                    cfg, self.units, self.wiring, self.tables, self.mesh,
+                    n_local=self.n_local,
+                    expn_cap=self.let_expn_cap,
+                    expp_cap=self.let_expp_cap, pm_step=pm))
             else:
                 fns.append(make_sharded_tree_step(
                     cfg, self.units, self.wiring, self.tables, self.mesh,
@@ -275,6 +291,8 @@ class DistributedSimulation:
         self.fcap *= 2
         self.node_list_cap *= 2
         self.leaf_list_cap *= 2
+        self.let_expn_cap *= 2
+        self.let_expp_cap *= 2
         self.leaf_factor = min(self.leaf_factor * 2, 8.0)
         self._build_step()
 

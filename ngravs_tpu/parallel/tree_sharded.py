@@ -361,7 +361,8 @@ def make_let_tree_step(cfg, units, wiring, tables, mesh,
                        expp_cap: int = 8192,
                        ec: int = 512,
                        fcaps: dict | None = None,
-                       opening: str | None = None):
+                       opening: str | None = None,
+                       pm_step: bool = True):
     """LET-mode sharded gravity step: per-shard memory o(N_total).
 
     The reference's locally-essential-tree machinery (pseudo-particle
@@ -387,9 +388,14 @@ def make_let_tree_step(cfg, units, wiring, tables, mesh,
     replicated-tree path (make_sharded_tree_step), which all_gathers all
     N_total particles and builds the identical octree everywhere.
 
-    Collisionless, non-PM (TreePM stays on the replicated path for now).
-    Returns step(p, ti_current, ti_next, time_next) ->
-    (p, min_endstep, overflow).
+    Collisionless; pure-tree (vacuum) or TreePM (the sharded-FFT mesh
+    carries the periodicity; the short-range exchange only ships rows
+    within the transition cutoff and evaluates them with the closed-form
+    truncated factors of forcetree.c:1958-2027).  Under PMGRID two
+    program variants exist selected by `pm_step`, exactly like
+    make_sharded_tree_step.  Returns step(p, ti_current, ti_next,
+    time_next[, pm_beg, pm_end]) -> (p, min_endstep, overflow
+    [, pm_beg', pm_end']).
     """
     from ..ops.walk import make_fused_walk
 
@@ -418,15 +424,44 @@ def make_let_tree_step(cfg, units, wiring, tables, mesh,
     if opening is None:
         opening = "bh" if cfg.type_of_opening_criterion == 0 else "relative"
     fcaps = fcaps or {}
+    from ..integrate.timeline import timebase_interval
+    tbi = timebase_interval(cfg)
+    pm_sharded = None
+    treepm = None
+    sr_cutoff = 0.0
+    if cfg.pmgrid:
+        from ..ops.pm import PMSolver
+        from ..ops.shortrange import shortrange_tables
+        from .pm_sharded import ShardedPMSolver
+        base_pm = PMSolver(wiring, cfg.pmgrid, cfg.box_size, cfg.n_gravs,
+                           G, asmth_cells=cfg.asmth)
+        base_pm.rcut = cfg.rcut * base_pm.asmth
+        pm_sharded = ShardedPMSolver(base_pm, mesh, cfg.n_gravs)
+        sr_ftab, sr_ptab = shortrange_tables(wiring, ntab=cfg.ntab)
+        treepm = dict(sr_ftab=sr_ftab, sr_ptab=sr_ptab,
+                      asmth=base_pm.asmth, rcut=base_pm.rcut)
+        # short-range factors vanish beyond u = r/(2 asmth) = 3
+        # (forcetree.c:1962-2026): rows past the cutoff need not ship
+        sr_cutoff = 6.0 * base_pm.asmth
+        if not all(law.kernel_shortrange() is not None
+                   for law, _ in wiring.unique_laws()):
+            raise NotImplementedError(
+                "LET TreePM needs closed-form short-range kernels for "
+                "every wired law (remote rows are evaluated densely)")
+    pm_update = bool(cfg.pmgrid) and pm_step
+    inv2a = 0.5 / treepm["asmth"] if treepm is not None else 0.0
     walk = make_fused_walk(
         wiring, n_gravs=NG, depth=depth, bucket=cfg.tree_bucket_size,
         group_size=cfg.walk_group_size, batch_blocks=cfg.walk_batch_blocks,
         ent_cap=fcaps.get("ent", 2048), chunk_cap=fcaps.get("chunk", 2048),
         mono_cap=fcaps.get("mono", 1024),
         frontier_cap=fcaps.get("frontier", 2048), ec=cfg.walk_ec,
-        theta=theta, opening=opening, box_size=box)
+        theta=theta, opening=opening, box_size=box, treepm=treepm)
     from ..ops.solver import apply_cosmo_corrections, cosmo_corrections
     corr = cosmo_corrections(cfg, G, units.hubble, None)
+    from .mesh import make_mode_kick
+    mode_kick, n_mode_extras = make_mode_kick(cfg, units, tables,
+                                              soft_by_type)
     groups = wiring.unique_laws()
     EXN = ((expn_cap + 7) // 8) * 8
     EXP = ((expp_cap + 7) // 8) * 8
@@ -446,7 +481,8 @@ def make_let_tree_step(cfg, units, wiring, tables, mesh,
             g = jnp.minimum(g, jnp.minimum(gp, gm))
         return g
 
-    def _step(p, ti_current, ti_next, time_next):
+    def _step(p, ti_current, ti_next, time_next, pm_beg, pm_end,
+              *mode_extras):
         nloc = p.pos.shape[0]
         my = jax.lax.axis_index(AXIS)
         dd = tables.drift_factor(ti_current, ti_next)
@@ -511,6 +547,13 @@ def make_let_tree_step(cfg, units, wiring, tables, mesh,
         notme = (jnp.arange(n_dev) != my)[None, :]
         exp_mono = exp_mono & notme
         exp_leaf = exp_leaf & notme
+        if sr_cutoff > 0:
+            # TreePM: the short-range factor is identically zero beyond
+            # the transition cutoff — rows past it never ship
+            # (forcetree.c:1828-1862 box discard, but sender-driven)
+            within = d2 < np.float32(sr_cutoff * sr_cutoff)
+            exp_mono = exp_mono & within
+            exp_leaf = exp_leaf & within
 
         # ---- compact per receiver + pack rows ---------------------------
         nid_m, cnt_m = _compact_rows(
@@ -603,14 +646,36 @@ def make_let_tree_step(cfg, units, wiring, tables, mesh,
             fac = jnp.zeros_like(r)
             pk = jnp.zeros_like(r)
             multi = len(groups) > 1
+
+            def law_fp(law):
+                if treepm is None:
+                    return (law.force_factor(tmass[:, None], sm, r2, r, h,
+                                             sc),
+                            law.potential_factor(tmass[:, None], sm, r2,
+                                                 r, h, sc))
+                # closed-form TreePM truncation (forcetree.c:1958-2027)
+                u = r * inv2a
+                sf, sp = law.kernel_shortrange()
+                unsoft = law.accel(tmass[:, None], sm, r2, r, sc) * sf(u) \
+                    / jnp.maximum(r, 1e-37)
+                soft = law.spline(tmass[:, None], sm, h, r, sc)
+                inside = u < 3.0
+                f_k = jnp.where(inside,
+                                jnp.where(r >= h, unsoft, soft), 0.0)
+                punsoft = -law.potential(tmass[:, None], sm, r2, r, sc) \
+                    * sp(u)
+                psoft = law.spline_pot(tmass[:, None], sm, h, r, sc)
+                p_k = jnp.where(inside,
+                                jnp.where(r >= h, punsoft, psoft), 0.0)
+                return f_k, p_k
+
             for law, slots in groups:
                 if multi:
                     mk = None
                     for (i, j) in slots:
                         mij = (tgrav[:, None] == i) & (sg[None, :] == j)
                         mk = mij if mk is None else (mk | mij)
-                f_k = law.force_factor(tmass[:, None], sm, r2, r, h, sc)
-                p_k = law.potential_factor(tmass[:, None], sm, r2, r, h, sc)
+                f_k, p_k = law_fp(law)
                 fac = jnp.where(mk, f_k, fac) if multi else f_k
                 pk = jnp.where(mk, p_k, pk) if multi else p_k
             fac = jnp.where(v, fac, 0.0)
@@ -633,18 +698,52 @@ def make_let_tree_step(cfg, units, wiring, tables, mesh,
         nia = nia_sorted[inv]
         acc, amag, pot = apply_cosmo_corrections(corr, p.pos, mass, p.grav,
                                                  acc, pot)
+        accel_pm = p.accel_pm
+        if pm_sharded is not None:
+            if pm_update:
+                # long-range PM forces (pmforce_periodic, pm_periodic.c:204)
+                accel_pm = pm_sharded._forces_impl(p.pos, mass, p.grav)
+            if cfg.output_potential or cfg.compute_potential_energy:
+                pot = pot + pm_sharded._potential_impl(p.pos, mass, p.grav)
+            # OldAcc includes the PM part under PMGRID (gravtree.c:322-330)
+            amag = jnp.linalg.norm(acc + accel_pm, axis=-1)
         p = p.replace(accel=acc, potential=pot, old_acc=amag,
+                      accel_pm=accel_pm,
                       grav_cost=nia.astype(p.grav_cost.dtype))
         dt_disp = sharded_dt_displacement(cfg, units, p, time_next)
-        p, _ = kick(cfg, units, p, None, tables, ti_next, dt_disp,
-                    soft_by_type, time_next)
+        p, _ = mode_kick(p, None, ti_next, dt_disp, time_next, mode_extras)
+        new_beg = new_end = pm_beg
+        if pm_update:
+            # PM long-range kick over the PM midpoint window
+            # (timestep.c:350-408)
+            from ..integrate.timeline import pm_window_update
+            tstart, tend, new_beg, new_end = pm_window_update(
+                ti_next, pm_beg, pm_end, dt_disp, float(tbi))
+            dt_pmk = tables.gravkick_factor(tstart, tend)
+            p = p.replace(vel=p.vel + accel_pm * dt_pmk)
         min_end = jax.lax.pmin(jnp.min(p.ti_endstep), AXIS)
         ovf = jax.lax.pmax(ovf | res.overflow, AXIS)
+        if pm_update:
+            return p, min_end, ovf, new_beg, new_end
         return p, min_end, ovf
 
+    mspec = (P(),) * n_mode_extras
+    if pm_update:
+        step = jax.shard_map(
+            _step, mesh=mesh,
+            in_specs=(P(AXIS), P(), P(), P(), P(), P()) + mspec,
+            out_specs=(P(AXIS), P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(step)
+
+    def _step_nopm(p, ti_current, ti_next, time_next, *mode_extras):
+        return _step(p, ti_current, ti_next, time_next,
+                     jnp.int32(0), jnp.int32(0), *mode_extras)
+
     step = jax.shard_map(
-        _step, mesh=mesh,
-        in_specs=(P(AXIS), P(), P(), P()),
+        _step_nopm, mesh=mesh,
+        in_specs=(P(AXIS), P(), P(), P()) + mspec,
         out_specs=(P(AXIS), P(), P()),
         check_vma=False,
     )
