@@ -215,16 +215,22 @@ def pack_walk_table8(tree: Octree, slot8, child_oct, n_gravs: int,
     while len(cols) < w:
         cols.append(jnp.zeros_like(tree.node_maxsoft))
     rows = jnp.stack(cols, axis=1)                      # [M, W]
+    # scatter into a FLAT 1-D table: 2-D scatter targets with a small
+    # minor dim get re-tiled (8,128) by XLA — 8-16x padded copies at
+    # 1e7 scale; 1-D scatters keep linear layouts
     idx = jnp.where(slot8 >= 0, slot8, n_oct * 8)
-    tbl = jnp.zeros((n_oct * 8, w), jnp.float32).at[idx].set(
-        rows, mode="drop")
+    i2 = idx[:, None] * w + np.arange(w, dtype=np.int32)[None, :]
+    tbl = jnp.zeros((n_oct * 8 * w,), jnp.float32) \
+        .at[i2.reshape(-1)].set(rows.reshape(-1), mode="drop")
     # per-gravity CM drift velocities for dynamic updates between
     # refreshes (predict.c:83-86)
-    vrows = tree.node_vel.reshape(-1, n_gravs * 3)
-    vtbl = jnp.zeros((n_oct * 8, n_gravs * 3), jnp.float32) \
-        .at[idx].set(vrows, mode="drop")
+    nv = n_gravs * 3
+    vrows = tree.node_vel.reshape(-1, nv)
+    v2 = idx[:, None] * nv + np.arange(nv, dtype=np.int32)[None, :]
+    vtbl = jnp.zeros((n_oct * 8 * nv,), jnp.float32) \
+        .at[v2.reshape(-1)].set(vrows.reshape(-1), mode="drop")
     return (tbl.reshape(n_oct, 8 * w),
-            vtbl.reshape(n_oct, 8 * n_gravs * 3))
+            vtbl.reshape(n_oct, 8 * nv))
 
 
 def source_table_layout(n: int, n_oct: int, n_gravs: int,
@@ -284,17 +290,26 @@ def pack_source_table(tree: Octree, slot8, n_gravs: int, n_oct: int,
                      + s[:, None],
                      rows)                               # [M, NG]
 
-    tbl = jnp.asarray(np.zeros((rows, 8), np.float32)).at[:, IGID].set(neg1f)
+    # scatter into FLAT 1-D tables (2-D scatter targets with an 8-wide
+    # minor dim get re-tiled (8,128) by XLA — 16x padded copies at 1e7)
     lr = jnp.where(tree.leaf_row < cap2, tree.leaf_row, rows - 8)
-    tbl = tbl.at[lr].set(prow, mode="drop")
-    tbl = tbl.at[nidx.reshape(-1)].set(nrow.reshape(-1, 8), mode="drop")
-    tbl = tbl.at[rows - 16:, IGID].set(neg1f)
-    tbl = tbl.at[rows - 16:, FMASS].set(0.0)
+    col8 = np.arange(8, dtype=np.int32)[None, :]
+    gid_init = np.zeros((rows, 8), np.float32)
+    gid_init[:, IGID] = neg1f
+    gid_init[rows - 16:, FMASS] = 0.0
+    tbl = jnp.asarray(gid_init.reshape(-1))
+    nidx_f = nidx.reshape(-1)
+    tbl = tbl.at[(lr[:, None] * 8 + col8).reshape(-1)].set(
+        prow.reshape(-1), mode="drop")
+    tbl = tbl.at[(nidx_f[:, None] * 8 + col8).reshape(-1)].set(
+        nrow.reshape(-1), mode="drop")
     # per-row drift velocities (particle vel / per-gravity node CM vel)
-    vtbl = jnp.zeros((rows, 3), jnp.float32) \
-        .at[lr].set(tree.vel_s, mode="drop") \
-        .at[nidx.reshape(-1)].set(tree.node_vel.reshape(-1, 3),
-                                  mode="drop")
+    col3 = np.arange(3, dtype=np.int32)[None, :]
+    vtbl = jnp.zeros((rows * 3,), jnp.float32) \
+        .at[(lr[:, None] * 3 + col3).reshape(-1)].set(
+            tree.vel_s.reshape(-1), mode="drop") \
+        .at[(nidx_f[:, None] * 3 + col3).reshape(-1)].set(
+            tree.node_vel.reshape(-1), mode="drop")
     return tbl.reshape(rows // 8, 64), vtbl.reshape(rows // 8, 24)
 
 
