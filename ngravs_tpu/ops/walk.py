@@ -291,18 +291,23 @@ def pack_source_table(tree: Octree, slot8, n_gravs: int, n_oct: int,
                      rows)                               # [M, NG]
 
     # scatter into FLAT 1-D tables (2-D scatter targets with an 8-wide
-    # minor dim get re-tiled (8,128) by XLA — 16x padded copies at 1e7)
+    # minor dim get re-tiled (8,128) by XLA — 16x padded copies at 1e7;
+    # the init row template broadcasts on device, never as a big baked
+    # constant)
     lr = jnp.where(tree.leaf_row < cap2, tree.leaf_row, rows - 8)
     col8 = np.arange(8, dtype=np.int32)[None, :]
-    gid_init = np.zeros((rows, 8), np.float32)
-    gid_init[:, IGID] = neg1f
-    gid_init[rows - 16:, FMASS] = 0.0
-    tbl = jnp.asarray(gid_init.reshape(-1))
+    template = np.zeros((8,), np.float32)
+    template[IGID] = neg1f
+    tbl = jnp.broadcast_to(jnp.asarray(template), (rows, 8)).reshape(-1)
     nidx_f = nidx.reshape(-1)
     tbl = tbl.at[(lr[:, None] * 8 + col8).reshape(-1)].set(
         prow.reshape(-1), mode="drop")
     tbl = tbl.at[(nidx_f[:, None] * 8 + col8).reshape(-1)].set(
         nrow.reshape(-1), mode="drop")
+    # junk rows stay inert even after overflow writes land there
+    tail = np.arange(rows - 16, rows, dtype=np.int32)
+    tbl = tbl.at[tail * 8 + IGID].set(neg1f) \
+        .at[tail * 8 + FMASS].set(0.0)
     # per-row drift velocities (particle vel / per-gravity node CM vel)
     col3 = np.arange(3, dtype=np.int32)[None, :]
     vtbl = jnp.zeros((rows * 3,), jnp.float32) \
