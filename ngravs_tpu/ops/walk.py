@@ -296,9 +296,8 @@ def pack_source_table(tree: Octree, slot8, n_gravs: int, n_oct: int,
     # constant)
     lr = jnp.where(tree.leaf_row < cap2, tree.leaf_row, rows - 8)
     col8 = np.arange(8, dtype=np.int32)[None, :]
-    template = np.zeros((8,), np.float32)
-    template[IGID] = neg1f
-    tbl = jnp.broadcast_to(jnp.asarray(template), (rows, 8)).reshape(-1)
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (rows * 8,), 0) % 8
+    tbl = jnp.where(i8 == IGID, jnp.float32(neg1f), jnp.float32(0.0))
     nidx_f = nidx.reshape(-1)
     tbl = tbl.at[(lr[:, None] * 8 + col8).reshape(-1)].set(
         prow.reshape(-1), mode="drop")
