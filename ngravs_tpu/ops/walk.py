@@ -214,21 +214,23 @@ def pack_walk_table8(tree: Octree, slot8, child_oct, n_gravs: int,
     w = walk_table_width(n_gravs, accumulator)
     while len(cols) < w:
         cols.append(jnp.zeros_like(tree.node_maxsoft))
-    rows = jnp.stack(cols, axis=1)                      # [M, W]
-    # scatter into a FLAT 1-D table: 2-D scatter targets with a small
-    # minor dim get re-tiled (8,128) by XLA — 8-16x padded copies at
-    # 1e7 scale; 1-D scatters keep linear layouts
+    # per-COLUMN 1-D scatters into a flat table: 2-D scatter targets or
+    # update arrays with a small minor dim get re-tiled (8,128) by XLA —
+    # 8-16x padded copies at 1e7 scale; 1-D ops keep linear layouts
     idx = jnp.where(slot8 >= 0, slot8, n_oct * 8)
-    i2 = idx[:, None] * w + np.arange(w, dtype=np.int32)[None, :]
-    tbl = jnp.zeros((n_oct * 8 * w,), jnp.float32) \
-        .at[i2.reshape(-1)].set(rows.reshape(-1), mode="drop")
+    iw = idx * w
+    tbl = jnp.zeros((n_oct * 8 * w,), jnp.float32)
+    for c, col in enumerate(cols):
+        tbl = tbl.at[iw + c].set(col, mode="drop")
     # per-gravity CM drift velocities for dynamic updates between
     # refreshes (predict.c:83-86)
     nv = n_gravs * 3
-    vrows = tree.node_vel.reshape(-1, nv)
-    v2 = idx[:, None] * nv + np.arange(nv, dtype=np.int32)[None, :]
-    vtbl = jnp.zeros((n_oct * 8 * nv,), jnp.float32) \
-        .at[v2.reshape(-1)].set(vrows.reshape(-1), mode="drop")
+    iv = idx * nv
+    vtbl = jnp.zeros((n_oct * 8 * nv,), jnp.float32)
+    for g in range(n_gravs):
+        for a in range(3):
+            vtbl = vtbl.at[iv + g * 3 + a].set(tree.node_vel[:, g, a],
+                                               mode="drop")
     return (tbl.reshape(n_oct, 8 * w),
             vtbl.reshape(n_oct, 8 * nv))
 
@@ -258,62 +260,81 @@ def pack_source_table(tree: Octree, slot8, n_gravs: int, n_oct: int,
     m = tree.node_mass.shape[0]
     cap2, nstart, rows, null_row = source_table_layout(
         n, n_oct, n_gravs, leaf_factor)
+    NG = n_gravs
     bc = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.int32),
                                                 jnp.float32)
-    neg1f = np.array(-1, np.int32).view(np.float32)
+    neg1f = np.float32(np.array(-1, np.int32).view(np.float32))
+    neg2f = np.float32(np.array(-2, np.int32).view(np.float32))
 
-    prow = jnp.stack(
-        [tree.pos_s[:, 0], tree.pos_s[:, 1], tree.pos_s[:, 2],
-         tree.mass_s, tree.fsoft_s, jnp.ones_like(tree.mass_s),
-         bc(tree.grav_s), bc(np.arange(n, dtype=np.int32))], axis=1)
+    # ---- LEAF region [0, cap2*8): per-FIELD 1-D interleave scatters.
+    # Everything stays strictly 1-D: any [*, 8]-ish intermediate at this
+    # scale is re-tiled (8,128) by XLA with 16x padding — 21 GB at 1e7.
+    lr8 = jnp.where(tree.leaf_row < cap2, tree.leaf_row,
+                    cap2).astype(jnp.int32) * 8
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (cap2 * 8,), 0) % 8
+    leaf = jnp.where(i8 == IGID, jnp.float32(neg1f), jnp.float32(0.0))
+    pfields = (tree.pos_s[:, 0], tree.pos_s[:, 1], tree.pos_s[:, 2],
+               tree.mass_s, tree.fsoft_s, jnp.ones_like(tree.mass_s),
+               bc(tree.grav_s), bc(np.arange(n, dtype=np.int32)))
+    for f, vf in enumerate(pfields):
+        leaf = leaf.at[lr8 + f].set(vf, mode="drop")
 
-    cm = tree.node_cm.reshape(m, n_gravs, 3)
-    nmass = tree.node_mass
+    # ---- MONO region: CONSTRUCTED (no scatter) — for flat offset
+    # q = (o*NG + g)*8 + s, row = nstart + q, the value of field f is a
+    # pure gather from the per-node arrays via the slot->node inverse.
+    slots_total = n_oct * 8
+    inv_slot = jnp.full((slots_total + 1,), m, jnp.int32) \
+        .at[jnp.where(slot8 >= 0, slot8, slots_total)] \
+        .set(np.arange(m, dtype=np.int32), mode="drop")
+    Q = slots_total * NG
+    q = jax.lax.broadcasted_iota(jnp.int32, (Q,), 0)
+    o_q = q // (8 * NG)
+    g_q = (q % (8 * NG)) // 8
+    s_q = q % 8
+    node = inv_slot[jnp.minimum(o_q * 8 + s_q, slots_total)]
+    dead = node >= m
+    nodec = jnp.minimum(node, m - 1)
+    cmflat = tree.node_cm.reshape(-1)          # [M*NG*3]
+    massflat = tree.node_mass.reshape(-1)      # [M*NG]
+    mg = jnp.where(dead, 0.0, massflat[nodec * NG + g_q])
     if accumulator:
-        ncount = jnp.maximum(tree.node_count, 1.0)
+        countflat = tree.node_count.reshape(-1)
+        cg = jnp.maximum(jnp.where(dead, 1.0, countflat[nodec * NG + g_q]),
+                         1.0)
     else:
-        ncount = jnp.ones_like(nmass)
-    gi = np.arange(n_gravs, dtype=np.int32)
-    nrow = jnp.stack(
-        [cm[:, :, 0], cm[:, :, 1], cm[:, :, 2], nmass,
-         jnp.broadcast_to(tree.node_maxsoft[:, None], nmass.shape),
-         ncount,
-         jnp.broadcast_to(bc(gi)[None, :], nmass.shape),
-         jnp.broadcast_to(np.float32(np.array(-2, np.int32)
-                                     .view(np.float32)), nmass.shape)],
-        axis=2)                                          # [M, NG, 8]
-    # gravity-major octet rows
-    o = slot8 // 8
-    s = slot8 % 8
-    nidx = jnp.where(slot8[:, None] >= 0,
-                     nstart + (o[:, None] * n_gravs + gi[None, :]) * 8
-                     + s[:, None],
-                     rows)                               # [M, NG]
+        cg = jnp.ones_like(mg)
+    ok = ~dead & (mg > 0)
+    mono_fields = (
+        cmflat[(nodec * NG + g_q) * 3 + 0],
+        cmflat[(nodec * NG + g_q) * 3 + 1],
+        cmflat[(nodec * NG + g_q) * 3 + 2],
+        mg,
+        tree.node_maxsoft[nodec],
+        cg,
+        bc(g_q),
+        jnp.where(ok, neg2f, neg1f))
+    mono = jnp.zeros((Q * 8,), jnp.float32)
+    qi8 = q * 8
+    for f, vf in enumerate(mono_fields):
+        mono = mono.at[qi8 + f].set(vf)
 
-    # scatter into FLAT 1-D tables (2-D scatter targets with an 8-wide
-    # minor dim get re-tiled (8,128) by XLA — 16x padded copies at 1e7;
-    # the init row template broadcasts on device, never as a big baked
-    # constant)
-    lr = jnp.where(tree.leaf_row < cap2, tree.leaf_row, rows - 8)
-    col8 = np.arange(8, dtype=np.int32)[None, :]
-    i8 = jax.lax.broadcasted_iota(jnp.int32, (rows * 8,), 0) % 8
-    tbl = jnp.where(i8 == IGID, jnp.float32(neg1f), jnp.float32(0.0))
-    nidx_f = nidx.reshape(-1)
-    tbl = tbl.at[(lr[:, None] * 8 + col8).reshape(-1)].set(
-        prow.reshape(-1), mode="drop")
-    tbl = tbl.at[(nidx_f[:, None] * 8 + col8).reshape(-1)].set(
-        nrow.reshape(-1), mode="drop")
-    # junk rows stay inert even after overflow writes land there
-    tail = np.arange(rows - 16, rows, dtype=np.int32)
-    tbl = tbl.at[tail * 8 + IGID].set(neg1f) \
-        .at[tail * 8 + FMASS].set(0.0)
-    # per-row drift velocities (particle vel / per-gravity node CM vel)
-    col3 = np.arange(3, dtype=np.int32)[None, :]
-    vtbl = jnp.zeros((rows * 3,), jnp.float32) \
-        .at[(lr[:, None] * 3 + col3).reshape(-1)].set(
-            tree.vel_s.reshape(-1), mode="drop") \
-        .at[(nidx_f[:, None] * 3 + col3).reshape(-1)].set(
-            tree.node_vel.reshape(-1), mode="drop")
+    tail = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (16 * 8,), 0) % 8 == IGID,
+        jnp.float32(neg1f), jnp.float32(0.0))
+    tbl = jnp.concatenate([leaf, mono, tail])
+
+    # ---- drift velocities, same two-region construction --------------
+    lr3 = (lr8 // 8) * 3
+    lvel = jnp.zeros((cap2 * 3,), jnp.float32)
+    for a in range(3):
+        lvel = lvel.at[lr3 + a].set(tree.vel_s[:, a], mode="drop")
+    velflat = tree.node_vel.reshape(-1)
+    mvel = jnp.zeros((Q * 3,), jnp.float32)
+    qi3 = q * 3
+    for a in range(3):
+        mvel = mvel.at[qi3 + a].set(
+            jnp.where(dead, 0.0, velflat[(nodec * NG + g_q) * 3 + a]))
+    vtbl = jnp.concatenate([lvel, mvel, jnp.zeros((16 * 3,), jnp.float32)])
     return tbl.reshape(rows // 8, 64), vtbl.reshape(rows // 8, 24)
 
 
@@ -982,11 +1003,12 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         bcf = lambda a: jax.lax.bitcast_convert_type(
             a.astype(jnp.int32), jnp.float32)
 
-        # [N, 8] packed target rows (gid column patched per block)
-        tpack_tbl = jnp.stack(
-            [tree.pos_s[:, 0], tree.pos_s[:, 1], tree.pos_s[:, 2],
-             tree.mass_s, tree.fsoft_s, jnp.zeros_like(tree.mass_s),
-             bcf(tree.grav_s), bcf(np.arange(n, dtype=np.int32))], axis=-1)
+        # per-field 1-D target columns: the per-batch [B, G] gathers
+        # assemble the (small) packed target rows on the fly — a
+        # pre-packed [N, 8] table would be re-tiled (8,128) by XLA
+        tposx, tposy, tposz = (tree.pos_s[:, 0], tree.pos_s[:, 1],
+                               tree.pos_s[:, 2])
+        tgravf = bcf(tree.grav_s)
 
         # active blocks: any member requested.  Batched in DEMAND order
         # (group-node depth = local density proxy, descending) instead of
@@ -1013,7 +1035,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         giota = np.arange(G, dtype=np.int32)
 
         def body(carry):
-            bi, accbuf, niabuf, ovf, stats, lvls = carry
+            bi, bufs, niabuf, ovf, stats, lvls = carry
             ids = jax.lax.dynamic_slice_in_dim(blk_ids, bi * B, B)
             vb = ids >= 0
             ids0 = jnp.maximum(ids, 0)
@@ -1022,33 +1044,39 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             slots = st[:, None] + giota[None, :]            # [B, G]
             in_blk = giota[None, :] < cnt[:, None]
             safe = jnp.minimum(jnp.where(in_blk, slots, 0), n - 1)
-            tp = tpack_tbl[safe]
-            tp = tp.at[:, :, IGID].set(
-                bcf(jnp.where(in_blk, slots, -1)))
+            tp = jnp.stack(
+                [tposx[safe], tposy[safe], tposz[safe],
+                 tree.mass_s[safe], tree.fsoft_s[safe],
+                 jnp.zeros((B, G), jnp.float32), tgravf[safe],
+                 bcf(jnp.where(in_blk, slots, -1))], axis=-1)
             ta = tree.aold_s[safe]
             out, nia_t, ovf1, stats1, lvl1 = _walk_batch(
                 tree, wtab8, gsrc8, layout, noct, tp, ta, rel, n)
             rows = jnp.where(in_blk, slots, n).reshape(-1)
-            accbuf = accbuf.at[rows].set(out.reshape(-1, 4), mode="drop")
+            # result buffers are SEPARATE 1-D arrays (a [N, 4] scatter
+            # target would be tiled (8,128) — 32x padded at 1e7)
+            bufs = tuple(
+                b.at[rows].set(out[..., c].reshape(-1), mode="drop")
+                for c, b in enumerate(bufs))
             niabuf = niabuf.at[rows].set(nia_t.reshape(-1), mode="drop")
-            return (bi + 1, accbuf, niabuf, ovf | ovf1,
+            return (bi + 1, bufs, niabuf, ovf | ovf1,
                     jnp.maximum(stats, stats1), jnp.maximum(lvls, lvl1))
 
         carry0 = (jnp.int32(0),
-                  jnp.zeros((n, 4), jnp.float32),
+                  tuple(jnp.zeros((n,), jnp.float32) for _ in range(4)),
                   jnp.zeros((n,), jnp.int32),
                   ovf0,
                   jnp.zeros((3,), jnp.int32),
                   jnp.zeros((depth + 1,), jnp.int32))
-        _, accbuf, niabuf, ovf, stats, lvl_max = jax.lax.while_loop(
+        _, bufs, niabuf, ovf, stats, lvl_max = jax.lax.while_loop(
             lambda c: c[0] < nbatch, body, carry0)
 
         tsafe = jnp.maximum(tgt_sorted, 0)
-        tlive = (tgt_sorted >= 0)[:, None]
-        out_all = jnp.where(tlive, accbuf[tsafe], 0.0)
-        nia_all = jnp.where(tgt_sorted >= 0, niabuf[tsafe], 0)
+        tlive = tgt_sorted >= 0
+        out_c = [jnp.where(tlive, b[tsafe], 0.0) for b in bufs]
+        nia_all = jnp.where(tlive, niabuf[tsafe], 0)
         return FusedWalkResult(
-            acc=out_all[:, 0:3], pot=out_all[:, 3],
+            acc=jnp.stack(out_c[0:3], axis=-1), pot=out_c[3],
             ninteract=nia_all, overflow=ovf,
             max_ent=stats[0], max_chunk=stats[1],
             max_rows=stats[2], max_frontier=lvl_max)
