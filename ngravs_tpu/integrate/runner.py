@@ -272,8 +272,12 @@ class Simulation:
         self.step_count = 0
         self.snapshot_count = 0
 
-        # log files (begrun.c:202-255)
+        # log files (begrun.c:202-255).  An unset OutputDir falls back to a
+        # scratch tmpdir rather than littering the CWD with snapshots/logs.
         self.log_dir = log_dir if log_dir is not None else cfg.output_dir
+        if not self.log_dir:
+            import tempfile
+            self.log_dir = tempfile.mkdtemp(prefix="ngravs_out_")
         self._logs = {}
         if self.log_dir:
             os.makedirs(self.log_dir, exist_ok=True)

@@ -129,6 +129,9 @@ class DistributedSimulation:
         self._wall_start = _time.time()
 
         self.log_dir = log_dir if log_dir is not None else cfg.output_dir
+        if not self.log_dir:
+            import tempfile
+            self.log_dir = tempfile.mkdtemp(prefix="ngravs_out_")
         self._logs = {}
         if self.log_dir:
             os.makedirs(self.log_dir, exist_ok=True)
@@ -536,8 +539,16 @@ class DistributedSimulation:
         written by group masters); single-device falls back to the
         gathered writer."""
         if path is None:
+            # never drop run artifacts into the CWD: an un-set output dir
+            # falls back to a temp directory instead of "."
+            out_dir = self.log_dir
+            if not out_dir:
+                import tempfile
+                out_dir = getattr(self, "_tmp_out", None) or \
+                    tempfile.mkdtemp(prefix="ngravs_out_")
+                self._tmp_out = out_dir
             path = os.path.join(
-                self.log_dir or ".",
+                out_dir,
                 f"{self.cfg.snapshot_file_base}_{self.snapshot_count:03d}")
         if self.n_dev > 1:
             self._write_snapshot_sharded(path)
