@@ -126,6 +126,11 @@ class SimulationConfig:
     # space (3 inverse FFTs per convolution round instead of 1, but no
     # stencil error — the large-r TreePM accuracy limiter)
     pm_gradient: str = "fd4"
+    # PM grid interlacing: average a half-cell-staggered second CIC
+    # assignment/readout pair in k space, cancelling odd-image aliasing
+    # (the near-grid anisotropy floor at the TreePM transition).  2x FFT
+    # cost; no reference analog (pm_periodic.c uses a single grid)
+    pm_interlace: bool = False
 
     # --- Integration mode flags (compile-time in the reference) ---
     synchronization: bool = True  # -DSYNCHRONIZATION (default mode)

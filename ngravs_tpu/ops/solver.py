@@ -152,7 +152,8 @@ class GravitySolver:
             from .shortrange import shortrange_tables
             self.pm = PMSolver(wiring, cfg.pmgrid, cfg.box_size,
                                cfg.n_gravs, g_const, asmth_cells=cfg.asmth,
-                               gradient=cfg.pm_gradient)
+                               gradient=cfg.pm_gradient,
+                               interlace=cfg.pm_interlace)
             self.pm.rcut = cfg.rcut * self.pm.asmth
             sr_ftab, sr_ptab = shortrange_tables(wiring, ntab=cfg.ntab)
             self.treepm = dict(sr_ftab=sr_ftab, sr_ptab=sr_ptab,

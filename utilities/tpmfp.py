@@ -26,7 +26,25 @@ def main():
     ap.add_argument("--box", type=float, default=10000.0)
     ap.add_argument("--real", type=int, default=4, help="realizations")
     ap.add_argument("--bins", type=int, default=24)
+    ap.add_argument("--gradient", default="fd4", choices=("fd4", "spectral"),
+                    help="PM k-space gradient (spectral = exact ik)")
+    ap.add_argument("--en", type=int, default=32,
+                    help="Ewald oracle table resolution (NGRAVS_EN)")
+    ap.add_argument("--asmth", type=float, default=0.0,
+                    help="override Asmth (grid cells); 0 = default 1.25")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (leave the TPU free)")
+    ap.add_argument("--interlace", action="store_true",
+                    help="enable PM grid interlacing")
+    ap.add_argument("--cenm", type=float, default=1e6,
+                    help="central mass (reference tpmfp.py:68-69: testm=1, "
+                         "cenm=1e6 so the central force dominates and the "
+                         "binned error probes the solver, not shot noise)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
     from ngravs_tpu.config import SimulationConfig
@@ -43,13 +61,15 @@ def main():
             softening=(box / 3000,) * 6, max_size_timestep=0.01,
             periodic=True, box_size=box, pmgrid=args.pmgrid,
             time_bet_snapshot=0.0, time_of_first_snapshot=1e30,
-            time_bet_statistics=0.0, wiring="newton", ngravs_en=32)
+            time_bet_statistics=0.0, wiring="newton", ngravs_en=args.en,
+            pm_gradient=args.gradient, pm_interlace=args.interlace,
+            **({"asmth": args.asmth} if args.asmth else {}))
         # random shell realization around a massive center (tpmfp.py:86-116)
         n = args.n
         pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
         pos[0] = box / 2
         mass = np.full(n, 1.0, np.float32)
-        mass[0] = 1000.0
+        mass[0] = args.cenm
         p = Particles.create(pos, np.zeros((n, 3), np.float32), mass,
                              np.arange(n), np.ones(n, np.int32),
                              cfg.type_to_grav)
