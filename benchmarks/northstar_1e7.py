@@ -92,6 +92,10 @@ t0 = time.time()
 tree = build()
 sync(tree.node_mass)
 out["tree_build_s"] = round(time.time() - t0, 3)
+# measured per-level octet caps: the static bound's mono region is ~10x
+# the real occupancy at this depth (GB-scale walk tables at 1e7)
+solver._measure_octets(tree, N)
+out["octet_caps"] = list(solver.octet_caps)
 fat = int(jnp.max(jnp.where(tree.node_terminal, tree.node_pcount, 0)))
 out["fat_leaf"] = fat
 print("tree built:", out["tree_build_s"], "s, fat leaf:", fat, flush=True)
@@ -117,7 +121,8 @@ for attempt in range(8):
         chunk_cap=solver.fcaps["chunk"],
         frontier_cap=solver.fcaps["frontier"], ec=cfg.walk_ec,
         theta=cfg.err_tol_theta, opening="bh", box_size=box,
-        treepm=solver.treepm, want_pot=False)
+        treepm=solver.treepm, want_pot=False,
+        octet_caps=solver.octet_caps)
     wj = jax.jit(lambda tr, tg: walk(tr, tg))
     t0 = time.time()
     res = wj(tree, tgt)

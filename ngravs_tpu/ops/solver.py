@@ -173,6 +173,12 @@ class GravitySolver:
             frontier=normalize_frontier_caps(cfg.walk_frontier_cap,
                                              self.depth))
         self.leaf_factor = 2.0  # leaf-chunk table rows per particle
+        # measured per-level octet caps (walk.measure_octet_demand): the
+        # static bound is ~10x a deep tree's real occupancy and the
+        # packed mono region scales with its sum (walk.py
+        # source_table_layout), so the first built tree sets these and
+        # layout overflow re-measures
+        self.octet_caps = None
         self._fns = {}   # (opening, caps-signature, n_targets) -> jitted fn
 
         c = cosmo_corrections(cfg, self.G, self.hubble, self.lattice_tables)
@@ -251,7 +257,8 @@ class GravitySolver:
     def _walk(self, want_pot: bool = True):
         """The fused single-dispatch walk (ops/walk.py), cached per caps."""
         cfg = self.cfg
-        key = ("fwalk", self.depth, self.leaf_factor, want_pot) \
+        key = ("fwalk", self.depth, self.leaf_factor, want_pot,
+               self.octet_caps) \
             + tuple(sorted(self.fcaps.items()))
         if key in self._fns:
             return self._fns[key]
@@ -271,9 +278,21 @@ class GravitySolver:
             leaf_factor=self.leaf_factor,
             want_pot=want_pot,
             lattice_tables=self.lattice_tables,
-            treepm=self.treepm)
+            treepm=self.treepm,
+            octet_caps=self.octet_caps)
         self._fns[key] = walk
         return walk
+
+    def _measure_octets(self, tree, n: int) -> None:
+        """Set octet caps from the built tree's real per-level occupancy
+        (x1.5 margin, 64-bucketed) so drifted rebuilds between
+        measurements do not overflow."""
+        from .walk import measure_octet_demand, octet_counts
+        demand = measure_octet_demand(tree, n, self.depth,
+                                      self.cfg.tree_bucket_size)
+        bound = octet_counts(n, self.depth, self.cfg.tree_bucket_size)
+        self.octet_caps = tuple(
+            min(b, max(d * 3 // 2, 8)) for d, b in zip(demand, bound))
 
     def _tree_prep_fn(self, s: int, refresh: bool):
         """Jitted: build (or refresh) the tree + gather active targets."""
@@ -472,8 +491,12 @@ class GravitySolver:
                         "leaves")
                     self._fat_warned = True
                 break
-            # fat leaves: deepen the tree (recompiles build + walk)
+            # fat leaves: deepen the tree (recompiles build + walk);
+            # per-level octet caps are depth-shaped -> re-measure
             self.depth = min(self.depth + 3, MAX_DEPTH)
+            self.octet_caps = None
+        if self.octet_caps is None:
+            self._measure_octets(tree, p.n)
         for _ in range(8):
             res = self._walk(want_pot)(tree, tgt_sorted,
                                        opening_override=opening)
@@ -490,7 +513,9 @@ class GravitySolver:
                 break
             # resize each cap to the measured peak demand (+25% margin,
             # rounded to a power of two) and recompile once.  Truncated
-            # demands (== cap) at least double.
+            # demands (== cap) at least double.  Octet-layout overflow has
+            # no demand stat; re-measuring the current tree covers it.
+            self._measure_octets(tree, p.n)
             self.grow_caps(me, mc, mr, mf)
         else:
             raise RuntimeError(

@@ -116,10 +116,22 @@ class FusedWalkResult(NamedTuple):
 # tree (build_tree's per-level occupied-cell arrays are untouched).
 # ---------------------------------------------------------------------------
 
-def octet_counts(n: int, depth: int, bucket: int):
+def octet_counts(n: int, depth: int, bucket: int, octet_caps=None):
     """Static per-level OCTET caps.  Octets at level l+1 = level-l nodes
     with children; each such node holds > bucket particles, so their
-    count is <= min(cells_l, n/(bucket+1)+1, 8^l)."""
+    count is <= min(cells_l, n/(bucket+1)+1, 8^l).
+
+    `octet_caps`: measured per-level demand override (tuple[depth+1]) —
+    the theoretical bound is ~10x the real occupancy of a deep tree, and
+    the mono region of the packed source table scales with its sum, so
+    production solvers measure the built tree (measure_octet_demand) and
+    pass a margined override; build_octet_layout flags overflow if the
+    tree outgrows it (the TreeAllocFactor regrow contract,
+    forcetree.c:3176)."""
+    if octet_caps is not None:
+        caps = [int(c) for c in octet_caps]
+        assert len(caps) == depth + 1, (len(caps), depth)
+        return caps
     caps = level_caps(n, depth, bucket=bucket)
     nt_max = n // (bucket + 1) + 1
     noct = [1]
@@ -128,13 +140,28 @@ def octet_counts(n: int, depth: int, bucket: int):
     return noct
 
 
-def frontier_slot_caps(n: int, depth: int, bucket: int):
+def measure_octet_demand(tree: Octree, n: int, depth: int, bucket: int):
+    """Actual octets per level of a built tree: level-(l-1) nodes with
+    children.  One [M]-bool host fetch; feeds octet_counts overrides."""
+    caps = level_caps(n, depth, bucket=bucket)
+    offs = np.concatenate([[0], np.cumsum(caps)]).astype(np.int64)
+    has = np.asarray(jax.device_get(
+        (tree.node_nchild > 0) & (tree.node_pcount > 0)))
+    out = [1]
+    for lvl in range(1, depth + 1):
+        out.append(max(1, int(has[offs[lvl - 1]:offs[lvl]].sum())))
+    return out
+
+
+def frontier_slot_caps(n: int, depth: int, bucket: int, octet_caps=None):
     """Per-level frontier demand bounds in SLOT units (8 * octets)."""
-    return [8 * c for c in octet_counts(n, depth, bucket)]
+    return [8 * c for c in octet_counts(n, depth, bucket, octet_caps)]
 
 
-@functools.partial(jax.jit, static_argnames=("n", "depth", "bucket"))
-def build_octet_layout(tree: Octree, n: int, depth: int, bucket: int):
+@functools.partial(jax.jit, static_argnames=("n", "depth", "bucket",
+                                             "octet_caps"))
+def build_octet_layout(tree: Octree, n: int, depth: int, bucket: int,
+                       octet_caps=None):
     """Per-packed-node octet indexing: returns (slot8 [M] global slot id
     or -1, child_oct [M] global child OCTET id or -1, ovf bool).
 
@@ -146,7 +173,7 @@ def build_octet_layout(tree: Octree, n: int, depth: int, bucket: int):
     sibling groups via force_create_empty_nodes)."""
     caps = level_caps(n, depth, bucket=bucket)
     offs = np.concatenate([[0], np.cumsum(caps)]).astype(np.int32)
-    noct = octet_counts(n, depth, bucket)
+    noct = octet_counts(n, depth, bucket, octet_caps)
     ooffs = np.concatenate([[0], np.cumsum(noct)]).astype(np.int32)
     m = int(offs[-1])
 
@@ -340,19 +367,20 @@ def pack_source_table(tree: Octree, slot8, n_gravs: int, n_oct: int,
 
 @functools.partial(jax.jit, static_argnames=("n", "depth", "bucket",
                                              "n_gravs", "leaf_factor",
-                                             "accumulator"))
+                                             "accumulator", "octet_caps"))
 def pack_walk_tables(tree: Octree, n: int, depth: int, bucket: int,
                      n_gravs: int, leaf_factor: float,
                      accumulator: bool = False,
-                     layout=None) -> WalkTables:
+                     layout=None, octet_caps=None) -> WalkTables:
     """Derive the octet layout (unless `layout` carries a cached one from
     an earlier build of the SAME tree structure) and pack both walk
     tables.  Called once per tree build/refresh; between calls the
     tables only `drift_walk_tables`."""
-    noct = octet_counts(n, depth, bucket)
+    noct = octet_counts(n, depth, bucket, octet_caps)
     n_oct = int(np.sum(noct))
     if layout is None:
-        slot8, child_oct, oovf = build_octet_layout(tree, n, depth, bucket)
+        slot8, child_oct, oovf = build_octet_layout(tree, n, depth, bucket,
+                                                    octet_caps)
     else:
         slot8, child_oct, oovf = layout
     gsrc, gvel = pack_source_table(tree, slot8, n_gravs, n_oct,
@@ -417,7 +445,8 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                     interpret: bool = False,
                     stage_limit: int = 3,
                     subgroups: int = 4,
-                    s_chunk: int = 256):
+                    s_chunk: int = 256,
+                    octet_caps=None):
     """Build the fused walk.  Returns fn(tree, tgt_sorted, rel) ->
     FusedWalkResult — fully traceable (usable under jit / while_loop /
     shard_map).  All caps are static **per-block** quantities; exceeding
@@ -601,7 +630,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
     def _walk_batch(tree, wtab8, gsrc8, layout, octs, tp, ta, rel,
                     n_static: int):
         init_lvl = min(2, depth)
-        noct = octet_counts(n_static, depth, bucket)
+        noct = octet_counts(n_static, depth, bucket, octet_caps)
         ooffs = np.concatenate([[0], np.cumsum(noct)]).astype(np.int32)
         n_oct = int(ooffs[-1])
 
@@ -983,7 +1012,7 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                 (rel_true if opening_override == "relative" else rel_false)
         n = tree.pos_s.shape[0]
         assert tree.blk_start.shape[0] > 0
-        noct = octet_counts(n, depth, bucket)
+        noct = octet_counts(n, depth, bucket, octet_caps)
         n_oct = int(np.sum(noct))
         layout = source_table_layout(n, n_oct, NG, leaf_factor)
         cap2, _, rows_t, null_row = layout
@@ -991,7 +1020,8 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         if tables is None:
             tables = pack_walk_tables(tree, n, depth, bucket, NG,
                                       leaf_factor,
-                                      accumulator=wiring.accumulator)
+                                      accumulator=wiring.accumulator,
+                                      octet_caps=octet_caps)
         oovf = tables.layout_ovf
         # FLAT chunk table [NC, 64]: gathers read whole 256B chunks, and
         # the field de-interleave happens on the (small) gathered output
@@ -1087,7 +1117,8 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
     fused_forces.uses_pallas = kernel_fn is not None
     fused_forces.pack_tables = lambda tree, layout=None: pack_walk_tables(
         tree, tree.pos_s.shape[0], depth, bucket, NG, leaf_factor,
-        accumulator=wiring.accumulator, layout=layout)
+        accumulator=wiring.accumulator, layout=layout,
+        octet_caps=octet_caps)
     fused_forces.drift_tables = lambda wt, dd: drift_walk_tables(wt, dd, NG)
     return fused_forces
 
