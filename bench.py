@@ -9,26 +9,76 @@ particle-steps/sec is used as the comparison denominator, matching the
 BASELINE.json north-star framing.
 
 The run exercises the PRODUCTION path: the fused Barnes-Hut tree walk
-(ops/walk.py — tree-aligned target blocks, inline monopole evaluation,
-demand-bounded leaf lists), N_GRAVS=2 multi-gravity wiring (the stock
-all-Newton config of Makefile.reference:51,60), fused drift+force+kick
-steps, individual power-of-two timesteps on the integer timeline.  The
-direct O(N^2) path (which at 60k is faster but does not scale) is NOT
-used: `direct_crossover` is forced below N so the recorded number tracks
-the north-star quantity (the O(N log N) walk of forcetree.c:1623).
+(ops/walk.py — octet frontier traversal, Pallas pair evaluation,
+device-resident multi-step segments), N_GRAVS=2 multi-gravity wiring (the
+stock all-Newton config of Makefile.reference:51,60), fused
+drift+force+kick steps, individual power-of-two timesteps on the integer
+timeline.  The direct O(N^2) path (which at 60k is faster but does not
+scale) is NOT used: `direct_crossover` is forced below N so the recorded
+number tracks the north-star quantity (the O(N log N) walk of
+forcetree.c:1623).
+
+Robustness contract (a bench that exits without a parseable line loses
+the round): a watchdog fires WELL before any plausible driver kill and
+SIGTERM/SIGINT are trapped — all three print the best measurement
+accumulated so far (a partial count if the full window didn't finish)
+and exit 0 with valid JSON on stdout.
 """
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_PART_STEPS_PER_SEC = 6.4e6  # 64 ranks x ~1e5 part/sec CPU tree
 
+WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", 1500.0))
+WARMUP_WALL_S = float(os.environ.get("BENCH_WARMUP_S", 600.0))
+MEASURE_WALL_S = 300.0  # measurement window budget
 
-def _probe_backend(timeout_s: float = 240.0) -> bool:
+# mutable partial-result state the watchdog/signal handlers report from
+_PARTIAL = {"updates": 0, "t0": None, "note": "", "done": False,
+            "stage": "startup"}
+_T_START = time.time()
+
+
+def _emit_partial_and_exit(why: str, code: int = 0):
+    upd, t0 = _PARTIAL["updates"], _PARTIAL["t0"]
+    if t0 is not None and upd > 0:
+        rate = upd / max(time.time() - t0, 1e-9)
+        note = _PARTIAL["note"] + f"; PARTIAL window ({why})"
+    else:
+        rate = 0.0
+        note = (_PARTIAL["note"]
+                + f"; ABORTED in stage '{_PARTIAL['stage']}' ({why})")
+    print(json.dumps({
+        "metric": "particle-steps/sec (GalaxyCollision 60k, 2-species "
+                  f"gravity, fused BH tree walk{note})",
+        "value": round(rate, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(rate / BASELINE_PART_STEPS_PER_SEC, 4),
+    }), flush=True)
+    os._exit(code)
+
+
+def _watchdog(seconds: float = WATCHDOG_S):
+    """Fires from a daemon thread so it works even if the main thread is
+    wedged inside backend init (the axon TPU tunnel can hang there)."""
+    t = threading.Timer(seconds, _emit_partial_and_exit, args=("watchdog",))
+    t.daemon = True
+    t.start()
+    return t
+
+
+def _on_signal(signum, frame):
+    _emit_partial_and_exit(f"signal {signum}")
+
+
+def _probe_backend(timeout_s: float = 180.0) -> bool:
     """Check TPU reachability in a subprocess (the axon tunnel can hang the
     whole process otherwise).  Returns True if the default backend works."""
     import subprocess
@@ -43,6 +93,7 @@ def _probe_backend(timeout_s: float = 240.0) -> bool:
 
 def main():
     platform_note = ""
+    _PARTIAL["stage"] = "backend probe"
     if not _probe_backend():
         # TPU tunnel down: fall back to CPU so the driver still records a
         # real (if slow) measurement instead of a hang
@@ -50,6 +101,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         platform_note = "; CPU FALLBACK - TPU unreachable"
 
+    _PARTIAL["stage"] = "startup (IC load + first compile)"
     from ngravs_tpu.config import read_parameter_file
     from ngravs_tpu.integrate.runner import Simulation
 
@@ -60,11 +112,10 @@ def main():
         time_bet_statistics=0.0,
         # PRODUCTION PATH: force the fused BH tree walk (ops/walk.py) —
         # the O(N log N) path the north-star is about — instead of the
-        # exact O(N^2) sweep the auto solver would pick at 60k.  Depth
-        # and walk caps are preset to the measured GalaxyCollision
-        # demand (benchmarks/SCALE_r03.json) so the first pass does not
-        # burn the measurement window on deepening/cap-regrow recompiles
-        # (the axon backend currently does not persist compiled programs).
+        # exact O(N^2) sweep the auto solver would pick at 60k.  Walk
+        # caps are preset to the measured GalaxyCollision demand
+        # (benchmarks/SCALE_r03.json) so the first pass does not burn
+        # the window on cap-regrow recompiles.
         direct_crossover=1000, tree_depth=12,
         walk_ent_cap=512, walk_chunk_cap=1024, walk_frontier_cap=1024)
     if platform_note:
@@ -72,43 +123,54 @@ def main():
         # an honest small number beats a driver timeout
         import numpy as np
         from ngravs_tpu.integrate.runner import load_initial_conditions
-        from ngravs_tpu.particles import Particles
         from ngravs_tpu.units import set_units
+        import jax
         p_full, _ = load_initial_conditions(cfg, set_units(cfg))
         sel = np.sort(np.random.default_rng(0).choice(
-            p_full.pos.shape[0], 8192, replace=False))
-        import jax
+            p_full.pos.shape[0], 4096, replace=False))
         p_sub = jax.tree.map(lambda a: a[sel], p_full)
-        sim = Simulation(cfg, particles=p_sub, log_dir="", segment_steps=64)
-        platform_note += " (8k subset)"
+        sim = Simulation(cfg, particles=p_sub, log_dir="", segment_steps=32)
+        platform_note += " (4k subset)"
+        warm_steps, warm_extra, target_steps = 32, 64, 64
     else:
         sim = Simulation(cfg, log_dir="", segment_steps=64)
+        warm_steps, warm_extra, target_steps = 200, 400, 256
+    _PARTIAL["note"] = platform_note
 
     # warmup: compile all kernels on the shapes the loop will use AND let
     # the demand-driven walk caps settle (each cap change recompiles; a
-    # 64-step segment call only reveals demand once it runs, so several
-    # calls are needed before the measurement window is recompile-free)
+    # segment call only reveals demand once it runs, so several calls are
+    # needed before the measurement window is recompile-free).  HARD
+    # bounds on both steps and wall time — an unsettled cap is a slower
+    # measurement, not a reason to overrun the watchdog.
+    _PARTIAL["stage"] = "warmup"
     warm = sim.step_count
+    t_warm0 = time.time()
     caps = None
-    while sim.step_count - warm < 200 or caps != sim.solver.fcaps:
+    while ((sim.step_count - warm < warm_steps
+            or caps != sim.solver.fcaps)
+           and sim.step_count - warm <= warm_extra
+           and time.time() - t_warm0 < WARMUP_WALL_S):
         caps = dict(sim.solver.fcaps)
         sim.step()
-        if sim.step_count - warm > 400:
-            break
 
     import ngravs_tpu.constants as C
+    _PARTIAL["stage"] = "measure"
     n0 = sim.num_force_updates
     s0 = sim.step_count
     t0 = time.time()
+    _PARTIAL["t0"] = t0
     # measure a fixed sync-point budget (each step() call may advance a
-    # whole device-resident segment of steps)
-    target_steps = 256
+    # whole device-resident segment of steps), bounded in wall time
     while sim.step_count - s0 < target_steps \
-            and sim.ti_current < C.TIMEBASE:
+            and sim.ti_current < C.TIMEBASE \
+            and time.time() - t0 < MEASURE_WALL_S:
         sim.step()
+        _PARTIAL["updates"] = sim.num_force_updates - n0
     dt = time.time() - t0
     updates = sim.num_force_updates - n0
-    rate = updates / dt
+    rate = updates / max(dt, 1e-9)
+    _PARTIAL["done"] = True
 
     print(json.dumps({
         "metric": "particle-steps/sec (GalaxyCollision 60k, 2-species "
@@ -116,31 +178,16 @@ def main():
         "value": round(rate, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(rate / BASELINE_PART_STEPS_PER_SEC, 4),
-    }))
-
-
-def _watchdog(seconds: float = 3300.0):
-    """The axon TPU tunnel can hang backend init indefinitely; emit a
-    parseable failure line and exit rather than timing out silently."""
-    import threading
-
-    def bail():
-        print(json.dumps({
-            "metric": "particle-steps/sec (BENCH ABORTED: TPU backend "
-                      "unreachable within watchdog window)",
-            "value": 0.0,
-            "unit": "particle-steps/s",
-            "vs_baseline": 0.0,
-        }), flush=True)
-        os._exit(3)
-
-    t = threading.Timer(seconds, bail)
-    t.daemon = True
-    t.start()
-    return t
+    }), flush=True)
 
 
 if __name__ == "__main__":
     wd = _watchdog()
-    main()
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    try:
+        main()
+    except Exception as e:  # any crash still yields a parseable line
+        _PARTIAL["note"] += f"; ERROR {type(e).__name__}: {e}"[:200]
+        _emit_partial_and_exit("exception")
     wd.cancel()

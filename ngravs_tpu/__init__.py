@@ -18,9 +18,27 @@ def _enable_compilation_cache():
         return
     try:
         import jax
-        path = _os.environ.get(
+        base = _os.environ.get(
             "NGRAVS_TPU_CACHE_DIR",
             _os.path.expanduser("~/.cache/ngravs_tpu_jax"))
+        # Key the cache by host machine + CPU feature set: XLA:CPU AOT
+        # executables are machine-specific, and loading an entry compiled
+        # on a different host emits cpu_aot_loader feature-mismatch errors
+        # and risks SIGILL.  (TPU entries are host-independent but a
+        # per-host subdir costs only a recompile.)
+        import hashlib
+        import platform as _plat
+        tag = _plat.machine()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        tag += "-" + hashlib.sha1(
+                            line.encode()).hexdigest()[:12]
+                        break
+        except OSError:
+            pass
+        path = _os.path.join(base, tag)
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -272,12 +272,18 @@ class Simulation:
         self.step_count = 0
         self.snapshot_count = 0
 
-        # log files (begrun.c:202-255).  An unset OutputDir falls back to a
-        # scratch tmpdir rather than littering the CWD with snapshots/logs.
+        # log files (begrun.c:202-255).  log_dir semantics:
+        #   log_dir="" (explicit)  -> HEADLESS: no log files are opened, so
+        #       the device-resident fused segments run without per-step
+        #       host log formatting; snapshots/restarts, if any, fall back
+        #       to a scratch tmpdir created lazily.
+        #   log_dir=None (default) -> cfg.output_dir; an unset OutputDir
+        #       falls back to a scratch tmpdir (cleaned at exit) rather
+        #       than littering the CWD with snapshots/logs.
         self.log_dir = log_dir if log_dir is not None else cfg.output_dir
-        if not self.log_dir:
-            import tempfile
-            self.log_dir = tempfile.mkdtemp(prefix="ngravs_out_")
+        if not self.log_dir and log_dir is None:
+            from ..utils import scratch_output_dir
+            self.log_dir = scratch_output_dir()
         self._logs = {}
         if self.log_dir:
             os.makedirs(self.log_dir, exist_ok=True)
@@ -597,7 +603,7 @@ class Simulation:
         """
         cfg, units, tables = self.cfg, self.units, self.tables
         solver = self.solver
-        key = (s, solver.depth, solver.leaf_factor,
+        key = (s, solver.depth, solver.leaf_factor, solver.octet_caps,
                tuple(sorted(solver.fcaps.items())))
         if key in self._tree_multi_cache:
             return self._tree_multi_cache[key]
@@ -968,13 +974,13 @@ class Simulation:
             pm_window=((self.pm_ti_begstep, self.pm_ti_endstep)
                        if cfg.pmgrid else None))
         if path is None:
-            # never drop run artifacts into the CWD: an un-set output dir
-            # falls back to a temp directory instead of "."
+            # never drop run artifacts into the CWD: a headless run
+            # (log_dir="") falls back to a scratch temp directory
             out_dir = self.log_dir or cfg.output_dir
             if not out_dir:
-                import tempfile
+                from ..utils import scratch_output_dir
                 out_dir = getattr(self, "_tmp_out", None) or \
-                    tempfile.mkdtemp(prefix="ngravs_out_")
+                    scratch_output_dir()
                 self._tmp_out = out_dir
             path = os.path.join(
                 out_dir,
@@ -1111,9 +1117,20 @@ class Simulation:
             if not ovf:
                 return steps > 0
             # grow the walk caps to the measured demand and recompile
+            caps_before = (dict(self.solver.fcaps), self.solver.octet_caps)
             stats_v = jax.device_get(stats)
             self.solver.grow_caps(int(stats_v[0]), int(stats_v[1]),
                                   int(stats_v[2]), stats_v[3:])
+            if (dict(self.solver.fcaps),
+                    self.solver.octet_caps) == caps_before:
+                # no-progress overflow: the source is the octet LAYOUT
+                # (mono region), which has no demand stat here.  Drop the
+                # measured octet caps and bail to the general step path —
+                # solver.compute rebuilds the tree and re-measures them
+                # (the TreeAllocFactor regrow contract, forcetree.c:3176).
+                self.solver.octet_caps = None
+                self._fused_info = (min_next, n_next)
+                return steps > 0
             min_glob, n_act = min_next, n_next
         raise RuntimeError(
             f"fused tree segment caps still overflowing at "

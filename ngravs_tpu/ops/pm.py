@@ -154,6 +154,15 @@ class PMSolver:
             kx, ky, kz = _kgrid(g)
             ph = np.exp(1j * math.pi * (kx + ky + kz) / g)
             self.phase = jnp.asarray(ph, jnp.complex64)
+            # The half-cell shift is sign-ambiguous on the Nyquist planes
+            # (fftfreq yields k = -g/2, giving conj phase), so odd-alias
+            # cancellation is ill-defined there; zero those modes of the
+            # AVERAGED spectrum so both the assignment and every staggered
+            # readout see an unambiguous (Nyquist-free) field.  The
+            # Gaussian x deconv^4 multiplier leaves them negligible anyway.
+            nyq = ((np.abs(kx) == g // 2) | (np.abs(ky) == g // 2)
+                   | (kz == g // 2))
+            self.nyqmask = jnp.asarray(np.where(nyq, 0.0, 1.0), jnp.float32)
         # the smth tables are passed as ARGUMENTS (not jit-closure
         # constants): at PMGRID 256 x NG^2 they are GB-scale and baked-in
         # constants blow up the serialized program
@@ -167,7 +176,7 @@ class PMSolver:
         if self.interlace:
             rho2_k = jnp.fft.rfftn(
                 cic_assign(pos, w, self.pmgrid, self.box, shift=0.5))
-            rho_k = 0.5 * (rho_k + self.phase * rho2_k)
+            rho_k = 0.5 * (rho_k + self.phase * rho2_k) * self.nyqmask
         return rho_k
 
     def _read_field(self, f_k, pos):

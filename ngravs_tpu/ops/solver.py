@@ -285,14 +285,25 @@ class GravitySolver:
 
     def _measure_octets(self, tree, n: int) -> None:
         """Set octet caps from the built tree's real per-level occupancy
-        (x1.5 margin, 64-bucketed) so drifted rebuilds between
-        measurements do not overflow."""
+        (x1.5 margin, rounded up to multiples of 64) so drifted rebuilds
+        between measurements do not overflow AND re-measures of similar
+        trees land on the SAME caps tuple — octet caps are part of the
+        walk compile-cache key, so unbucketed caps would force a full
+        fused-walk recompile on every re-measure."""
         from .walk import measure_octet_demand, octet_counts
         demand = measure_octet_demand(tree, n, self.depth,
                                       self.cfg.tree_bucket_size)
         bound = octet_counts(n, self.depth, self.cfg.tree_bucket_size)
-        self.octet_caps = tuple(
-            min(b, max(d * 3 // 2, 8)) for d, b in zip(demand, bound))
+        b64 = lambda x: ((max(x, 8) + 63) // 64) * 64 if x > 32 else \
+            max(8, 1 << math.ceil(math.log2(max(x, 1))))
+        new = tuple(
+            min(b, b64(d * 3 // 2)) for d, b in zip(demand, bound))
+        if new != self.octet_caps:
+            # evict superseded compiled walks (stale entries would
+            # accumulate unboundedly across overflow retries)
+            self._fns = {k: v for k, v in self._fns.items()
+                         if not (k[0] == "fwalk" and k[4] != new)}
+            self.octet_caps = new
 
     def _tree_prep_fn(self, s: int, refresh: bool):
         """Jitted: build (or refresh) the tree + gather active targets."""
@@ -412,12 +423,19 @@ class GravitySolver:
         return fn
 
     def uses_direct(self, n: int) -> bool:
-        """Whether compute() will take the exact O(N^2) path for n particles."""
-        return (self.cfg.solver == "direct"
-                or n <= 2 * self.cfg.tree_group_size
-                or (self.cfg.solver == "auto"
-                    and n <= self.cfg.direct_crossover)) \
-            and self.treepm is None
+        """Whether compute() will take the exact O(N^2) path for n particles.
+
+        An explicitly requested tree solver is honored even at small n
+        (parity/production-path tests rely on this); only "auto"/"direct"
+        configs reroute small problems to the exact sweep."""
+        if self.treepm is not None:
+            return False
+        if self.cfg.solver == "direct":
+            return True
+        if self.cfg.solver == "tree":
+            return False
+        return (n <= 2 * self.cfg.tree_group_size
+                or n <= self.cfg.direct_crossover)
 
     def pm_forces(self, p):
         """Long-range PM accelerations for ALL particles (long_range_force,
@@ -500,8 +518,9 @@ class GravitySolver:
         for _ in range(8):
             res = self._walk(want_pot)(tree, tgt_sorted,
                                        opening_override=opening)
-            ovf, me, mc, mr = (int(x) for x in jax.device_get(
-                (res.overflow, res.max_ent, res.max_chunk, res.max_rows)))
+            ovf, lovf, me, mc, mr = (int(x) for x in jax.device_get(
+                (res.overflow, res.layout_ovf, res.max_ent, res.max_chunk,
+                 res.max_rows)))
             mf = jax.device_get(res.max_frontier)
             if not ovf:
                 # shrink caps toward measured demand once per run: walk
@@ -513,9 +532,12 @@ class GravitySolver:
                 break
             # resize each cap to the measured peak demand (+25% margin,
             # rounded to a power of two) and recompile once.  Truncated
-            # demands (== cap) at least double.  Octet-layout overflow has
-            # no demand stat; re-measuring the current tree covers it.
-            self._measure_octets(tree, p.n)
+            # demands (== cap) at least double.  Only an octet-LAYOUT
+            # overflow needs an octet re-measure (it has no demand stat);
+            # chunk/frontier overflows must not pay the [M]-sized host
+            # fetch or churn the walk cache key.
+            if lovf:
+                self._measure_octets(tree, p.n)
             self.grow_caps(me, mc, mr, mf)
         else:
             raise RuntimeError(

@@ -109,6 +109,9 @@ class FusedWalkResult(NamedTuple):
     max_chunk: jnp.ndarray  # scalar int32 peak per-block leaf chunks
     max_rows: jnp.ndarray   # scalar int32 peak per-block mono OCTET records
     max_frontier: jnp.ndarray  # [depth+1] int32 peak per-level slots (8*oct)
+    layout_ovf: jnp.ndarray  # scalar bool — octet LAYOUT overflowed (the
+    # only overflow source that needs an octet re-measure; merged into
+    # .overflow too)
 
 
 # ---------------------------------------------------------------------------
@@ -1109,7 +1112,8 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             acc=jnp.stack(out_c[0:3], axis=-1), pot=out_c[3],
             ninteract=nia_all, overflow=ovf,
             max_ent=stats[0], max_chunk=stats[1],
-            max_rows=stats[2], max_frontier=lvl_max)
+            max_rows=stats[2], max_frontier=lvl_max,
+            layout_ovf=oovf)
 
     fused_forces.group_size = G
     fused_forces.batch_blocks = B

@@ -68,11 +68,8 @@ class DistributedSimulation:
                  alloc_factor: float = 1.25, cand_cap: int = 2048,
                  fcap: int = 65536, sph_group: int = 64,
                  entropy_is_u: bool = False, use_let: bool = False):
-        if use_let and sph is not None:
-            raise NotImplementedError(
-                "LET mode is collisionless-only for now; SPH runs use the "
-                "replicated-tree step")
         self.use_let = use_let
+        self.ghost_cap = 4096
         self.let_expn_cap = 4096
         self.let_expp_cap = 8192
         self.cfg = cfg
@@ -128,10 +125,12 @@ class DistributedSimulation:
         self._entropy_pending_u = False
         self._wall_start = _time.time()
 
+        # log_dir="" (explicit) = headless (no log files, scratch snapshots);
+        # log_dir=None + unset OutputDir = scratch tmpdir, cleaned at exit
         self.log_dir = log_dir if log_dir is not None else cfg.output_dir
-        if not self.log_dir:
-            import tempfile
-            self.log_dir = tempfile.mkdtemp(prefix="ngravs_out_")
+        if not self.log_dir and log_dir is None:
+            from ..utils import scratch_output_dir
+            self.log_dir = scratch_output_dir()
         self._logs = {}
         if self.log_dir:
             os.makedirs(self.log_dir, exist_ok=True)
@@ -230,7 +229,19 @@ class DistributedSimulation:
         variants = (True, False) if cfg.pmgrid else (False,)
         fns = []
         for pm in variants:
-            if self.has_gas:
+            if self.has_gas and self.use_let:
+                # LET full step: TreePM + SPH with sender-driven ghost
+                # exchange, o(N_total) per-shard memory (density.c:115-285
+                # export/import symmetry, rebuilt sender-driven)
+                from .full_let_sharded import make_let_full_step
+                fns.append(make_let_full_step(
+                    cfg, self.units, self.wiring, self.tables, self.mesh,
+                    n_local=self.n_local, sph_group=self.sph_group,
+                    cand_cap=self.cand_cap,
+                    expn_cap=self.let_expn_cap,
+                    expp_cap=self.let_expp_cap,
+                    ghost_cap=self.ghost_cap, pm_step=pm))
+            elif self.has_gas:
                 fns.append(make_sharded_full_step(
                     cfg, self.units, self.wiring, self.tables, self.mesh,
                     n_local=self.n_local, sph_group=self.sph_group,
@@ -539,13 +550,13 @@ class DistributedSimulation:
         written by group masters); single-device falls back to the
         gathered writer."""
         if path is None:
-            # never drop run artifacts into the CWD: an un-set output dir
-            # falls back to a temp directory instead of "."
+            # never drop run artifacts into the CWD: a headless run
+            # (log_dir="") falls back to a scratch temp directory
             out_dir = self.log_dir
             if not out_dir:
-                import tempfile
+                from ..utils import scratch_output_dir
                 out_dir = getattr(self, "_tmp_out", None) or \
-                    tempfile.mkdtemp(prefix="ngravs_out_")
+                    scratch_output_dir()
                 self._tmp_out = out_dir
             path = os.path.join(
                 out_dir,

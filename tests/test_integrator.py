@@ -476,8 +476,12 @@ def test_tree_segment_parity():
     assert simA.num_force_updates == simB.num_force_updates
     np.testing.assert_array_equal(np.asarray(simA.p.ti_endstep),
                                   np.asarray(simB.p.ti_endstep))
-    # same walk, same summation order -> trajectories agree to f32 noise
+    # Trajectories agree to tree-maintenance noise: the segment drifts
+    # node CMs between moment re-aggregations (the reference's dynamic
+    # update, predict.c:83-90) while host-paced stepping re-aggregates
+    # moments at every force pass, so forces differ at the opening-
+    # criterion tolerance, not bitwise.
     np.testing.assert_allclose(np.asarray(simA.p.pos),
-                               np.asarray(simB.p.pos), rtol=0, atol=5e-4)
+                               np.asarray(simB.p.pos), rtol=0, atol=2e-3)
     np.testing.assert_allclose(np.asarray(simA.p.vel),
-                               np.asarray(simB.p.vel), rtol=0, atol=5e-4)
+                               np.asarray(simB.p.vel), rtol=0, atol=2e-3)

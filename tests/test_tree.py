@@ -352,3 +352,52 @@ def test_fused_walk_accuracy_vs_direct():
     rms = float(np.sqrt((err ** 2).mean()))
     assert rms < 5e-3, rms
     assert float(err.max()) < 0.1, err.max()
+
+
+def test_solver_recovers_from_mono_octet_overflow():
+    """A too-small measured octet-caps tuple (mono-region/layout overflow)
+    must be RECOVERED by GravitySolver.compute's retry loop — re-measured
+    from the built tree, walk recompiled, forces produced — not raised as
+    the 8-attempt RuntimeError (the TreeAllocFactor regrow contract,
+    forcetree.c:3176)."""
+    from ngravs_tpu.config import SimulationConfig
+    from ngravs_tpu.constants import SOFTFAC_SPLINE
+    from ngravs_tpu.models.wiring import build_wiring
+    from ngravs_tpu.ops.solver import GravitySolver
+    from ngravs_tpu.particles import Particles
+
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=1.0, gravity_constant_internal=1.0,
+        softening=(0.05,) * 6, max_size_timestep=0.01,
+        wiring="newton", solver="tree", tree_depth=6,
+        type_of_opening_criterion=0, err_tol_theta=0.6)
+    rng = np.random.default_rng(7)
+    n = 1024
+    pos = rng.uniform(0, 4, (n, 3)).astype(np.float32)
+    p = Particles.create(pos, np.zeros_like(pos),
+                         np.full(n, 1e-3, np.float32), np.arange(n),
+                         np.ones(n, np.int32), cfg.type_to_grav)
+    w = build_wiring(cfg)
+    soft = np.array(cfg.softening, np.float32)
+    solver = GravitySolver(cfg, w, soft * SOFTFAC_SPLINE, soft,
+                           cfg.gravity_constant_internal)
+    # poison the measured caps: far below the real octet occupancy at
+    # every level -> build_octet_layout flags layout_ovf on first walk
+    solver.octet_caps = tuple([1] * (solver.depth + 1))
+    p2, n_ia, _ = solver.compute(p, 0, n, opening="bh")
+    acc = np.asarray(p2.accel)
+    assert np.isfinite(acc).all() and np.abs(acc).max() > 0
+    # the poisoned caps were re-measured up to the real demand
+    assert solver.octet_caps is not None
+    assert sum(solver.octet_caps) > solver.depth + 1
+
+    # cross-check the recovered forces against the direct sum
+    wiring1 = w
+    acc_d, _ = direct_forces(wiring1, jnp.asarray(pos),
+                             jnp.asarray(p.mass), jnp.asarray(p.grav),
+                             jnp.asarray(soft[1] * SOFTFAC_SPLINE
+                                         * np.ones(n, np.float32)))
+    acc_d = np.asarray(acc_d)
+    rel = np.linalg.norm(acc - acc_d, axis=1) \
+        / np.maximum(np.linalg.norm(acc_d, axis=1), 1e-12)
+    assert np.sqrt((rel ** 2).mean()) < 5e-3

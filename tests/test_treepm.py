@@ -222,7 +222,11 @@ def test_forcetest_oracle_includes_ewald():
     assert np.sqrt((rel ** 2).mean()) < 0.03, rel
 
 
-def test_pm_interlacing_cuts_grid_anisotropy():
+import pytest
+
+
+@pytest.mark.parametrize("gradient", ["spectral", "fd4"])
+def test_pm_interlacing_cuts_grid_anisotropy(gradient):
     """Grid interlacing (PMSolver interlace=True) averages a half-cell-
     staggered CIC assignment/readout pair in k space; the odd image
     aliases cancel and the near-grid force error drops several-fold.
@@ -253,9 +257,9 @@ def test_pm_interlacing_cuts_grid_anisotropy():
     w = build_wiring(cfg)
 
     pm_plain = PMSolver(w, 32, box, 1, 1.0, asmth_cells=1.25,
-                        gradient="spectral")
+                        gradient=gradient)
     pm_inter = PMSolver(w, 32, box, 1, 1.0, asmth_cells=1.25,
-                        gradient="spectral", interlace=True)
+                        gradient=gradient, interlace=True)
     # same asmth in length units on the 4x grid -> same physical field
     pm_fine = PMSolver(w, 128, box, 1, 1.0, asmth_cells=5.0,
                        gradient="spectral")
@@ -270,4 +274,6 @@ def test_pm_interlacing_cuts_grid_anisotropy():
         (np.linalg.norm(a - a_fine, axis=1) / den) ** 2).mean()))
     e_plain, e_inter = rms(a_plain), rms(a_inter)
     assert e_inter < 0.5 * e_plain, (e_plain, e_inter)
-    assert e_inter < 1e-3, e_inter
+    # fd4 keeps its 4th-order stencil truncation error (~1e-3 at these
+    # radii) after the aliases cancel; spectral differentiation has none
+    assert e_inter < (1e-3 if gradient == "spectral" else 2e-3), e_inter
