@@ -354,126 +354,19 @@ def reshard_by_cost(p, mesh, sph=None, alloc_factor: float = 1.25,
     return pcat, scat
 
 
-def make_let_tree_step(cfg, units, wiring, tables, mesh,
-                       n_local: int,
-                       depth: int | None = None,
-                       expn_cap: int = 4096,
-                       expp_cap: int = 8192,
-                       ec: int = 512,
-                       fcaps: dict | None = None,
-                       opening: str | None = None,
-                       pm_step: bool = True):
-    """LET-mode sharded gravity step: per-shard memory o(N_total).
+def make_let_exchange(*, n_dev, NG, EXN, EXP, RCAP, theta, opening,
+                      sr_cutoff, periodic, box):
+    """Builder for the sender-driven LET cut + all_to_all exchange
+    (forcetree.c:345-431/766-819 + gravtree.c:102-285 rebuilt sender-
+    driven; shared by the collisionless LET step and the full
+    TreePM+SPH LET step).
 
-    The reference's locally-essential-tree machinery (pseudo-particle
-    moments forcetree.c:345-431,766-819 + the export/import bunch loop
-    gravtree.c:102-285) rebuilt TPU-first as ONE sender-driven exchange:
-
-      1. every shard builds an octree over its OWN particles only, on the
-         shared global root cell (pmin/pmax collectives);
-      2. for every receiver shard r, the sender walks its own node arrays
-         DENSELY ([M_local, n_dev] masks, no pointer chasing) and exports
-         the *locally essential* cut: a node is exported as a monopole
-         row iff the receiver's domain box cannot open it but could open
-         its parent (both opening rules + the intersect rule, evaluated
-         conservatively against r's whole bounding box); opened terminal
-         nodes export their raw particles.  Chain monotonicity of the
-         criteria guarantees the cut partitions the sender's mass.
-      3. one all_to_all ships the packed rows; the receiver adds them as
-         direct sources for ALL its targets (any row acceptable for the
-         whole domain box is acceptable for every target block in it) on
-         top of the exact fused walk over its local tree.
-
-    No shard ever holds another shard's particle set — unlike the
-    replicated-tree path (make_sharded_tree_step), which all_gathers all
-    N_total particles and builds the identical octree everywhere.
-
-    Collisionless; pure-tree (vacuum) or TreePM (the sharded-FFT mesh
-    carries the periodicity; the short-range exchange only ships rows
-    within the transition cutoff and evaluates them with the closed-form
-    truncated factors of forcetree.c:1958-2027).  Under PMGRID two
-    program variants exist selected by `pm_step`, exactly like
-    make_sharded_tree_step.  Returns step(p, ti_current, ti_next,
-    time_next[, pm_beg, pm_end]) -> (p, min_endstep, overflow
-    [, pm_beg', pm_end']).
-    """
-    from ..ops.walk import make_fused_walk
-
-    box = cfg.box_size if cfg.periodic else 0.0
-    periodic = box > 0
-    if periodic and not cfg.pmgrid:
-        # A periodic pure-tree walk needs the Ewald lattice-correction
-        # pass (forcetree.c:2077); the LET exchange evaluates remote rows
-        # minimum-image only and would be silently ~20% rms off.  Refuse
-        # until the correction is wired; periodic runs go through the
-        # TreePM LET path (the mesh carries the periodicity) or the
-        # replicated path (which builds the tables, tree_sharded.py:104).
-        raise NotImplementedError(
-            "LET mode does not yet apply the periodic lattice correction; "
-            "use TreePM (pmgrid>0) or the replicated-tree path for "
-            "periodic boxes")
-    depth = depth if depth is not None else cfg.tree_depth
-    n_dev = mesh.devices.size
-    G = units.G
-    err_tol = cfg.err_tol_force_acc
-    theta = cfg.err_tol_theta
-    NG = cfg.n_gravs
-    fsoft_by_type = jnp.asarray(
-        np.array(cfg.softening, np.float32) * SOFTFAC_SPLINE)
-    soft_by_type = jnp.asarray(np.array(cfg.softening, np.float32))
-    if opening is None:
-        opening = "bh" if cfg.type_of_opening_criterion == 0 else "relative"
-    fcaps = fcaps or {}
-    from ..integrate.timeline import timebase_interval
-    tbi = timebase_interval(cfg)
-    pm_sharded = None
-    treepm = None
-    sr_cutoff = 0.0
-    if cfg.pmgrid:
-        from ..ops.pm import PMSolver
-        from ..ops.shortrange import shortrange_tables
-        from .pm_sharded import ShardedPMSolver
-        base_pm = PMSolver(wiring, cfg.pmgrid, cfg.box_size, cfg.n_gravs,
-                           G, asmth_cells=cfg.asmth)
-        base_pm.rcut = cfg.rcut * base_pm.asmth
-        pm_sharded = ShardedPMSolver(base_pm, mesh, cfg.n_gravs)
-        sr_ftab, sr_ptab = shortrange_tables(wiring, ntab=cfg.ntab)
-        treepm = dict(sr_ftab=sr_ftab, sr_ptab=sr_ptab,
-                      asmth=base_pm.asmth, rcut=base_pm.rcut)
-        # short-range factors vanish beyond u = r/(2 asmth) = 3
-        # (forcetree.c:1962-2026): rows past the cutoff need not ship
-        sr_cutoff = 6.0 * base_pm.asmth
-        if not all(law.kernel_shortrange() is not None
-                   for law, _ in wiring.unique_laws()):
-            raise NotImplementedError(
-                "LET TreePM needs closed-form short-range kernels for "
-                "every wired law (remote rows are evaluated densely)")
-    pm_update = bool(cfg.pmgrid) and pm_step
-    inv2a = 0.5 / treepm["asmth"] if treepm is not None else 0.0
-    walk = make_fused_walk(
-        wiring, n_gravs=NG, depth=depth, bucket=cfg.tree_bucket_size,
-        group_size=cfg.walk_group_size, batch_blocks=cfg.walk_batch_blocks,
-        ent_cap=fcaps.get("ent", 2048), chunk_cap=fcaps.get("chunk", 2048),
-        mono_cap=fcaps.get("mono", 1024),
-        frontier_cap=fcaps.get("frontier", 2048), ec=cfg.walk_ec,
-        theta=theta, opening=opening, box_size=box, treepm=treepm)
-    from ..ops.solver import apply_cosmo_corrections, cosmo_corrections
-    corr = cosmo_corrections(cfg, G, units.hubble, None)
-    from .mesh import make_mode_kick
-    mode_kick, n_mode_extras = make_mode_kick(cfg, units, tables,
-                                              soft_by_type)
-    groups = wiring.unique_laws()
-    EXN = ((expn_cap + 7) // 8) * 8
-    EXP = ((expp_cap + 7) // 8) * 8
-    RCAP = ((EXN * NG + EXP + ec - 1) // ec) * ec
-
-    def min_image(d):
-        if not periodic:
-            return d
-        return d - box * jnp.round(d * (1.0 / box))
+    Returns exchange(tree, boxes_lo, boxes_hi, aold_min, my, nloc) ->
+    (recv [n_dev*RCAP, 8] packed source rows, ovf bool).  Row fields:
+    x, y, z, mass, maxsoft, count, grav(bitcast), tag(bitcast; -2 node
+    monopole, -3 raw particle, -1 dead)."""
 
     def _box_gap(lo_a, hi_a, lo_b, hi_b):
-        """per-axis gap between two boxes (periodic-aware)."""
         g = jnp.maximum(lo_b - hi_a, lo_a - hi_b)
         if periodic:
             gp = jnp.maximum(lo_b - hi_a - box, lo_a - hi_b + box)
@@ -481,44 +374,7 @@ def make_let_tree_step(cfg, units, wiring, tables, mesh,
             g = jnp.minimum(g, jnp.minimum(gp, gm))
         return g
 
-    def _step(p, ti_current, ti_next, time_next, pm_beg, pm_end,
-              *mode_extras):
-        nloc = p.pos.shape[0]
-        my = jax.lax.axis_index(AXIS)
-        dd = tables.drift_factor(ti_current, ti_next)
-        p = p.replace(pos=p.pos + p.vel * dd)
-        if box > 0:
-            p = p.replace(pos=jnp.mod(p.pos, box))
-
-        fsoft = fsoft_by_type[p.ptype]
-        aold = err_tol * p.old_acc / G
-        mass = jnp.where(p.pid >= 0, p.mass, 0.0)
-
-        # ---- shared global root cell + receiver domain boxes ------------
-        live = p.pid >= 0
-        big = jnp.float32(1e30)
-        lo_l = jnp.min(jnp.where(live[:, None], p.pos, big), axis=0)
-        hi_l = jnp.max(jnp.where(live[:, None], p.pos, -big), axis=0)
-        if periodic:
-            corner = jnp.zeros(3, p.pos.dtype)
-            root_len = jnp.asarray(box, p.pos.dtype)
-        else:
-            glo = jax.lax.pmin(lo_l, AXIS)
-            ghi = jax.lax.pmax(hi_l, AXIS)
-            root_len = jnp.max(ghi - glo) * 1.0001 + 1e-30
-            corner = (glo + ghi) / 2 - root_len / 2
-        boxes_lo = jax.lax.all_gather(lo_l, AXIS)          # [n_dev, 3]
-        boxes_hi = jax.lax.all_gather(hi_l, AXIS)
-        aold_min = jax.lax.all_gather(
-            jnp.min(jnp.where(live, aold, big)), AXIS)     # [n_dev]
-
-        # ---- LOCAL tree over my particles only --------------------------
-        tree = build_tree(p.pos, mass, p.grav, fsoft, aold,
-                          depth=depth, n_gravs=NG,
-                          bucket=cfg.tree_bucket_size,
-                          group_size=cfg.walk_group_size,
-                          corner=corner, root_len=root_len)
-
+    def exchange(tree, boxes_lo, boxes_hi, aold_min, my, nloc):
         # ---- sender-driven LET cut --------------------------------------
         m_tot = jnp.sum(tree.node_mass, axis=-1)           # [M]
         cl = tree.root_len * (2.0 ** -tree.node_level.astype(jnp.float32))
@@ -587,8 +443,8 @@ def make_let_tree_step(cfg, units, wiring, tables, mesh,
         rows_m = jnp.concatenate(rows_m, axis=1)           # [n_dev, EXN*NG]
 
         # leaf particle expansion: ranges (start, pcount<=bucket)
-        st_l = jnp.where(nid_l >= 0, tree.node_start[jnp.maximum(nid_l, 0)],
-                         0)
+        st_l = jnp.where(nid_l >= 0,
+                         tree.node_start[jnp.maximum(nid_l, 0)], 0)
         pc_l = jnp.where(nid_l >= 0,
                          tree.node_pcount[jnp.maximum(nid_l, 0)], 0)
         cum = jnp.cumsum(pc_l, axis=1)
@@ -615,18 +471,28 @@ def make_let_tree_step(cfg, units, wiring, tables, mesh,
             send = jnp.concatenate([send, padrow], axis=1)
         recv = jax.lax.all_to_all(send, AXIS, split_axis=0, concat_axis=0,
                                   tiled=True).reshape(n_dev * RCAP, 8)
+        return recv, ovf
 
-        # ---- local exact walk + dense remote-row evaluation -------------
-        tgt = jnp.arange(nloc, dtype=jnp.int32)
-        res = walk(tree, tgt, rel=jnp.asarray(opening == "relative"))
-        acc_sorted = res.acc
-        pot_sorted = res.pot
-        nia_sorted = res.ninteract
+    return exchange
 
-        tpos = tree.pos_s
-        tgrav = tree.grav_s
-        tsoft = tree.fsoft_s
-        tmass = tree.mass_s
+
+def make_let_remote_eval(*, wiring, groups, treepm, inv2a, lattice_tables,
+                         fac_intp, ec, NG, periodic, box):
+    """Builder for the dense remote-row gravity evaluation of LET rows
+    (the import half of gravtree.c:102-285; closed-form TreePM truncation
+    forcetree.c:1958-2027; optional Ewald lattice pass
+    forcetree.c:2077-2432).
+
+    Returns eval(recv [R, 8], tpos [n,3], tgrav, tsoft, tmass) ->
+    (rx, ry, rz, rp) accumulated per target row."""
+
+    def min_image(d):
+        if not periodic:
+            return d
+        return d - box * jnp.round(d * (1.0 / box))
+
+    def remote_eval(recv, tpos, tgrav, tsoft, tmass):
+        nloc = tpos.shape[0]
         n_chunks = recv.shape[0] // ec
 
         def chunk_body(carry, sl):
@@ -679,14 +545,210 @@ def make_let_tree_step(cfg, units, wiring, tables, mesh,
                 fac = jnp.where(mk, f_k, fac) if multi else f_k
                 pk = jnp.where(mk, p_k, pk) if multi else p_k
             fac = jnp.where(v, fac, 0.0)
-            return (ax0 + jnp.sum(fac * dx, axis=1),
-                    ay0 + jnp.sum(fac * dy, axis=1),
-                    az0 + jnp.sum(fac * dz, axis=1),
-                    ap0 + jnp.sum(jnp.where(v, pk, 0.0), axis=1)), None
+            ax_s = jnp.sum(fac * dx, axis=1)
+            ay_s = jnp.sum(fac * dy, axis=1)
+            az_s = jnp.sum(fac * dz, axis=1)
+            ap_s = jnp.sum(jnp.where(v, pk, 0.0), axis=1)
+            if lattice_tables is not None:
+                # periodic lattice (Ewald) correction on the remote rows —
+                # same second pass the local walk applies
+                # (forcetree.c:2077-2432)
+                from ..ops.lattice import lattice_correction
+                pidx = (tgrav[:, None] * NG
+                        + sg[None, :]).astype(jnp.int32)
+                fcx, fcy, fcz, pc = lattice_correction(
+                    lattice_tables, fac_intp, dx, dy, dz, pidx)
+                smv = jnp.where(v, sm, 0.0)
+                ax_s = ax_s + jnp.sum(smv * fcx, axis=1)
+                ay_s = ay_s + jnp.sum(smv * fcy, axis=1)
+                az_s = az_s + jnp.sum(smv * fcz, axis=1)
+                ap_s = ap_s + jnp.sum(smv * pc, axis=1)
+            return (ax0 + ax_s, ay0 + ay_s, az0 + az_s,
+                    ap0 + ap_s), None
 
         z = jnp.zeros((nloc,), jnp.float32)
         (rx, ry, rz, rp), _ = jax.lax.scan(
             chunk_body, (z, z, z, z), np.arange(n_chunks, dtype=np.int32))
+        return rx, ry, rz, rp
+
+    return remote_eval
+
+
+def make_let_tree_step(cfg, units, wiring, tables, mesh,
+                       n_local: int,
+                       depth: int | None = None,
+                       expn_cap: int = 4096,
+                       expp_cap: int = 8192,
+                       ec: int = 512,
+                       fcaps: dict | None = None,
+                       opening: str | None = None,
+                       pm_step: bool = True):
+    """LET-mode sharded gravity step: per-shard memory o(N_total).
+
+    The reference's locally-essential-tree machinery (pseudo-particle
+    moments forcetree.c:345-431,766-819 + the export/import bunch loop
+    gravtree.c:102-285) rebuilt TPU-first as ONE sender-driven exchange:
+
+      1. every shard builds an octree over its OWN particles only, on the
+         shared global root cell (pmin/pmax collectives);
+      2. for every receiver shard r, the sender walks its own node arrays
+         DENSELY ([M_local, n_dev] masks, no pointer chasing) and exports
+         the *locally essential* cut: a node is exported as a monopole
+         row iff the receiver's domain box cannot open it but could open
+         its parent (both opening rules + the intersect rule, evaluated
+         conservatively against r's whole bounding box); opened terminal
+         nodes export their raw particles.  Chain monotonicity of the
+         criteria guarantees the cut partitions the sender's mass.
+      3. one all_to_all ships the packed rows; the receiver adds them as
+         direct sources for ALL its targets (any row acceptable for the
+         whole domain box is acceptable for every target block in it) on
+         top of the exact fused walk over its local tree.
+
+    No shard ever holds another shard's particle set — unlike the
+    replicated-tree path (make_sharded_tree_step), which all_gathers all
+    N_total particles and builds the identical octree everywhere.
+
+    Collisionless; pure-tree (vacuum) or TreePM (the sharded-FFT mesh
+    carries the periodicity; the short-range exchange only ships rows
+    within the transition cutoff and evaluates them with the closed-form
+    truncated factors of forcetree.c:1958-2027).  Under PMGRID two
+    program variants exist selected by `pm_step`, exactly like
+    make_sharded_tree_step.  Returns step(p, ti_current, ti_next,
+    time_next[, pm_beg, pm_end]) -> (p, min_endstep, overflow
+    [, pm_beg', pm_end']).
+    """
+    from ..ops.walk import make_fused_walk
+
+    box = cfg.box_size if cfg.periodic else 0.0
+    periodic = box > 0
+    # periodic pure-tree: Ewald lattice-correction tables
+    # (begrun.c:47-49: lattice_init when PERIODIC && !PMGRID).  The local
+    # walk applies its lattice pass (forcetree.c:2077) and the remote LET
+    # rows get the same correction in the dense eval below — the LET cut
+    # partitions every sender's mass, so local rows + remote rows form
+    # the complete interaction set the correction expects.
+    lattice_tables = None
+    if periodic and not cfg.pmgrid:
+        from ..ops.lattice import build_lattice_tables
+        lattice_tables = build_lattice_tables(wiring, cfg.ngravs_en,
+                                              cfg.box_size)
+    depth = depth if depth is not None else cfg.tree_depth
+    n_dev = mesh.devices.size
+    G = units.G
+    err_tol = cfg.err_tol_force_acc
+    theta = cfg.err_tol_theta
+    NG = cfg.n_gravs
+    fsoft_by_type = jnp.asarray(
+        np.array(cfg.softening, np.float32) * SOFTFAC_SPLINE)
+    soft_by_type = jnp.asarray(np.array(cfg.softening, np.float32))
+    if opening is None:
+        opening = "bh" if cfg.type_of_opening_criterion == 0 else "relative"
+    fcaps = fcaps or {}
+    from ..integrate.timeline import timebase_interval
+    tbi = timebase_interval(cfg)
+    pm_sharded = None
+    treepm = None
+    sr_cutoff = 0.0
+    if cfg.pmgrid:
+        from ..ops.pm import PMSolver
+        from ..ops.shortrange import shortrange_tables
+        from .pm_sharded import ShardedPMSolver
+        base_pm = PMSolver(wiring, cfg.pmgrid, cfg.box_size, cfg.n_gravs,
+                           G, asmth_cells=cfg.asmth)
+        base_pm.rcut = cfg.rcut * base_pm.asmth
+        pm_sharded = ShardedPMSolver(base_pm, mesh, cfg.n_gravs)
+        sr_ftab, sr_ptab = shortrange_tables(wiring, ntab=cfg.ntab)
+        treepm = dict(sr_ftab=sr_ftab, sr_ptab=sr_ptab,
+                      asmth=base_pm.asmth, rcut=base_pm.rcut)
+        # short-range factors vanish beyond u = r/(2 asmth) = 3
+        # (forcetree.c:1962-2026): rows past the cutoff need not ship
+        sr_cutoff = 6.0 * base_pm.asmth
+        if not all(law.kernel_shortrange() is not None
+                   for law, _ in wiring.unique_laws()):
+            raise NotImplementedError(
+                "LET TreePM needs closed-form short-range kernels for "
+                "every wired law (remote rows are evaluated densely)")
+    pm_update = bool(cfg.pmgrid) and pm_step
+    inv2a = 0.5 / treepm["asmth"] if treepm is not None else 0.0
+    walk = make_fused_walk(
+        wiring, n_gravs=NG, depth=depth, bucket=cfg.tree_bucket_size,
+        group_size=cfg.walk_group_size, batch_blocks=cfg.walk_batch_blocks,
+        ent_cap=fcaps.get("ent", 2048), chunk_cap=fcaps.get("chunk", 2048),
+        mono_cap=fcaps.get("mono", 1024),
+        frontier_cap=fcaps.get("frontier", 2048), ec=cfg.walk_ec,
+        theta=theta, opening=opening, box_size=box, treepm=treepm,
+        lattice_tables=lattice_tables)
+    from ..ops.solver import apply_cosmo_corrections, cosmo_corrections
+    corr = cosmo_corrections(cfg, G, units.hubble, lattice_tables)
+    fac_intp = (2 * (lattice_tables.shape[1] - 1) / box
+                if lattice_tables is not None else 0.0)
+    from .mesh import make_mode_kick
+    mode_kick, n_mode_extras = make_mode_kick(cfg, units, tables,
+                                              soft_by_type)
+    groups = wiring.unique_laws()
+    EXN = ((expn_cap + 7) // 8) * 8
+    EXP = ((expp_cap + 7) // 8) * 8
+    RCAP = ((EXN * NG + EXP + ec - 1) // ec) * ec
+
+    let_exchange = make_let_exchange(
+        n_dev=n_dev, NG=NG, EXN=EXN, EXP=EXP, RCAP=RCAP, theta=theta,
+        opening=opening, sr_cutoff=sr_cutoff, periodic=periodic, box=box)
+    let_remote_eval = make_let_remote_eval(
+        wiring=wiring, groups=groups, treepm=treepm, inv2a=inv2a,
+        lattice_tables=lattice_tables, fac_intp=fac_intp, ec=ec, NG=NG,
+        periodic=periodic, box=box)
+
+    def _step(p, ti_current, ti_next, time_next, pm_beg, pm_end,
+              *mode_extras):
+        nloc = p.pos.shape[0]
+        my = jax.lax.axis_index(AXIS)
+        dd = tables.drift_factor(ti_current, ti_next)
+        p = p.replace(pos=p.pos + p.vel * dd)
+        if box > 0:
+            p = p.replace(pos=jnp.mod(p.pos, box))
+
+        fsoft = fsoft_by_type[p.ptype]
+        aold = err_tol * p.old_acc / G
+        mass = jnp.where(p.pid >= 0, p.mass, 0.0)
+
+        # ---- shared global root cell + receiver domain boxes ------------
+        live = p.pid >= 0
+        big = jnp.float32(1e30)
+        lo_l = jnp.min(jnp.where(live[:, None], p.pos, big), axis=0)
+        hi_l = jnp.max(jnp.where(live[:, None], p.pos, -big), axis=0)
+        if periodic:
+            corner = jnp.zeros(3, p.pos.dtype)
+            root_len = jnp.asarray(box, p.pos.dtype)
+        else:
+            glo = jax.lax.pmin(lo_l, AXIS)
+            ghi = jax.lax.pmax(hi_l, AXIS)
+            root_len = jnp.max(ghi - glo) * 1.0001 + 1e-30
+            corner = (glo + ghi) / 2 - root_len / 2
+        boxes_lo = jax.lax.all_gather(lo_l, AXIS)          # [n_dev, 3]
+        boxes_hi = jax.lax.all_gather(hi_l, AXIS)
+        aold_min = jax.lax.all_gather(
+            jnp.min(jnp.where(live, aold, big)), AXIS)     # [n_dev]
+
+        # ---- LOCAL tree over my particles only --------------------------
+        tree = build_tree(p.pos, mass, p.grav, fsoft, aold,
+                          depth=depth, n_gravs=NG,
+                          bucket=cfg.tree_bucket_size,
+                          group_size=cfg.walk_group_size,
+                          corner=corner, root_len=root_len)
+
+        # ---- sender-driven LET cut + exchange (make_let_exchange) ---
+        recv, ovf = let_exchange(tree, boxes_lo, boxes_hi, aold_min,
+                                 my, nloc)
+
+        # ---- local exact walk + dense remote-row evaluation -------------
+        tgt = jnp.arange(nloc, dtype=jnp.int32)
+        res = walk(tree, tgt, rel=jnp.asarray(opening == "relative"))
+        acc_sorted = res.acc
+        pot_sorted = res.pot
+        nia_sorted = res.ninteract
+
+        rx, ry, rz, rp = let_remote_eval(recv, tree.pos_s, tree.grav_s,
+                                         tree.fsoft_s, tree.mass_s)
         acc_sorted = acc_sorted + jnp.stack([rx, ry, rz], axis=-1)
         pot_sorted = pot_sorted + rp
 

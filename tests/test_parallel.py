@@ -847,3 +847,124 @@ def test_distributed_scale_1e5_treepm_restart(tmp_path):
     err = max(np.abs(pos_b[k] - end_a[int(i)]).max()
               for k, i in enumerate(pid_b) if i >= 0)
     assert err == 0.0, err
+
+
+def test_let_periodic_pure_tree_matches_replicated():
+    """Periodic pure-tree LET (pmgrid=0, box>0): the local walk runs its
+    Ewald lattice pass and the remote LET rows get the same correction in
+    the dense eval (forcetree.c:2077-2432) — accelerations must match the
+    replicated-tree step, which has applied the correction since round 3."""
+    import jax
+    from ngravs_tpu.config import SimulationConfig
+    from ngravs_tpu.cosmology import make_tables
+    from ngravs_tpu.models.wiring import build_wiring
+    from ngravs_tpu.parallel.mesh import make_mesh, shard_particles
+    from ngravs_tpu.parallel.tree_sharded import (make_let_tree_step,
+                                                  make_sharded_tree_step,
+                                                  reshard_by_morton)
+    from ngravs_tpu.particles import Particles
+    from ngravs_tpu.units import set_units
+
+    rng = np.random.default_rng(13)
+    n = 4096
+    box = 1000.0
+    cfg = SimulationConfig(
+        time_begin=0.0, time_max=1.0, gravity_constant_internal=1.0,
+        softening=(0.8,) * 6, max_size_timestep=0.005,
+        periodic=True, box_size=box, n_gravs=2,
+        type_to_grav=(0, 1, 0, 0, 0, 0), wiring="newton_yukawa",
+        tree_depth=7, err_tol_theta=0.4, ngravs_en=16)
+    units = set_units(cfg)
+    wiring = build_wiring(cfg)
+    tables = make_tables(cfg, units)
+    centers = rng.uniform(0, box, (6, 3))
+    k = rng.integers(0, 6, n)
+    pos = np.mod(centers[k] + rng.normal(0, 25.0, (n, 3)),
+                 box).astype(np.float32)
+    vel = rng.normal(0, 0.01, (n, 3)).astype(np.float32)
+    ptype = rng.integers(1, 3, n).astype(np.int32)
+    p = Particles.create(pos, vel, np.full(n, 1.0 / n, np.float32),
+                         np.arange(n), ptype, cfg.type_to_grav)
+    p = p.replace(ti_endstep=jnp.full((n,), 8, jnp.int32))
+
+    mesh = make_mesh(8)
+    ps = shard_particles(p, mesh)
+    ps = reshard_by_morton(ps, mesh)
+    nloc = ps.pos.shape[0] // 8
+
+    step_rep = make_sharded_tree_step(cfg, units, wiring, tables, mesh,
+                                      n_local=nloc, opening="bh")
+    step_let = make_let_tree_step(cfg, units, wiring, tables, mesh,
+                                  n_local=nloc, opening="bh")
+    pr, me_r, ovf_r = step_rep(ps, 0, 8, cfg.time_begin + 1e-4)
+    pl, me_l, ovf_l = step_let(ps, 0, 8, cfg.time_begin + 1e-4)
+    assert not bool(ovf_r) and not bool(ovf_l)
+    ar = np.asarray(pr.accel)
+    al = np.asarray(pl.accel)
+    live = np.asarray(ps.pid) >= 0
+    rel = (np.linalg.norm(al - ar, axis=1)
+           / np.maximum(np.linalg.norm(ar, axis=1), 1e-12))[live]
+    assert np.sqrt((rel ** 2).mean()) < 2e-2, np.sqrt((rel ** 2).mean())
+    assert int(me_l) == int(me_r)
+
+
+def test_let_full_step_treepm_sph_matches_replicated():
+    """LET full step (make_let_full_step: local trees, sender-driven LET
+    gravity exchange + SPH ghost exchange — density.c:115-285 /
+    hydra.c:124-304 export symmetry) must reproduce the replicated-tree
+    full step on the config-5 structure (TreePM + SPH).  No all_gather of
+    the particle set exists anywhere in its program."""
+    from ngravs_tpu.parallel.full_let_sharded import make_let_full_step
+    from ngravs_tpu.parallel.full_sharded import make_sharded_full_step
+    from ngravs_tpu.parallel.tree_sharded import reshard_by_cost
+
+    cfg, p, sph = _gas_halo_system()
+    units = set_units(cfg)
+    wiring = build_wiring(cfg)
+    tables = make_tables(cfg, units)
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+    # LET locality: shards own contiguous Morton ranges (cost-less
+    # reshard_by_cost = count-balanced Morton decomposition)
+    ps, sphs = reshard_by_cost(p, mesh, sph=sph)
+    nloc = ps.pos.shape[0] // n_dev
+
+    step_rep = make_sharded_full_step(cfg, units, wiring, tables, mesh,
+                                      n_local=nloc, node_list_cap=16384,
+                                      leaf_list_cap=16384, leaf_factor=8.0,
+                                      opening="bh", pm_step=True)
+    step_let = make_let_full_step(cfg, units, wiring, tables, mesh,
+                                  n_local=nloc, opening="bh",
+                                  pm_step=True)
+    pr, sr, end_r, ovf_r, _, pmend_r = step_rep(ps, sphs, 0, 0,
+                                                cfg.time_begin, 0, 0)
+    pl, sl, end_l, ovf_l, _, pmend_l = step_let(ps, sphs, 0, 0,
+                                                cfg.time_begin, 0, 0)
+    assert not bool(ovf_r) and not bool(ovf_l)
+    assert int(end_l) == int(end_r) > 0
+    assert int(pmend_l) == int(pmend_r) > 0
+
+    live = np.asarray(ps.pid) >= 0
+    gas = (np.asarray(ps.ptype) == 0) & live
+    # density / smoothing length: both sides sum the SAME exact neighbor
+    # sets (replicated candidates vs local + ghost rows)
+    np.testing.assert_allclose(np.asarray(sl.density)[gas],
+                               np.asarray(sr.density)[gas], rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(sl.hsml)[gas],
+                               np.asarray(sr.hsml)[gas], rtol=2e-3)
+    # hydro pair force (exact pair sums; f32 ordering noise)
+    ha_r = np.asarray(sr.hydro_accel)[gas]
+    ha_l = np.asarray(sl.hydro_accel)[gas]
+    scale_h = np.abs(ha_r).max() + 1e-30
+    np.testing.assert_allclose(ha_l, ha_r, atol=3e-3 * scale_h)
+    # gravity: two BH approximations of the same field (different trees)
+    ar = np.asarray(pr.accel)[live]
+    al = np.asarray(pl.accel)[live]
+    rel = (np.linalg.norm(al - ar, axis=1)
+           / np.maximum(np.linalg.norm(ar, axis=1), 1e-12))
+    assert np.sqrt((rel ** 2).mean()) < 2e-2, np.sqrt((rel ** 2).mean())
+    # PM long-range identical
+    np.testing.assert_allclose(np.asarray(pl.accel_pm)[live],
+                               np.asarray(pr.accel_pm)[live],
+                               atol=1e-5 * np.abs(
+                                   np.asarray(pr.accel_pm)[live]).max())
