@@ -96,7 +96,9 @@ def main():
     _PARTIAL["stage"] = "backend probe"
     if not _probe_backend():
         # TPU tunnel down: fall back to CPU so the driver still records a
-        # real (if slow) measurement instead of a hang
+        # real (if slow) measurement instead of a hang.  No persistent
+        # cache on CPU (AOT reload spams feature-mismatch errors).
+        os.environ.setdefault("NGRAVS_TPU_NO_CACHE", "1")
         import jax
         jax.config.update("jax_platforms", "cpu")
         platform_note = "; CPU FALLBACK - TPU unreachable"
@@ -135,6 +137,20 @@ def main():
     else:
         sim = Simulation(cfg, log_dir="", segment_steps=64)
         warm_steps, warm_extra, target_steps = 200, 400, 256
+        # SETTLED walk caps for this exact (deterministic) workload,
+        # measured on-chip 2026-08: every overflow regrow or post-success
+        # tighten is a full ~38 MB XLA recompile (minutes over the axon
+        # tunnel) — r4's bench timed out purely on cap-settling churn.
+        # Presetting the converged values and freezing the tightener gives
+        # exactly ONE compile per program shape, all persistently cached.
+        # If the system drifts out of these caps, the regrow path still
+        # recovers (at recompile cost).
+        sim.solver.fcaps["chunk"] = 16384
+        sim.solver.fcaps["frontier"] = (
+            1, 8, 64, 256, 1024, 4096, 2048, 2048, 2048, 1024, 64, 64, 64)
+        sim.solver.octet_caps = (
+            1, 1, 8, 64, 192, 384, 320, 320, 320, 128, 8, 8, 8)
+        sim.solver._tightened = True
     _PARTIAL["note"] = platform_note
 
     # warmup: compile all kernels on the shapes the loop will use AND let

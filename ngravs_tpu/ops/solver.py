@@ -229,7 +229,11 @@ class GravitySolver:
                 break
             d = int(d)
             if d >= fl[lvl]:
-                fl[lvl] = max(fl[lvl] * 2, _bucket(d * 5 // 4, 64))
+                # clamp to the level's slot bound (8^lvl) like
+                # normalize_frontier_caps — growing past it would just
+                # oscillate against clamp_caps (a recompile each flip)
+                fl[lvl] = min(max(fl[lvl] * 2, _bucket(d * 5 // 4, 64)),
+                              8 ** min(lvl, 10))
         self.fcaps["frontier"] = tuple(fl)
 
     def tighten_caps(self, max_ent: int, max_chunk: int, lvl_demand,

@@ -29,6 +29,8 @@ static-cap + overflow-flag contract every capped structure here follows
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -61,6 +63,7 @@ def make_let_full_step(cfg, units, wiring, tables, mesh,
                        expp_cap: int = 8192,
                        ghost_cap: int = 4096,
                        ghost_margin: float = 1.35,
+                       leaf_factor: float = 4.0,
                        ec: int = 512,
                        fcaps: dict | None = None,
                        opening: str | None = None,
@@ -130,7 +133,7 @@ def make_let_full_step(cfg, units, wiring, tables, mesh,
         chunk_cap=fcaps.get("chunk", 2048),
         frontier_cap=fcaps.get("frontier", 2048), ec=cfg.walk_ec,
         theta=theta, opening=opening, box_size=box, treepm=treepm,
-        lattice_tables=lattice_tables)
+        leaf_factor=leaf_factor, lattice_tables=lattice_tables)
     from ..ops.solver import apply_cosmo_corrections, cosmo_corrections
     corr = cosmo_corrections(cfg, G, units.hubble, lattice_tables)
     from .mesh import make_mode_kick
@@ -381,8 +384,9 @@ def make_let_full_step(cfg, units, wiring, tables, mesh,
                           corner=corner, root_len=root_len)
 
         # ---- gravity: LET cut/exchange + local walk + remote eval --------
-        recv, ovf = let_exchange(tree, boxes_lo, boxes_hi, aold_min,
-                                 my, nloc)
+        recv, g_exch_ovf = let_exchange(tree, boxes_lo, boxes_hi,
+                                        aold_min, my, nloc)
+        ovf = g_exch_ovf
         tgt = jnp.arange(nloc, dtype=jnp.int32)
         res = walk(tree, tgt, rel=jnp.asarray(opening == "relative"))
         rx, ry, rz, rp = let_remote_eval(recv, tree.pos_s, tree.grav_s,
@@ -493,8 +497,10 @@ def make_let_full_step(cfg, units, wiring, tables, mesh,
         ovf = ovf | d_ovf
         # ghost-margin contract: converged h must stay within the export
         # threshold or remote neighbors may have been missed
-        ovf = ovf | (jnp.max(jnp.where(active, hsml_t, 0.0))
-                     > np.float32(ghost_margin) * jnp.maximum(hmax_l, 1e-30))
+        h_margin_ovf = (jnp.max(jnp.where(active, hsml_t, 0.0))
+                        > np.float32(ghost_margin)
+                        * jnp.maximum(hmax_l, 1e-30))
+        ovf = ovf | h_margin_ovf
 
         dhsml_fac = 1.0 / (1 + hsml_t * dh
                            / (kern.ndims * jnp.maximum(rho, 1e-37)))
@@ -626,6 +632,13 @@ def make_let_full_step(cfg, units, wiring, tables, mesh,
                 maxsig.reshape(-1), mode="drop"))
 
         # ---- kick + sync point (timestep.c; run.c:165) -------------------
+        if os.environ.get("NGRAVS_LET_DEBUG"):
+            jax.debug.print(
+                "LET ovf sources: grav_exch={g} walk={w} ghostA={a} "
+                "dens_gather={d} h_margin={h} ghostB={b} hydro_gather={y}",
+                g=g_exch_ovf, w=res.overflow, a=g_ovf, d=d_ovf,
+                h=h_margin_ovf, b=gb_ovf, y=jnp.any(ovs_h))
+
         dt_disp = sharded_dt_displacement(cfg, units, p, time_next)
         p, sph = mode_kick(p, sph, ti_next, dt_disp, time_next,
                            mode_extras)

@@ -6,6 +6,13 @@ the real TPU chip is used only by bench.py.
 
 import os
 
+# No persistent compilation cache for the CPU test suite: XLA:CPU AOT
+# executables record compile-pass pseudo-features (+prefer-no-gather, ...)
+# that never match the host CPUID on reload, so every cache hit spams
+# cpu_aot_loader feature-mismatch errors.  TPU runs (bench, probes) keep
+# the cache — that's where compiles cost minutes.
+os.environ.setdefault("NGRAVS_TPU_NO_CACHE", "1")
+
 # must happen before jax backends initialize; the environment pre-registers a
 # TPU platform via sitecustomize, so override through jax.config (env vars
 # alone are latched too early to help)
