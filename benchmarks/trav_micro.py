@@ -79,6 +79,22 @@ def level(foct, lvl, do_tests, do_expand):
         return jnp.sum(accept) + jnp.sum(expand)
     co = jax.lax.bitcast_convert_type(wn[:, :, 4], jnp.int32) % NOCT
     exp_ok = expand
+    if MODE == "cumsum":
+        pos = jnp.cumsum(exp_ok.astype(jnp.int32), axis=1)
+        return jnp.sum(pos) + jnp.sum(accept)
+    if MODE == "mmcs":
+        # cumsum as a triangular matmul on the MXU
+        tri = jnp.asarray(np.tril(np.ones((F, F), np.float32)))
+        pos = (exp_ok.astype(jnp.float32) @ tri.T).astype(jnp.int32)
+        idx = jnp.where(exp_ok, pos - 1, F)
+        rows2 = np.arange(B, dtype=np.int32)[:, None]
+        nf = jnp.zeros((B, F), jnp.int32).at[rows2, idx].set(co, mode="drop")
+        return jnp.sum(nf) + jnp.sum(accept)
+    if MODE == "sortc":
+        # compaction by stable sort on the not-selected key
+        key = jnp.where(exp_ok, 0, 1).astype(jnp.int32)
+        _, nf = jax.lax.sort((key, co), num_keys=1, dimension=1)
+        return jnp.sum(nf) + jnp.sum(accept)
     pos = jnp.cumsum(exp_ok.astype(jnp.int32), axis=1)
     idx = jnp.where(exp_ok, pos - 1, F)
     rows2 = np.arange(B, dtype=np.int32)[:, None]
@@ -90,8 +106,10 @@ def level(foct, lvl, do_tests, do_expand):
 def one_batch():
     acc = jnp.zeros((), jnp.float32)
     for lvl, f in enumerate(fronts):
-        r = level(f, lvl + 2, MODE in ("tests", "expand", "all"),
-                  MODE in ("expand", "all"))
+        r = level(f, lvl + 2,
+                  MODE in ("tests", "expand", "all", "cumsum", "mmcs",
+                           "sortc"),
+                  MODE in ("expand", "all", "cumsum", "mmcs", "sortc"))
         acc = acc + jnp.sum(r).astype(jnp.float32)
     return acc
 

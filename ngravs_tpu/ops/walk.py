@@ -781,16 +781,22 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
                 break  # depth-level nodes are terminal by construction
 
             # expand: each opened node emits exactly ONE child octet id;
-            # compacted with a cumsum + one dropping scatter (no repeat)
+            # compacted selected-first by a stable sort — batched 2-D
+            # scatters cost ~2 ms/batch on this chip while lax.sort of
+            # these rows is free (benchmarks/trav_micro.py cumsum/sortc)
             Fn = min(foct_l[lvl + 1], int(noct[lvl + 1]))
             co = bc(wn[:, :, WCHOCT])
             exp_ok = expand & (co >= 0)
-            pos = jnp.cumsum(exp_ok.astype(jnp.int32), axis=1)
-            total = pos[:, -1]
-            idx = jnp.where(exp_ok, pos - 1, Fn)
-            rows2 = np.arange(B, dtype=np.int32)[:, None]
-            foct = jnp.zeros((B, Fn), jnp.int32) \
-                .at[rows2, idx].set(co, mode="drop")
+            total = jnp.sum(exp_ok.astype(jnp.int32), axis=1)
+            key = jnp.where(exp_ok, 0, 1).astype(jnp.int32)
+            _, co_sorted = jax.lax.sort((key, co), num_keys=1, dimension=1)
+            if co_sorted.shape[1] >= Fn:
+                foct = jax.lax.slice_in_dim(co_sorted, 0, Fn, axis=1)
+            else:
+                foct = jnp.concatenate(
+                    [co_sorted,
+                     jnp.zeros((B, Fn - co_sorted.shape[1]), jnp.int32)],
+                    axis=1)
             nlive = jnp.minimum(total, Fn)
             ovf = ovf | jnp.any(total > Fn)
 
@@ -818,12 +824,27 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
         live_r = lens > 0
         ovf = ovf | jnp.any(n_uch > UC)
         SENT = np.int32(-(2**30))
-        vidx = jnp.where(live_r & (pos0 < UC), pos0, UC)
-        base = jnp.full((B, UC), SENT, jnp.int32) \
-            .at[rows2, vidx].set(starts - pos0, mode="drop")
-        base = jax.lax.associative_scan(
-            lambda a, b: jnp.where(b == SENT, a, b), base, axis=1)
         uiota = np.arange(UC, dtype=np.int32)
+        # merge-sort forward fill (scatter-free): record rows (run base
+        # values at their start positions) merged with the UC grid rows,
+        # sorted by (position, records-first), forward-filled, grid rows
+        # extracted by a second stable sort — batched 2-D scatters cost
+        # ~2 ms/batch on this chip while these sorts are free
+        # (benchmarks/trav_micro.py)
+        vidx = jnp.where(live_r & (pos0 < UC), pos0, UC)
+        # single fused key (pos*2 + tag): multi-key lax.sort lowers to the
+        # slow generic-comparator path; single-key stays on the fast one
+        keym = jnp.concatenate(
+            [vidx * 2, uiota[None, :] * 2 + 1
+             + jnp.zeros((B, UC), jnp.int32)], axis=1)
+        valm = jnp.concatenate(
+            [starts - pos0, jnp.full((B, UC), SENT, jnp.int32)], axis=1)
+        keym, valm = jax.lax.sort((keym, valm), num_keys=1, dimension=1)
+        valm = jax.lax.associative_scan(
+            lambda a, b: jnp.where(b == SENT, a, b), valm, axis=1)
+        _, base = jax.lax.sort((1 - (keym & 1), valm), num_keys=1,
+                               dimension=1)
+        base = jax.lax.slice_in_dim(base, 0, UC, axis=1)
         uch = base + uiota[None, :]
         uch = jnp.where((uiota[None, :] < n_uch[:, None]) & (base != SENT),
                         uch, null_chunk)
@@ -1067,8 +1088,14 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
 
         giota = np.arange(G, dtype=np.int32)
 
+        carry0 = (jnp.int32(0),
+                  jnp.zeros((5 * n,), jnp.float32),
+                  ovf0,
+                  jnp.zeros((3,), jnp.int32),
+                  jnp.zeros((depth + 1,), jnp.int32))
+
         def body(carry):
-            bi, bufs, niabuf, ovf, stats, lvls = carry
+            bi, buf5, ovf, stats, lvls = carry
             ids = jax.lax.dynamic_slice_in_dim(blk_ids, bi * B, B)
             vb = ids >= 0
             ids0 = jnp.maximum(ids, 0)
@@ -1086,28 +1113,28 @@ def make_fused_walk(wiring: GravityWiring, n_gravs: int, *,
             out, nia_t, ovf1, stats1, lvl1 = _walk_batch(
                 tree, wtab8, gsrc8, layout, noct, tp, ta, rel, n)
             rows = jnp.where(in_blk, slots, n).reshape(-1)
-            # result buffers are SEPARATE 1-D arrays (a [N, 4] scatter
-            # target would be tiled (8,128) — 32x padded at 1e7)
-            bufs = tuple(
-                b.at[rows].set(out[..., c].reshape(-1), mode="drop")
-                for c, b in enumerate(bufs))
-            niabuf = niabuf.at[rows].set(nia_t.reshape(-1), mode="drop")
-            return (bi + 1, bufs, niabuf, ovf | ovf1,
+            base_rows = jnp.where(rows < n, rows, 5 * n)
+            idxs = jnp.concatenate([base_rows + c * n for c in range(5)])
+            vals = jnp.concatenate(
+                [out[..., 0].reshape(-1), out[..., 1].reshape(-1),
+                 out[..., 2].reshape(-1), out[..., 3].reshape(-1),
+                 # count stored as f32 VALUE: a bitcast int32 pattern is
+                 # a subnormal float and the TPU flushes it to zero;
+                 # per-target counts are far below 2^24 so exact
+                 nia_t.astype(jnp.float32).reshape(-1)])
+            buf5 = buf5.at[idxs].set(vals, mode="drop")
+            return (bi + 1, buf5, ovf | ovf1,
                     jnp.maximum(stats, stats1), jnp.maximum(lvls, lvl1))
 
-        carry0 = (jnp.int32(0),
-                  tuple(jnp.zeros((n,), jnp.float32) for _ in range(4)),
-                  jnp.zeros((n,), jnp.int32),
-                  ovf0,
-                  jnp.zeros((3,), jnp.int32),
-                  jnp.zeros((depth + 1,), jnp.int32))
-        _, bufs, niabuf, ovf, stats, lvl_max = jax.lax.while_loop(
+        _, buf5, ovf, stats, lvl_max = jax.lax.while_loop(
             lambda c: c[0] < nbatch, body, carry0)
 
         tsafe = jnp.maximum(tgt_sorted, 0)
         tlive = tgt_sorted >= 0
-        out_c = [jnp.where(tlive, b[tsafe], 0.0) for b in bufs]
-        nia_all = jnp.where(tlive, niabuf[tsafe], 0)
+        out_c = [jnp.where(tlive, buf5[c * n + tsafe], 0.0)
+                 for c in range(4)]
+        nia_all = jnp.where(
+            tlive, buf5[4 * n + tsafe].astype(jnp.int32), 0)
         return FusedWalkResult(
             acc=jnp.stack(out_c[0:3], axis=-1), pot=out_c[3],
             ninteract=nia_all, overflow=ovf,

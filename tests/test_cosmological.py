@@ -9,6 +9,7 @@ import math
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ngravs_tpu.config import SimulationConfig
 from ngravs_tpu.integrate.runner import Simulation
@@ -62,6 +63,7 @@ def _cosmo_box(n_side=8, box=10000.0, omega0=1.0, omega_baryon=0.1, seed=11):
     return cfg, p, sph
 
 
+@pytest.mark.slow
 def test_cosmological_treepm_sph_runs():
     cfg, p, sph = _cosmo_box()
     sim = Simulation(cfg, particles=p, sph=sph, log_dir="")
@@ -90,6 +92,7 @@ def test_cosmological_treepm_sph_runs():
     assert np.isfinite(float(e.energy_tot))
 
 
+@pytest.mark.slow
 def test_cosmological_expansion_cools_gas():
     """Adiabatic expansion: with entropy ~ const, comoving density drops as
     the jittered lattice expands in physical terms -> u = A rho^(g-1)/(g-1)

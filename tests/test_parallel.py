@@ -583,6 +583,7 @@ def test_distributed_matches_single_chip_trajectory():
     assert np.abs(velA[oA] - pB.vel[oB]).max() < 1e-2 * vscale
 
 
+@pytest.mark.slow
 def test_let_tree_step_matches_replicated():
     """LET-mode sharded gravity (make_let_tree_step: local trees +
     sender-driven essential-row exchange, forcetree.c:345-431/766-819
@@ -664,6 +665,7 @@ def _small_halo(n=768, seed=11):
     return pos, vel
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["flexsteps", "pseudosymmetric"])
 def test_distributed_special_timestep_modes(mode):
     """FLEXSTEPS / PSEUDOSYMMETRIC on the 8-device mesh (timestep.c:85-246
@@ -697,6 +699,7 @@ def test_distributed_special_timestep_modes(mode):
         assert ((ends[live][ok] % steps[ok]) != 0).any()
 
 
+@pytest.mark.slow
 def test_distributed_makeglass():
     """MAKEGLASS over the mesh (timestep.c:85-133): reversed-gravity
     displacement with the global pmax clamp; velocities stay zero and
@@ -849,6 +852,7 @@ def test_distributed_scale_1e5_treepm_restart(tmp_path):
     assert err == 0.0, err
 
 
+@pytest.mark.slow
 def test_let_periodic_pure_tree_matches_replicated():
     """Periodic pure-tree LET (pmgrid=0, box>0): the local walk runs its
     Ewald lattice pass and the remote LET rows get the same correction in
@@ -908,6 +912,7 @@ def test_let_periodic_pure_tree_matches_replicated():
     assert int(me_l) == int(me_r)
 
 
+@pytest.mark.slow
 def test_let_full_step_treepm_sph_matches_replicated():
     """LET full step (make_let_full_step: local trees, sender-driven LET
     gravity exchange + SPH ghost exchange — density.c:115-285 /

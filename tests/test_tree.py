@@ -352,6 +352,10 @@ def test_fused_walk_accuracy_vs_direct():
     rms = float(np.sqrt((err ** 2).mean()))
     assert rms < 5e-3, rms
     assert float(err.max()) < 0.1, err.max()
+    # interaction counts feed GravCost / timings parity (forcetree.c:1595)
+    # — regression: the fused result-scatter once zeroed them
+    nia = np.asarray(res.ninteract)
+    assert nia.sum() > 0 and (nia > 0).mean() > 0.99, nia.sum()
 
 
 def test_solver_recovers_from_mono_octet_overflow():

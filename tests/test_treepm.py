@@ -81,6 +81,7 @@ def test_treepm_total_force_vs_exact():
     # interacts through PM only (checked implicitly by the total above)
 
 
+@pytest.mark.slow
 def test_treepm_simulation_runs():
     """End-to-end: periodic TreePM box through the Simulation main loop
     (PM stepping + long-range kick)."""
