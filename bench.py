@@ -18,43 +18,37 @@ scale) is NOT used: `direct_crossover` is forced below N so the recorded
 number tracks the north-star quantity (the O(N log N) walk of
 forcetree.c:1623).
 
-Robustness contract (a bench that exits without a parseable line loses
-the round): a watchdog fires WELL before any plausible driver kill and
-SIGTERM/SIGINT are trapped — all three print the best measurement
-accumulated so far (a partial count if the full window didn't finish)
-and exit 0 with valid JSON on stdout.
+Robustness contract (a bench that exits without a parseable line loses the
+round).  The axon TPU tunnel can block INSIDE a C extension while holding
+the GIL (observed: main thread in socket recv, every other thread
+futex-waiting on the GIL), so no in-process watchdog — thread timer or
+signal handler — is guaranteed to run.  The measurement therefore runs in
+a CHILD process that checkpoints progress to a status file after every
+step; this parent SUPERVISOR enforces the deadline from outside, SIGKILLs
+a wedged child, and always prints valid JSON from the last checkpoint.
 """
 
 import json
 import os
 import signal
+import subprocess
 import sys
-import threading
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_PART_STEPS_PER_SEC = 6.4e6  # 64 ranks x ~1e5 part/sec CPU tree
 
-WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", 1500.0))
+DEADLINE_S = float(os.environ.get("BENCH_WATCHDOG_S", 1500.0))
 WARMUP_WALL_S = float(os.environ.get("BENCH_WARMUP_S", 600.0))
 MEASURE_WALL_S = 300.0  # measurement window budget
 
-# mutable partial-result state the watchdog/signal handlers report from
-_PARTIAL = {"updates": 0, "t0": None, "note": "", "done": False,
-            "stage": "startup"}
-_T_START = time.time()
+_CHILD_ENV = "NGRAVS_BENCH_CHILD"
+_STATUS_ENV = "NGRAVS_BENCH_STATUS"
 
 
-def _emit_partial_and_exit(why: str, code: int = 0):
-    upd, t0 = _PARTIAL["updates"], _PARTIAL["t0"]
-    if t0 is not None and upd > 0:
-        rate = upd / max(time.time() - t0, 1e-9)
-        note = _PARTIAL["note"] + f"; PARTIAL window ({why})"
-    else:
-        rate = 0.0
-        note = (_PARTIAL["note"]
-                + f"; ABORTED in stage '{_PARTIAL['stage']}' ({why})")
+def _emit(rate: float, note: str):
     print(json.dumps({
         "metric": "particle-steps/sec (GalaxyCollision 60k, 2-species "
                   f"gravity, fused BH tree walk{note})",
@@ -62,26 +56,22 @@ def _emit_partial_and_exit(why: str, code: int = 0):
         "unit": "particle-steps/s",
         "vs_baseline": round(rate / BASELINE_PART_STEPS_PER_SEC, 4),
     }), flush=True)
-    os._exit(code)
 
 
-def _watchdog(seconds: float = WATCHDOG_S):
-    """Fires from a daemon thread so it works even if the main thread is
-    wedged inside backend init (the axon TPU tunnel can hang there)."""
-    t = threading.Timer(seconds, _emit_partial_and_exit, args=("watchdog",))
-    t.daemon = True
-    t.start()
-    return t
+# ---------------------------------------------------------------------------
+# child: the actual measurement, checkpointing progress after every step
+# ---------------------------------------------------------------------------
 
-
-def _on_signal(signum, frame):
-    _emit_partial_and_exit(f"signal {signum}")
+def _checkpoint(path: str, state: dict):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)  # atomic: the parent never reads a torn file
 
 
 def _probe_backend(timeout_s: float = 180.0) -> bool:
     """Check TPU reachability in a subprocess (the axon tunnel can hang the
     whole process otherwise).  Returns True if the default backend works."""
-    import subprocess
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
@@ -91,9 +81,13 @@ def _probe_backend(timeout_s: float = 180.0) -> bool:
         return False
 
 
-def main():
+def _child():
+    status = os.environ[_STATUS_ENV]
+    st = {"stage": "backend probe", "note": "", "updates": 0, "t0": None,
+          "partial": True}
+    _checkpoint(status, st)
+
     platform_note = ""
-    _PARTIAL["stage"] = "backend probe"
     if not _probe_backend():
         # TPU tunnel down: fall back to CPU so the driver still records a
         # real (if slow) measurement instead of a hang.  No persistent
@@ -103,7 +97,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         platform_note = "; CPU FALLBACK - TPU unreachable"
 
-    _PARTIAL["stage"] = "startup (IC load + first compile)"
+    st["stage"] = "startup (IC load + first compile)"
+    st["note"] = platform_note
+    _checkpoint(status, st)
+
     from ngravs_tpu.config import read_parameter_file
     from ngravs_tpu.integrate.runner import Simulation
 
@@ -151,59 +148,125 @@ def main():
         sim.solver.octet_caps = (
             1, 1, 8, 64, 192, 384, 320, 320, 320, 128, 8, 8, 8)
         sim.solver._tightened = True
-    _PARTIAL["note"] = platform_note
+    st["note"] = platform_note
 
-    # warmup: compile all kernels on the shapes the loop will use AND let
-    # the demand-driven walk caps settle (each cap change recompiles; a
-    # segment call only reveals demand once it runs, so several calls are
-    # needed before the measurement window is recompile-free).  HARD
-    # bounds on both steps and wall time — an unsettled cap is a slower
-    # measurement, not a reason to overrun the watchdog.
-    _PARTIAL["stage"] = "warmup"
+    # warmup: compile all kernels on the shapes the loop will use.  HARD
+    # bounds on steps and wall time.  Warmup steps feed the checkpoint
+    # (post-compile clock, first-segment updates excluded): if the parent's
+    # deadline lands mid-warmup — e.g. a cold compile cache ate the window
+    # — the emitted line still carries a real, conservative rate, not 0.
+    st["stage"] = "warmup"
+    _checkpoint(status, st)
     warm = sim.step_count
     t_warm0 = time.time()
     caps = None
+    warm_n0 = None
     while ((sim.step_count - warm < warm_steps
             or caps != sim.solver.fcaps)
            and sim.step_count - warm <= warm_extra
            and time.time() - t_warm0 < WARMUP_WALL_S):
         caps = dict(sim.solver.fcaps)
         sim.step()
+        if warm_n0 is None:  # clock starts after the first (compile) step
+            warm_n0 = sim.num_force_updates
+            st["t0"] = time.time()
+            st["note"] = platform_note + "; WARMUP-stage rate"
+        else:
+            st["updates"] = sim.num_force_updates - warm_n0
+        _checkpoint(status, st)
 
     import ngravs_tpu.constants as C
-    _PARTIAL["stage"] = "measure"
+    st = {"stage": "measure", "note": platform_note, "updates": 0,
+          "t0": time.time(), "partial": True}
+    _checkpoint(status, st)
     n0 = sim.num_force_updates
     s0 = sim.step_count
     t0 = time.time()
-    _PARTIAL["t0"] = t0
     # measure a fixed sync-point budget (each step() call may advance a
     # whole device-resident segment of steps), bounded in wall time
     while sim.step_count - s0 < target_steps \
             and sim.ti_current < C.TIMEBASE \
             and time.time() - t0 < MEASURE_WALL_S:
         sim.step()
-        _PARTIAL["updates"] = sim.num_force_updates - n0
+        st["updates"] = sim.num_force_updates - n0
+        _checkpoint(status, st)
     dt = time.time() - t0
     updates = sim.num_force_updates - n0
-    rate = updates / max(dt, 1e-9)
-    _PARTIAL["done"] = True
+    st.update(partial=False, rate=updates / max(dt, 1e-9))
+    _checkpoint(status, st)
 
-    print(json.dumps({
-        "metric": "particle-steps/sec (GalaxyCollision 60k, 2-species "
-                  f"gravity, fused BH tree walk{platform_note})",
-        "value": round(rate, 1),
-        "unit": "particle-steps/s",
-        "vs_baseline": round(rate / BASELINE_PART_STEPS_PER_SEC, 4),
-    }), flush=True)
+
+# ---------------------------------------------------------------------------
+# parent: out-of-process deadline, always prints valid JSON
+# ---------------------------------------------------------------------------
+
+def _read_status(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _finish(status_path: str, why: str, code: int = 0):
+    st = _read_status(status_path)
+    note = st.get("note", "")
+    if not st.get("partial", True) and "rate" in st:
+        rate = st["rate"]
+    else:
+        upd, t0 = st.get("updates", 0), st.get("t0")
+        if t0 is not None and upd > 0:
+            rate = upd / max(time.time() - t0, 1e-9)
+            note += f"; PARTIAL window ({why})"
+        else:
+            rate = 0.0
+            note += (f"; ABORTED in stage "
+                     f"'{st.get('stage', 'launch')}' ({why})")
+    _emit(rate, note)
+    raise SystemExit(code)
+
+
+def _supervise():
+    fd, status_path = tempfile.mkstemp(prefix="ngravs_bench_", suffix=".json")
+    os.close(fd)
+    env = dict(os.environ, **{_CHILD_ENV: "1", _STATUS_ENV: status_path})
+    child = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                             env=env, stdout=sys.stderr)
+
+    def _kill_and_finish(why):
+        try:
+            child.kill()  # SIGKILL: a GIL-wedged child ignores SIGTERM
+            child.wait(timeout=30)
+        except Exception:
+            pass
+        _finish(status_path, why)
+
+    signal.signal(signal.SIGTERM, lambda *_: _kill_and_finish("SIGTERM"))
+    signal.signal(signal.SIGINT, lambda *_: _kill_and_finish("SIGINT"))
+
+    deadline = time.time() + DEADLINE_S
+    while True:
+        try:
+            rc = child.wait(timeout=min(10.0, max(0.1,
+                                                  deadline - time.time())))
+            why = "clean" if rc == 0 else f"child exit {rc}"
+            _finish(status_path, why)
+        except subprocess.TimeoutExpired:
+            if time.time() >= deadline:
+                _kill_and_finish("watchdog")
 
 
 if __name__ == "__main__":
-    wd = _watchdog()
-    signal.signal(signal.SIGTERM, _on_signal)
-    signal.signal(signal.SIGINT, _on_signal)
-    try:
-        main()
-    except Exception as e:  # any crash still yields a parseable line
-        _PARTIAL["note"] += f"; ERROR {type(e).__name__}: {e}"[:200]
-        _emit_partial_and_exit("exception")
-    wd.cancel()
+    if os.environ.get(_CHILD_ENV):
+        try:
+            _child()
+        except Exception as e:  # surface the error in the parent's line
+            path = os.environ[_STATUS_ENV]
+            st = _read_status(path)
+            st["note"] = (st.get("note", "")
+                          + f"; ERROR {type(e).__name__}: {e}"[:200])
+            st["partial"] = st.get("partial", True) and "rate" not in st
+            _checkpoint(path, st)
+            raise
+    else:
+        _supervise()
