@@ -1,7 +1,6 @@
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import numpy as np, jax, jax.numpy as jnp
-jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
 N = int(sys.argv[1]); depth = int(sys.argv[2])
 print('start', N, depth, flush=True)
 from ngravs_tpu.config import SimulationConfig

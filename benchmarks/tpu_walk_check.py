@@ -2,7 +2,6 @@
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 import numpy as np, jax, jax.numpy as jnp
-jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
 from ngravs_tpu.config import SimulationConfig
 from ngravs_tpu.models.wiring import build_wiring
 from ngravs_tpu.ops.tree import build_tree

@@ -16,7 +16,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 MODE = sys.argv[2] if len(sys.argv) > 2 else "all"
