@@ -117,6 +117,87 @@ def _child():
         # the window on cap-regrow recompiles.
         direct_crossover=1000, tree_depth=12,
         walk_ent_cap=512, walk_chunk_cap=1024, walk_frontier_cap=1024)
+    def _settled_caps(sim):
+        # SETTLED walk caps for this exact (deterministic) workload,
+        # measured on-chip 2026-08: every overflow regrow or post-success
+        # tighten is a full multi-minute XLA recompile over the axon
+        # tunnel — r4's bench timed out purely on cap-settling churn.
+        # Presetting the converged values and freezing the tightener gives
+        # exactly ONE compile per program shape, all persistently cached.
+        # If the system drifts out of these caps, the regrow path still
+        # recovers (at recompile cost).
+        sim.solver.fcaps["chunk"] = 16384
+        sim.solver.fcaps["frontier"] = (
+            1, 8, 64, 256, 1024, 4096, 2048, 2048, 2048, 1024, 64, 64, 64)
+        sim.solver.octet_caps = (
+            1, 1, 8, 64, 192, 384, 320, 320, 320, 128, 8, 8, 8)
+        sim.solver._tightened = True
+
+    best = {"rate": None, "note": ""}  # best COMPLETED measurement so far
+
+    def _measure(sim, warm_steps, warm_extra, target_steps, phase_note):
+        """Warm up then measure one Simulation; checkpoints continuously
+        and records the completed rate.  Returns the rate (or None if the
+        warmup window closed before any step ran)."""
+        note = platform_note + phase_note
+        # warmup: compile all kernels on the shapes the loop will use.
+        # HARD bounds on steps and wall time.  Warmup steps feed the
+        # checkpoint (post-compile clock, first-segment updates excluded):
+        # if the parent's deadline lands mid-warmup — e.g. a cold compile
+        # cache ate the window — the emitted line still carries a real,
+        # conservative rate, not 0.
+        st.clear()
+        st.update({"stage": "warmup" + phase_note, "note": note,
+                   "updates": 0, "t0": None, "partial": True,
+                   "best_rate": best["rate"], "best_note": best["note"]})
+        _checkpoint(status, st)
+        warm = sim.step_count
+        t_warm0 = time.time()
+        caps = None
+        warm_n0 = None
+        while ((sim.step_count - warm < warm_steps
+                or caps != sim.solver.fcaps)
+               and sim.step_count - warm <= warm_extra
+               and time.time() - t_warm0 < WARMUP_WALL_S):
+            caps = dict(sim.solver.fcaps)
+            sim.step()
+            if warm_n0 is None:  # clock starts after the compile step
+                warm_n0 = sim.num_force_updates
+                st["t0"] = time.time()
+                st["note"] = note + "; WARMUP-stage rate"
+            else:
+                st["updates"] = sim.num_force_updates - warm_n0
+            _checkpoint(status, st)
+
+        import ngravs_tpu.constants as C
+        st2 = {"stage": "measure" + phase_note, "note": note, "updates": 0,
+               "t0": time.time(), "partial": True,
+               "best_rate": best["rate"], "best_note": best["note"]}
+        st.clear()
+        st.update(st2)
+        _checkpoint(status, st)
+        n0 = sim.num_force_updates
+        s0 = sim.step_count
+        t0 = time.time()
+        # measure a fixed sync-point budget (each step() call may advance
+        # a whole device-resident segment), bounded in wall time
+        while sim.step_count - s0 < target_steps \
+                and sim.ti_current < C.TIMEBASE \
+                and time.time() - t0 < MEASURE_WALL_S:
+            sim.step()
+            st["updates"] = sim.num_force_updates - n0
+            _checkpoint(status, st)
+        dt = time.time() - t0
+        rate = (sim.num_force_updates - n0) / max(dt, 1e-9)
+        if sim.num_force_updates > n0:
+            if best["rate"] is None or rate > best["rate"]:
+                best["rate"], best["note"] = rate, note
+            st.update(partial=False, rate=best["rate"], note=best["note"],
+                      best_rate=best["rate"], best_note=best["note"])
+            _checkpoint(status, st)
+            return rate
+        return None
+
     if platform_note:
         # shrink the CPU-fallback workload so the measurement completes:
         # an honest small number beats a driver timeout
@@ -130,70 +211,29 @@ def _child():
         p_sub = jax.tree.map(lambda a: a[sel], p_full)
         sim = Simulation(cfg, particles=p_sub, log_dir="", segment_steps=32)
         platform_note += " (4k subset)"
-        warm_steps, warm_extra, target_steps = 32, 64, 64
-    else:
-        sim = Simulation(cfg, log_dir="", segment_steps=64)
-        warm_steps, warm_extra, target_steps = 200, 400, 256
-        # SETTLED walk caps for this exact (deterministic) workload,
-        # measured on-chip 2026-08: every overflow regrow or post-success
-        # tighten is a full ~38 MB XLA recompile (minutes over the axon
-        # tunnel) — r4's bench timed out purely on cap-settling churn.
-        # Presetting the converged values and freezing the tightener gives
-        # exactly ONE compile per program shape, all persistently cached.
-        # If the system drifts out of these caps, the regrow path still
-        # recovers (at recompile cost).
-        sim.solver.fcaps["chunk"] = 16384
-        sim.solver.fcaps["frontier"] = (
-            1, 8, 64, 256, 1024, 4096, 2048, 2048, 2048, 1024, 64, 64, 64)
-        sim.solver.octet_caps = (
-            1, 1, 8, 64, 192, 384, 320, 320, 320, 128, 8, 8, 8)
-        sim.solver._tightened = True
-    st["note"] = platform_note
+        st["note"] = platform_note
+        _measure(sim, 32, 64, 64, "")
+        return
 
-    # warmup: compile all kernels on the shapes the loop will use.  HARD
-    # bounds on steps and wall time.  Warmup steps feed the checkpoint
-    # (post-compile clock, first-segment updates excluded): if the parent's
-    # deadline lands mid-warmup — e.g. a cold compile cache ate the window
-    # — the emitted line still carries a real, conservative rate, not 0.
-    st["stage"] = "warmup"
-    _checkpoint(status, st)
-    warm = sim.step_count
-    t_warm0 = time.time()
-    caps = None
-    warm_n0 = None
-    while ((sim.step_count - warm < warm_steps
-            or caps != sim.solver.fcaps)
-           and sim.step_count - warm <= warm_extra
-           and time.time() - t_warm0 < WARMUP_WALL_S):
-        caps = dict(sim.solver.fcaps)
-        sim.step()
-        if warm_n0 is None:  # clock starts after the first (compile) step
-            warm_n0 = sim.num_force_updates
-            st["t0"] = time.time()
-            st["note"] = platform_note + "; WARMUP-stage rate"
-        else:
-            st["updates"] = sim.num_force_updates - warm_n0
-        _checkpoint(status, st)
+    # Phase A: per-step dispatch (segment_steps=1).  Needs only the
+    # per-step programs (tree prep / fused walk / scatter / kick), NOT the
+    # device-resident multi-step segment — the segment program is the most
+    # expensive compile of the whole framework (~7 min for the walk alone
+    # on this class of host, measured), and a cold cache must not gate the
+    # scoreboard on it.  Host-sync cost per step is ~25 ms on the tunnel.
+    sim = Simulation(cfg, log_dir="", segment_steps=1)
+    _settled_caps(sim)
+    rate_a = _measure(sim, 30, 120, 192, "")
 
-    import ngravs_tpu.constants as C
-    st = {"stage": "measure", "note": platform_note, "updates": 0,
-          "t0": time.time(), "partial": True}
-    _checkpoint(status, st)
-    n0 = sim.num_force_updates
-    s0 = sim.step_count
-    t0 = time.time()
-    # measure a fixed sync-point budget (each step() call may advance a
-    # whole device-resident segment of steps), bounded in wall time
-    while sim.step_count - s0 < target_steps \
-            and sim.ti_current < C.TIMEBASE \
-            and time.time() - t0 < MEASURE_WALL_S:
-        sim.step()
-        st["updates"] = sim.num_force_updates - n0
-        _checkpoint(status, st)
-    dt = time.time() - t0
-    updates = sim.num_force_updates - n0
-    st.update(partial=False, rate=updates / max(dt, 1e-9))
-    _checkpoint(status, st)
+    # Phase B: device-resident 64-step segments (the production fast
+    # path).  Strictly better throughput once its program is compiled; if
+    # the compile doesn't fit the remaining window the parent deadline
+    # fires and the line still carries phase A's completed rate (the
+    # checkpoint keeps the best completed measurement).
+    sim_b = Simulation(cfg, log_dir="", segment_steps=64)
+    _settled_caps(sim_b)
+    _measure(sim_b, 200, 400, 256, "; 64-step segments")
+    _ = rate_a  # best-of bookkeeping lives in `best`/the checkpoint
 
 
 # ---------------------------------------------------------------------------
@@ -222,6 +262,12 @@ def _finish(status_path: str, why: str, code: int = 0):
             rate = 0.0
             note += (f"; ABORTED in stage "
                      f"'{st.get('stage', 'launch')}' ({why})")
+        # an earlier phase's COMPLETED measurement floors the result (a
+        # later phase interrupted mid-compile must not erase it)
+        best = st.get("best_rate")
+        if best is not None and best > rate:
+            rate, note = best, st.get("best_note", "") + \
+                f"; later phase cut short ({why})"
     _emit(rate, note)
     raise SystemExit(code)
 
