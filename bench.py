@@ -82,6 +82,7 @@ def _probe_backend(timeout_s: float = 180.0) -> bool:
 
 
 def _child():
+    _T0 = time.time()
     status = os.environ[_STATUS_ENV]
     st = {"stage": "backend probe", "note": "", "updates": 0, "t0": None,
           "partial": True}
@@ -215,25 +216,27 @@ def _child():
         _measure(sim, 32, 64, 64, "")
         return
 
-    # Phase A: per-step dispatch (segment_steps=1).  Needs only the
-    # per-step programs (tree prep / fused walk / scatter / kick), NOT the
-    # device-resident multi-step segment — the segment program is the most
-    # expensive compile of the whole framework (~7 min for the walk alone
-    # on this class of host, measured), and a cold cache must not gate the
-    # scoreboard on it.  Host-sync cost per step is ~25 ms on the tunnel.
-    sim = Simulation(cfg, log_dir="", segment_steps=1)
+    # Phase A: device-resident 64-step segments — the production fast
+    # path and the best number (measured 79.4k part-steps/s steady state,
+    # benchmarks/SCALE_r05.json).  Its programs are the most expensive
+    # compiles in the framework (~15 min for the segment over the
+    # tunnel) but they live in the persistent host-keyed cache, where
+    # benchmarks/bench_probe.py pre-warms them; a warm run completes the
+    # whole phase in minutes.
+    sim = Simulation(cfg, log_dir="", segment_steps=64)
     _settled_caps(sim)
-    rate_a = _measure(sim, 30, 120, 192, "")
+    rate_a = _measure(sim, 12, 400, 1024, "")
 
-    # Phase B: device-resident 64-step segments (the production fast
-    # path).  Strictly better throughput once its program is compiled; if
-    # the compile doesn't fit the remaining window the parent deadline
-    # fires and the line still carries phase A's completed rate (the
-    # checkpoint keeps the best completed measurement).
-    sim_b = Simulation(cfg, log_dir="", segment_steps=64)
-    _settled_caps(sim_b)
-    _measure(sim_b, 200, 400, 256, "; 64-step segments")
-    _ = rate_a  # best-of bookkeeping lives in `best`/the checkpoint
+    # Phase B (fallback): per-step dispatch (segment_steps=1).  Uses only
+    # the per-step programs (tree prep / fused walk / scatter / kick at
+    # bucketed active-set sizes) — several smaller compiles instead of
+    # one monster, so on a cold cache SOME phase completes inside the
+    # driver window.  ~25 ms host sync per step on the tunnel.  The
+    # checkpoint keeps the best COMPLETED rate across both phases.
+    if rate_a is None or time.time() - _T0 < DEADLINE_S * 0.5:
+        sim_b = Simulation(cfg, log_dir="", segment_steps=1)
+        _settled_caps(sim_b)
+        _measure(sim_b, 30, 120, 192, "; per-step dispatch")
 
 
 # ---------------------------------------------------------------------------
